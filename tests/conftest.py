@@ -8,10 +8,17 @@ bench.py, not the test suite).
 import os
 import random
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: tests never touch the real TPU
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The hosted-TPU (axon) plugin force-registers itself even when
+# JAX_PLATFORMS=cpu is exported; an explicit config update before backend
+# initialization is the only reliable override.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest
 

@@ -1,0 +1,145 @@
+"""Oriented BRIEF (ORB-style) binary descriptors, batched over keypoints.
+
+Replaces cuVSLAM's feature description (closed CUDA). TPU-shaped design:
+one gather extracts a patch per keypoint, then everything — intensity-
+centroid orientation, rotated test-pair sampling, bit packing — runs as
+dense batched arithmetic over the (N, P, P) patch tensor. Descriptors are
+256 bits packed into 8 uint32 words (layout consumed by
+:mod:`thor_slam_tpu.ops.match`).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+PATCH_RADIUS = 18  # patch half-size; fits rotated +/-13 px test points
+PATCH_SIZE = 2 * PATCH_RADIUS + 1
+PAIR_RADIUS = 13.0
+NUM_BITS = 256
+NUM_WORDS = NUM_BITS // 32
+
+
+def _make_test_pairs(seed: int = 42) -> np.ndarray:
+    """Deterministic BRIEF test pattern: (256, 4) = (x1, y1, x2, y2).
+
+    Gaussian-distributed around the patch center (sigma = r/2.5), clipped to
+    the pair radius — the classic BRIEF-32 construction.
+    """
+    rng = np.random.default_rng(seed)
+    pts = rng.normal(0.0, PAIR_RADIUS / 2.5, size=(NUM_BITS, 4))
+    return np.clip(pts, -PAIR_RADIUS, PAIR_RADIUS)
+
+
+TEST_PAIRS = _make_test_pairs()
+
+# Disk mask + coordinate grids for the intensity-centroid orientation.
+_yy, _xx = np.mgrid[-PATCH_RADIUS : PATCH_RADIUS + 1, -PATCH_RADIUS : PATCH_RADIUS + 1]
+_DISK = ((_xx**2 + _yy**2) <= PATCH_RADIUS**2).astype(np.float32)
+_MOMENT_X = (_xx * _DISK).astype(np.float32)
+_MOMENT_Y = (_yy * _DISK).astype(np.float32)
+
+
+class Descriptors(NamedTuple):
+    """Packed binary descriptors for a fixed-capacity keypoint set.
+
+    Attributes:
+        bits: (N, 8) uint32 — 256 packed bits per keypoint.
+        angle: (N,) float32 orientation (radians).
+        valid: (N,) bool (inherited from the keypoints).
+    """
+
+    bits: jnp.ndarray
+    angle: jnp.ndarray
+    valid: jnp.ndarray
+
+
+def extract_patches(image: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
+    """Gather (N, P, P) patches centered at integer keypoint positions.
+
+    Coordinates are clipped so border keypoints yield in-bounds (if
+    distorted) patches — callers use the detector's border margin to avoid
+    them in practice.
+    """
+    h, w = image.shape
+    n = xy.shape[0]
+    cx = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32), PATCH_RADIUS, w - PATCH_RADIUS - 1)
+    cy = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32), PATCH_RADIUS, h - PATCH_RADIUS - 1)
+    dy = jnp.arange(-PATCH_RADIUS, PATCH_RADIUS + 1)
+    dx = jnp.arange(-PATCH_RADIUS, PATCH_RADIUS + 1)
+    rows = cy[:, None, None] + dy[None, :, None]  # (N, P, 1)
+    cols = cx[:, None, None] + dx[None, None, :]  # (N, 1, P)
+    flat_idx = (rows * w + cols).reshape(n, PATCH_SIZE, PATCH_SIZE)
+    return image.reshape(-1)[flat_idx.reshape(-1)].reshape(n, PATCH_SIZE, PATCH_SIZE)
+
+
+def patch_orientation(patches: jnp.ndarray) -> jnp.ndarray:
+    """Intensity-centroid angle per patch: atan2(m01, m10) over a disk."""
+    m10 = jnp.sum(patches * jnp.asarray(_MOMENT_X), axis=(1, 2))
+    m01 = jnp.sum(patches * jnp.asarray(_MOMENT_Y), axis=(1, 2))
+    return jnp.arctan2(m01, m10)
+
+
+def _bilinear_patch_sample(patches: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarray) -> jnp.ndarray:
+    """Sample (N, P, P) patches at per-keypoint fractional offsets.
+
+    px, py: (N, K) offsets relative to the patch center.
+    Returns (N, K) samples.
+    """
+    n = patches.shape[0]
+    x = jnp.clip(px + PATCH_RADIUS, 0.0, PATCH_SIZE - 1.001)
+    y = jnp.clip(py + PATCH_RADIUS, 0.0, PATCH_SIZE - 1.001)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = x - x0
+    fy = y - y0
+    flat = patches.reshape(n, -1)
+
+    def take(yy, xx):
+        return jnp.take_along_axis(flat, yy * PATCH_SIZE + xx, axis=1)
+
+    v00 = take(y0, x0)
+    v01 = take(y0, x0 + 1)
+    v10 = take(y0 + 1, x0)
+    v11 = take(y0 + 1, x0 + 1)
+    return (v00 * (1 - fx) + v01 * fx) * (1 - fy) + (v10 * (1 - fx) + v11 * fx) * fy
+
+
+@jax.jit
+def compute_descriptors(image: jnp.ndarray, xy: jnp.ndarray, valid: jnp.ndarray) -> Descriptors:
+    """Oriented BRIEF-256 for keypoints ``xy`` on a (pre-smoothed) image.
+
+    Args:
+        image: (H, W) float32, ideally Gaussian-smoothed (sigma ~ 2).
+        xy: (N, 2) float32 keypoint positions.
+        valid: (N,) bool slot mask.
+
+    Returns:
+        :class:`Descriptors` with (N, 8) uint32 packed bits.
+    """
+    patches = extract_patches(image, xy)  # (N, P, P)
+    angle = patch_orientation(patches)  # (N,)
+    ca, sa = jnp.cos(angle), jnp.sin(angle)
+
+    pairs = jnp.asarray(TEST_PAIRS, dtype=jnp.float32)  # (256, 4)
+    x1, y1, x2, y2 = pairs[:, 0], pairs[:, 1], pairs[:, 2], pairs[:, 3]
+
+    # Rotate the test pattern by each keypoint's orientation (steering).
+    def rot(px, py):
+        rx = ca[:, None] * px[None, :] - sa[:, None] * py[None, :]
+        ry = sa[:, None] * px[None, :] + ca[:, None] * py[None, :]
+        return rx, ry  # (N, 256)
+
+    r1x, r1y = rot(x1, y1)
+    r2x, r2y = rot(x2, y2)
+    i1 = _bilinear_patch_sample(patches, r1x, r1y)
+    i2 = _bilinear_patch_sample(patches, r2x, r2y)
+    bits = (i1 < i2).astype(jnp.uint32)  # (N, 256)
+
+    weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :]
+    packed = jnp.sum(bits.reshape(-1, NUM_WORDS, 32) * weights, axis=-1, dtype=jnp.uint32)
+    return Descriptors(bits=packed, angle=angle, valid=valid)
