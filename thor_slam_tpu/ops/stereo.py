@@ -1,0 +1,214 @@
+"""Dense stereo depth: census + cost volume + semi-global matching (SGM).
+
+Replaces the OAK camera's on-ASIC StereoDepth block (reference
+luxonis.py:513-536: HIGH_DETAIL preset, left-right check, subpixel) — this
+is the producer of the RGB-D stream nvblox consumes (reference
+run_pipeline.py:166-292).
+
+TPU shaping:
+
+* census transform and the XOR-popcount cost volume are dense VPU work;
+* path aggregation runs as `lax.scan` along image axes with the whole
+  cross-section (rows x disparities) updated per step — the recurrence is
+  inherently sequential per direction, but each step is a wide vector op;
+* left-right consistency reuses the same cost volume re-indexed for the
+  right view (no second aggregation);
+* subpixel refinement is a parabola fit on the aggregated costs.
+
+Everything is fixed-shape; invalid pixels carry disparity 0 and a False
+mask bit.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from thor_slam_tpu.ops.match import popcount_u32
+
+_BIG = jnp.float32(1e9)
+
+
+def census_transform(image: jnp.ndarray, window: int = 5) -> jnp.ndarray:
+    """Census transform: each pixel -> bitstring of (neighbor < center).
+
+    Args:
+        image: (H, W) float32.
+        window: Odd window side; window*window - 1 must be <= 32.
+
+    Returns:
+        (H, W) uint32 census codes (border uses edge-replicated neighbors).
+    """
+    r = window // 2
+    assert window * window - 1 <= 32, "census window too large for uint32"
+    h, w = image.shape
+    padded = jnp.pad(image, r, mode="edge")
+    code = jnp.zeros((h, w), dtype=jnp.uint32)
+    bit = 0
+    for dy in range(-r, r + 1):
+        for dx in range(-r, r + 1):
+            if dy == 0 and dx == 0:
+                continue
+            neighbor = padded[r + dy : r + dy + h, r + dx : r + dx + w]
+            code = code | (neighbor < image).astype(jnp.uint32) << jnp.uint32(bit)
+            bit += 1
+    return code
+
+
+def census_cost_volume(census_l: jnp.ndarray, census_r: jnp.ndarray, num_disparities: int) -> jnp.ndarray:
+    """(D, H, W) float32 Hamming costs; cost[d, y, x] = ham(L[y,x], R[y,x-d]).
+
+    Out-of-frame comparisons (x < d) get the worst-case cost so they never
+    win, but remain finite for SGM smoothing.
+    """
+    h, w = census_l.shape
+    costs = []
+    max_cost = jnp.float32(32.0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    for d in range(num_disparities):
+        shifted = jnp.pad(census_r, ((0, 0), (d, 0)), mode="edge")[:, :w]
+        c = popcount_u32(census_l ^ shifted).astype(jnp.float32)
+        costs.append(jnp.where(xs >= d, c, max_cost))
+    return jnp.stack(costs)
+
+
+def _sgm_scan_one_direction(cost_dhw: jnp.ndarray, p1: float, p2: float, axis: int, reverse: bool) -> jnp.ndarray:
+    """Aggregate SGM costs along one image axis.
+
+    Args:
+        cost_dhw: (D, H, W) matching costs.
+        p1: Small-jump penalty (|dd| = 1).
+        p2: Large-jump penalty (|dd| > 1).
+        axis: 1 to sweep down rows (vertical paths), 2 to sweep columns.
+        reverse: Sweep in the decreasing-index direction.
+
+    Returns:
+        (D, H, W) aggregated path costs L_r.
+    """
+    # Move the swept axis to the scan dimension: (steps, D, cross).
+    if axis == 2:
+        seq = jnp.moveaxis(cost_dhw, 2, 0)  # (W, D, H)
+    else:
+        seq = jnp.moveaxis(cost_dhw, 1, 0)  # (H, D, W)
+    if reverse:
+        seq = seq[::-1]
+
+    d = seq.shape[1]
+    p1 = jnp.float32(p1)
+    p2 = jnp.float32(p2)
+
+    def step(prev_l, c):
+        # prev_l: (D, cross) previous aggregated costs along this path.
+        prev_min = jnp.min(prev_l, axis=0, keepdims=True)  # (1, cross)
+        up = jnp.concatenate([prev_l[1:], jnp.full((1, prev_l.shape[1]), _BIG)], axis=0)
+        down = jnp.concatenate([jnp.full((1, prev_l.shape[1]), _BIG), prev_l[:-1]], axis=0)
+        best = jnp.minimum(
+            jnp.minimum(prev_l, jnp.minimum(up, down) + p1), prev_min + p2
+        )
+        l = c + best - prev_min
+        return l, l
+
+    init = jnp.full(seq.shape[1:], 0.0, dtype=jnp.float32) + seq[0] * 0.0  # zeros, traced shape
+    # First step has no predecessor: seed with raw cost.
+    _, out = jax.lax.scan(step, seq[0], seq[1:])
+    out = jnp.concatenate([seq[:1], out], axis=0)
+    del init, d
+
+    if reverse:
+        out = out[::-1]
+    if axis == 2:
+        return jnp.moveaxis(out, 0, 2)
+    return jnp.moveaxis(out, 0, 1)
+
+
+@partial(jax.jit, static_argnames=("num_disparities", "num_paths"))
+def sgm_disparity(
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    num_disparities: int = 64,
+    p1: float = 6.0,
+    p2: float = 96.0,
+    num_paths: int = 4,
+    lr_threshold: float = 1.25,
+    uniqueness: float = 0.95,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Semi-global matching disparity for a rectified pair.
+
+    Args:
+        left: (H, W) float32 rectified left image in [0, 1].
+        right: (H, W) float32 rectified right image.
+        num_disparities: Disparity search range D (static).
+        p1: SGM small-change penalty (census-cost units).
+        p2: SGM discontinuity penalty.
+        num_paths: 2 (horizontal) or 4 (+vertical) aggregation directions.
+        lr_threshold: Max |d_L(x) - d_R(x - d_L)| for the consistency check.
+        uniqueness: Reject if best cost > uniqueness * second-best.
+
+    Returns:
+        (disparity, valid): (H, W) float32 subpixel disparities (0 where
+        invalid) and the (H, W) bool validity mask.
+    """
+    cl = census_transform(left)
+    cr = census_transform(right)
+    cost = census_cost_volume(cl, cr, num_disparities)  # (D, H, W)
+
+    agg = _sgm_scan_one_direction(cost, p1, p2, axis=2, reverse=False)
+    agg = agg + _sgm_scan_one_direction(cost, p1, p2, axis=2, reverse=True)
+    if num_paths >= 4:
+        agg = agg + _sgm_scan_one_direction(cost, p1, p2, axis=1, reverse=False)
+        agg = agg + _sgm_scan_one_direction(cost, p1, p2, axis=1, reverse=True)
+
+    d_best = jnp.argmin(agg, axis=0)  # (H, W)
+    h, w = left.shape
+    ys = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+
+    def at_disp(vol, d):
+        dc = jnp.clip(d, 0, num_disparities - 1)
+        return vol[dc.reshape(-1), ys.reshape(-1), xs.reshape(-1)].reshape(h, w)
+
+    c0 = at_disp(agg, d_best)
+    cm = at_disp(agg, d_best - 1)
+    cp = at_disp(agg, d_best + 1)
+
+    # Subpixel parabola: offset = (cm - cp) / (2*(cm - 2c0 + cp)).
+    denom = cm - 2.0 * c0 + cp
+    offset = jnp.where(jnp.abs(denom) > 1e-6, 0.5 * (cm - cp) / jnp.maximum(denom, 1e-6), 0.0)
+    offset = jnp.clip(offset, -0.5, 0.5)
+    disp = d_best.astype(jnp.float32) + jnp.where(
+        (d_best > 0) & (d_best < num_disparities - 1), offset, 0.0
+    )
+
+    # Uniqueness: best must beat the second-best (outside +/-1) clearly.
+    d_idx = jax.lax.broadcasted_iota(jnp.int32, agg.shape, 0)
+    masked = jnp.where(jnp.abs(d_idx - d_best[None]) <= 1, _BIG, agg)
+    second = jnp.min(masked, axis=0)
+    unique_ok = c0 <= uniqueness * second
+
+    # Left-right check from the same volume: cost_R[d, y, x] = cost_L[d, y, x + d].
+    # Gather agg at (d, y, x + d) to get the right view's aggregated costs.
+    xr = jnp.clip(xs[None] + jnp.arange(num_disparities, dtype=jnp.int32)[:, None, None], 0, w - 1)
+    agg_r = jnp.take_along_axis(agg, xr, axis=2)
+    d_best_r = jnp.argmin(agg_r, axis=0)  # (H, W) disparity map of right image
+    # For each left pixel: right-view disparity at (x - d_L).
+    x_in_r = jnp.clip(xs - d_best, 0, w - 1)
+    d_r_at = jnp.take_along_axis(d_best_r, x_in_r, axis=1)
+    lr_ok = jnp.abs(d_best - d_r_at) <= lr_threshold
+
+    in_range = xs >= d_best  # matched pixel inside the right image
+    valid = unique_ok & lr_ok & in_range & (d_best > 0)
+    return jnp.where(valid, disp, 0.0), valid
+
+
+def disparity_to_depth(disparity: jnp.ndarray, valid: jnp.ndarray, fx: float, baseline_m: float) -> jnp.ndarray:
+    """Depth map (meters) from disparity; invalid pixels get 0."""
+    z = fx * baseline_m / jnp.maximum(disparity, 1e-6)
+    return jnp.where(valid, z, 0.0)
+
+
+def depth_to_millimeters_u16(depth_m: jnp.ndarray) -> jnp.ndarray:
+    """Depth (m) -> 16UC1 millimeters, the nvblox feed encoding
+    (reference run_pipeline.py:247-252)."""
+    return jnp.clip(jnp.round(depth_m * 1000.0), 0.0, 65535.0).astype(jnp.uint16)
