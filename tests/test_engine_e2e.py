@@ -1,0 +1,148 @@
+"""End-to-end visual odometry: TpuSlamEngine on the synthetic rig.
+
+This is the milestone-4 acceptance test of the build plan (SURVEY.md §7.2):
+full pipeline rig -> sync -> rectify -> features -> KLT -> PnP -> pose, with
+trajectory accuracy measured as ATE against the analytic ground truth.
+"""
+
+import numpy as np
+import pytest
+
+import thor_slam_tpu as tst
+from thor_slam_tpu.camera.rig import CameraRig
+from thor_slam_tpu.camera.sources.synthetic import (
+    OrbitTrajectory,
+    SyntheticRigSpec,
+    SyntheticWorld,
+    make_synthetic_rig,
+)
+from thor_slam_tpu.engine.tpu_engine import TpuSlamEngine
+from thor_slam_tpu.slam.interface import SlamConfig, TrackingState
+from thor_slam_tpu.utils.evaluation import ate_rmse
+
+
+@pytest.fixture(scope="module")
+def vo_run(tmp_path_factory):
+    """Run 60 frames of 2-camera stereo VO once; reuse across tests."""
+    spec = SyntheticRigSpec(
+        num_sources=2, stereo=True, width=160, height=120, fps=30.0, baseline_m=0.12
+    )
+    world = SyntheticWorld(half_extents=(4.0, 4.0, 2.0))
+    traj = OrbitTrajectory(radius=1.5, angular_rate=0.5)
+    sources, rig_ext, _, _ = make_synthetic_rig(spec, world=world, trajectory=traj)
+    engine = TpuSlamEngine(params=dict(max_keypoints=256, keyframe_min_inliers=40))
+
+    est, gt, states, confs = [], [], [], []
+    with CameraRig(sources, rig_extrinsics=rig_ext) as rig:
+        engine.initialize(rig.calibration, SlamConfig(num_cameras=4))
+        gt0 = None
+        for _ in range(60):
+            sync = rig.get_synchronized_frames()
+            pose = engine.process_frames(sync)
+            g = traj.pose(sync.timestamp)
+            if gt0 is None:
+                gt0 = g
+            if pose is not None:
+                est.append(pose.position.copy())
+                gt.append((np.linalg.inv(gt0) @ g)[:3, 3])
+                states.append(pose.tracking_state)
+                confs.append(pose.confidence)
+        slam_map = engine.get_map()
+        save_path = str(tmp_path_factory.mktemp("maps") / "map.npz")
+        saved = engine.save_map(save_path)
+    return {
+        "est": np.array(est),
+        "gt": np.array(gt),
+        "states": states,
+        "confs": confs,
+        "map": slam_map,
+        "engine": engine,
+        "saved": saved,
+        "save_path": save_path,
+    }
+
+
+@pytest.mark.slow
+class TestVisualOdometry:
+    def test_ate_below_threshold(self, vo_run):
+        ate = ate_rmse(vo_run["est"], vo_run["gt"])
+        path = np.linalg.norm(np.diff(vo_run["gt"], axis=0), axis=1).sum()
+        assert path > 1.0  # the rig actually moved
+        assert ate < 0.05, f"ATE {ate:.3f} m too high over {path:.1f} m path"
+
+    def test_final_drift_below_1pct(self, vo_run):
+        path = np.linalg.norm(np.diff(vo_run["gt"], axis=0), axis=1).sum()
+        final = np.linalg.norm(vo_run["est"][-1] - vo_run["gt"][-1])
+        assert final / path < 0.02
+
+    def test_reaches_tracking_state(self, vo_run):
+        assert TrackingState.TRACKING in vo_run["states"]
+        # Majority of frames tracked.
+        frac = np.mean([s == TrackingState.TRACKING for s in vo_run["states"]])
+        assert frac > 0.9
+
+    def test_confidence_high_while_tracking(self, vo_run):
+        tracked_confs = [
+            c for s, c in zip(vo_run["states"], vo_run["confs"]) if s == TrackingState.TRACKING
+        ]
+        assert np.median(tracked_confs) > 0.9
+
+    def test_map_populated(self, vo_run):
+        m = vo_run["map"]
+        assert len(m.points) > 100
+        assert len(m.keyframe_poses) >= 2
+        cloud = m.to_point_cloud()
+        # Landmarks live on the room walls (box +/-4 m): mostly within the
+        # box (triangulation noise can push outliers past it) and spread out.
+        assert np.mean(np.abs(cloud[:, 0]) < 4.5) > 0.9
+        assert cloud.std(axis=0).max() > 0.5
+
+    def test_save_map(self, vo_run):
+        assert vo_run["saved"]
+
+    def test_load_map_restores_landmarks(self, vo_run):
+        engine = vo_run["engine"]
+        # engine was shut down by the context? No — rig context closed, engine lives.
+        n_before = int(np.asarray(engine._tracker_state.lm_valid).sum())
+        engine.reset()
+        assert int(np.asarray(engine._tracker_state.lm_valid).sum()) == 0
+        assert engine.load_map(vo_run["save_path"])
+        assert int(np.asarray(engine._tracker_state.lm_valid).sum()) == n_before
+
+
+@pytest.mark.slow
+class TestEngineContract:
+    def test_requires_initialize(self):
+        engine = TpuSlamEngine()
+        with pytest.raises(RuntimeError):
+            engine.process_frames(None)
+
+    def test_rejects_mono_sources(self):
+        spec = SyntheticRigSpec(num_sources=1, stereo=False, width=64, height=48)
+        sources, rig_ext, _, _ = make_synthetic_rig(spec, render=False)
+        rig = CameraRig(sources, rig_extrinsics=rig_ext)
+        engine = TpuSlamEngine()
+        with pytest.raises(RuntimeError, match="stereo"):
+            engine.initialize(rig.calibration)
+
+    def test_reset_and_shutdown(self):
+        spec = SyntheticRigSpec(num_sources=1, stereo=True, width=64, height=48)
+        sources, rig_ext, _, _ = make_synthetic_rig(spec, render=False)
+        rig = CameraRig(sources, rig_extrinsics=rig_ext)
+        engine = TpuSlamEngine(params=dict(max_keypoints=64))
+        engine.initialize(rig.calibration)
+        assert engine.get_tracking_state() == TrackingState.INITIALIZING
+        engine.reset()
+        assert engine.get_tracking_state() == TrackingState.INITIALIZING
+        engine.shutdown()
+        assert engine.get_tracking_state() == TrackingState.NOT_INITIALIZED
+
+    def test_relocalize_flags_state(self):
+        spec = SyntheticRigSpec(num_sources=1, stereo=True, width=64, height=48)
+        sources, rig_ext, _, _ = make_synthetic_rig(spec, render=False)
+        rig = CameraRig(sources, rig_extrinsics=rig_ext)
+        engine = TpuSlamEngine(params=dict(max_keypoints=64))
+        assert not engine.relocalize()  # before initialize
+        engine.initialize(rig.calibration)
+        assert engine.relocalize()
+        assert engine.get_tracking_state() == TrackingState.RELOCALIZING

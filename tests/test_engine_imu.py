@@ -1,0 +1,106 @@
+"""IMU preintegration vs the analytic synthetic trajectory."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from thor_slam_tpu.camera.sources.synthetic import GRAVITY_W, OrbitTrajectory
+from thor_slam_tpu.engine import imu
+
+
+def window_from_trajectory(traj, t0, t1, rate=400.0, capacity=64):
+    ts = np.arange(np.floor(t0 * rate) + 1, np.floor(t1 * rate) + 1) / rate
+    gyros, accels = [], []
+    for t in ts:
+        g, a = traj.imu_sample(float(t) - 0.5 / rate)  # midpoint of each interval
+        gyros.append(g)
+        accels.append(a)
+    return imu.pack_imu_window(ts, gyros, accels, t0, t1, capacity)
+
+
+class TestPreintegrate:
+    def test_zero_samples_identity(self):
+        pre = imu.preintegrate(jnp.zeros((8, 3)), jnp.zeros((8, 3)), jnp.zeros(8), jnp.zeros(8))
+        np.testing.assert_allclose(np.asarray(pre.delta_r), np.eye(3), atol=1e-7)
+        np.testing.assert_allclose(np.asarray(pre.delta_p), 0.0, atol=1e-7)
+        assert float(pre.dt) == 0.0 and int(pre.count) == 0
+
+    def test_pure_rotation(self):
+        n, dt = 40, 0.0025
+        gyro = jnp.tile(jnp.asarray([[0.0, 0.0, 1.0]]), (n, 1))  # 1 rad/s yaw
+        pre = imu.preintegrate(gyro, jnp.zeros((n, 3)), jnp.full(n, dt), jnp.ones(n))
+        angle = n * dt
+        expected = np.array(
+            [[np.cos(angle), -np.sin(angle), 0], [np.sin(angle), np.cos(angle), 0], [0, 0, 1]]
+        )
+        np.testing.assert_allclose(np.asarray(pre.delta_r), expected, atol=1e-5)
+
+    def test_padding_mask_ignored(self):
+        n = 16
+        gyro = jnp.asarray(np.random.default_rng(0).normal(0, 1, (n, 3)), jnp.float32)
+        accel = jnp.asarray(np.random.default_rng(1).normal(0, 1, (n, 3)), jnp.float32)
+        dts = jnp.full(n, 0.005)
+        mask_half = jnp.asarray([1.0] * 8 + [0.0] * 8)
+        pre_half = imu.preintegrate(gyro, accel, dts, mask_half)
+        pre_ref = imu.preintegrate(gyro[:8], accel[:8], dts[:8], jnp.ones(8))
+        np.testing.assert_allclose(np.asarray(pre_half.delta_r), np.asarray(pre_ref.delta_r), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(pre_half.delta_p), np.asarray(pre_ref.delta_p), atol=1e-6)
+
+    def test_bias_subtraction(self):
+        n = 20
+        bias = jnp.asarray([0.01, -0.02, 0.005])
+        gyro = jnp.tile(bias[None], (n, 1))
+        pre = imu.preintegrate(gyro, jnp.zeros((n, 3)), jnp.full(n, 0.005), jnp.ones(n), gyro_bias=bias)
+        np.testing.assert_allclose(np.asarray(pre.delta_r), np.eye(3), atol=1e-6)
+
+
+class TestPredictPose:
+    def test_free_fall(self):
+        """No samples, but gravity propagation over dt... dt=0 here -> identity."""
+        pre = imu.Preintegrated(
+            delta_r=jnp.eye(3), delta_v=jnp.zeros(3), delta_p=jnp.zeros(3),
+            dt=jnp.asarray(0.5), count=jnp.asarray(1),
+        )
+        pose0 = jnp.eye(4)
+        pose1, v1 = imu.predict_pose(pose0, jnp.zeros(3), pre)
+        np.testing.assert_allclose(np.asarray(pose1)[:3, 3], [0, 0, -0.5 * 9.81 * 0.25], atol=1e-5)
+        np.testing.assert_allclose(np.asarray(v1), [0, 0, -9.81 * 0.5], atol=1e-5)
+
+    def test_tracks_synthetic_trajectory(self):
+        """Preintegrated prediction over 1/30 s windows tracks the analytic pose."""
+        traj = OrbitTrajectory()
+        fps, rate = 30.0, 400.0
+        pose = jnp.asarray(traj.pose(0.0), jnp.float32)
+        vel = jnp.asarray(traj.velocity(0.0), jnp.float32)
+        max_pos_err = 0.0
+        for k in range(15):  # half a second
+            t0, t1 = k / fps, (k + 1) / fps
+            g, a, d, m = window_from_trajectory(traj, t0, t1, rate)
+            pre = imu.preintegrate(jnp.asarray(g), jnp.asarray(a), jnp.asarray(d), jnp.asarray(m))
+            pose, vel = imu.predict_pose(pose, vel, pre)
+            true = traj.pose(t1)
+            max_pos_err = max(max_pos_err, np.linalg.norm(np.asarray(pose)[:3, 3] - true[:3, 3]))
+        assert max_pos_err < 0.01  # < 1 cm over 0.5 s of dead reckoning
+        rel = np.linalg.inv(traj.pose(0.5)) @ np.asarray(pose, np.float64)
+        rot_err = np.arccos(np.clip((np.trace(rel[:3, :3]) - 1) / 2, -1, 1))
+        assert rot_err < 0.01
+
+    def test_gravity_consistency(self):
+        """GRAVITY_W constants agree between synthetic source and engine."""
+        np.testing.assert_allclose(np.asarray(imu.GRAVITY_W), GRAVITY_W)
+
+
+class TestPackWindow:
+    def test_selects_interval(self):
+        ts = np.arange(10) * 0.01
+        g = np.tile([[1.0, 0, 0]], (10, 1))
+        a = np.tile([[0.0, 1, 0]], (10, 1))
+        gy, ac, d, m = imu.pack_imu_window(ts, g, a, t_start=0.025, t_end=0.065, capacity=8)
+        assert m.sum() == 4  # samples at 0.03, 0.04, 0.05, 0.06
+        np.testing.assert_allclose(d[:4].sum(), 0.065 - 0.025 - 0.005, atol=1e-9)
+
+    def test_capacity_truncation_keeps_latest(self):
+        ts = np.arange(100) * 0.001
+        g = np.zeros((100, 3))
+        a = np.zeros((100, 3))
+        gy, ac, d, m = imu.pack_imu_window(ts, g, a, 0.0, 0.2, capacity=16)
+        assert m.sum() == 16

@@ -180,7 +180,10 @@ class TestCalibration:
         cal = rig.calibration
         del cal.rig_extrinsics["cam0"]
         world = cal.get_world_extrinsics("cam0")
-        np.testing.assert_array_equal(world[0].to_4x4_matrix(), np.eye(4))
+        # Passthrough: camera extrinsics returned unchanged.
+        np.testing.assert_array_equal(
+            world[0].to_4x4_matrix(), sources[0].get_extrinsics()[0].to_4x4_matrix()
+        )
         assert cal.get_world_extrinsics("unknown") is None
 
     def test_load_rig_extrinsics(self):

@@ -141,7 +141,12 @@ class TestSyntheticSource:
         s = SyntheticCameraSource("a", SyntheticWorld(), OrbitTrajectory(), np.eye(4), spec)
         exts = s.get_extrinsics()
         assert len(exts) == 2
-        np.testing.assert_allclose(exts[1].translation, [0.1, 0, 0])
+        # Extrinsics are FLU-source -> optical: optical +x (right) = body -y.
+        np.testing.assert_allclose(exts[0].to_4x4_matrix(), BODY_T_OPTICAL, atol=1e-12)
+        np.testing.assert_allclose(exts[1].translation, [0.0, -0.1, 0.0], atol=1e-12)
+        # Relative left->right transform is a pure +x optical baseline.
+        rel = np.linalg.inv(exts[0].to_4x4_matrix()) @ exts[1].to_4x4_matrix()
+        np.testing.assert_allclose(rel[:3, 3], [0.1, 0, 0], atol=1e-12)
 
     def test_stereo_images_shifted(self):
         """Right image should look like the left shifted by positive disparity."""

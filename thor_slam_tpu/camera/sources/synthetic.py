@@ -48,20 +48,38 @@ def _hash01(ix, iy, iz, seed: int, xp=np):
     return h.astype(xp.float32) * xp.float32(1.0 / 4294967296.0)
 
 
+# Fixed rotations applied to each octave's lattice: breaks the axis-aligned
+# periodicity that would otherwise make every wall a perfect repeating grid
+# (pathological for feature matching in a way real scenes are not).
+_OCTAVE_ROTATIONS = [
+    np.array(
+        [
+            [np.cos(a) * np.cos(b), -np.sin(a), np.cos(a) * np.sin(b)],
+            [np.sin(a) * np.cos(b), np.cos(a), np.sin(a) * np.sin(b)],
+            [-np.sin(b), 0.0, np.cos(b)],
+        ],
+        dtype=np.float32,
+    )
+    for a, b in ((0.0, 0.0), (0.61, 0.23), (1.13, 0.77), (0.37, 1.41))
+]
+
+
 def procedural_texture(points, seed: int = 7, xp=np):
     """Multi-octave blocky 3D texture in [0, 1] at world-space ``points``.
 
     Nearest-neighbor (blocky) octaves create strong corner features that
-    FAST-style detectors latch onto; octave mixing avoids degenerate
-    repetition. ``points``: (..., 3) array.
+    FAST-style detectors latch onto; per-octave lattice rotations and
+    irrational scale ratios avoid degenerate repetition.
+    ``points``: (..., 3) array.
     """
-    x, y, z = points[..., 0], points[..., 1], points[..., 2]
     out = None
-    # (scale in cells/meter, weight per octave)
-    for k, (scale, w) in enumerate(((2.0, 0.4), (5.0, 0.3), (13.0, 0.2), (31.0, 0.1))):
-        ix = xp.floor(x * scale).astype(xp.int32)
-        iy = xp.floor(y * scale).astype(xp.int32)
-        iz = xp.floor(z * scale).astype(xp.int32)
+    # (scale in cells/meter, weight per octave) — non-commensurate scales.
+    for k, (scale, w) in enumerate(((2.03, 0.4), (5.19, 0.3), (12.67, 0.2), (30.71, 0.1))):
+        rot = xp.asarray(_OCTAVE_ROTATIONS[k])
+        p = points @ rot.T
+        ix = xp.floor(p[..., 0] * scale).astype(xp.int32)
+        iy = xp.floor(p[..., 1] * scale).astype(xp.int32)
+        iz = xp.floor(p[..., 2] * scale).astype(xp.int32)
         v = _hash01(ix, iy, iz, seed + k, xp=xp) * w
         out = v if out is None else out + v
     return out
@@ -301,13 +319,19 @@ class SyntheticCameraSource(CameraSource):
         self._frame_idx = 0
         self._imu_idx = 0
         self._intr = _default_intrinsics(spec)
-        # Per-imager extrinsics in the source frame: left at origin, right
-        # displaced along optical +x by the baseline (both RDF optical).
-        self._cam_extrinsics = [Extrinsics.identity()]
+        # Optical-frame offsets: left at origin, right displaced along
+        # optical +x (RDF) by the baseline.
+        self._optical_offsets = [np.eye(4)]
         if spec.stereo:
             right = np.eye(4)
             right[0, 3] = spec.baseline_m
-            self._cam_extrinsics.append(Extrinsics.from_4x4_matrix(right))
+            self._optical_offsets.append(right)
+        # Public extrinsics are source_T_cam with the source frame being the
+        # FLU bracket/body frame (so RigCalibration.get_world_extrinsics =
+        # rig_T_source @ source_T_cam yields true optical poses in the rig).
+        self._cam_extrinsics = [
+            Extrinsics.from_4x4_matrix(BODY_T_OPTICAL @ off) for off in self._optical_offsets
+        ]
 
     # -- CameraSource contract ------------------------------------------------
 
@@ -338,8 +362,7 @@ class SyntheticCameraSource(CameraSource):
     def world_t_optical(self, t: float, cam_idx: int) -> np.ndarray:
         """Ground-truth world pose of imager ``cam_idx`` at time ``t``."""
         world_t_body = self._traj.pose(t)
-        source_t_cam = BODY_T_OPTICAL @ self._cam_extrinsics[cam_idx].to_4x4_matrix()
-        return world_t_body @ self._rig_t_source @ source_t_cam
+        return world_t_body @ self._rig_t_source @ self._cam_extrinsics[cam_idx].to_4x4_matrix()
 
     def render_frame(self, n: int, cam_idx: int) -> np.ndarray:
         """Deterministically render frame ``n`` for one imager as uint8."""

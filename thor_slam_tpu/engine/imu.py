@@ -1,0 +1,157 @@
+"""IMU preintegration (Forster-style) — jit-safe, masked, fixed-capacity.
+
+Replaces cuVSLAM's IMU fusion (``enable_imu_fusion``, reference
+launch/thor_visual_slam.launch.py:80-93, with measured OAK-D Pro noise
+densities). Samples between two frames are integrated on-device with a
+`lax.scan` over a fixed-size, mask-padded window, producing the relative
+motion increments (delta_r, delta_v, delta_p) used to seed the visual
+tracker's pose prediction.
+
+Conventions: body frame measurements; accel measures specific force
+(a_body - R^T g); gravity is ``GRAVITY_W`` (z-up world).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from thor_slam_tpu.ops import lie
+
+GRAVITY_W = jnp.asarray([0.0, 0.0, -9.81])
+
+#: Default noise parameters: the reference's measured OAK-D Pro values
+#: (reference launch/thor_visual_slam.launch.py:82-104).
+GYRO_NOISE_DENSITY = 8.272e-5  # rad/s/sqrt(Hz)
+ACCEL_NOISE_DENSITY = 2.553e-3  # m/s^2/sqrt(Hz)
+GYRO_RANDOM_WALK = 1e-8  # rad/s^2/sqrt(Hz)
+ACCEL_RANDOM_WALK = 1.0493e-4  # m/s^3/sqrt(Hz)
+
+
+class Preintegrated(NamedTuple):
+    """Relative motion integrated over a window of IMU samples.
+
+    With body frame b0 at the window start and b1 at its end:
+    ``delta_r`` maps b1 vectors into b0 (R_{b0 b1}); ``delta_v``/``delta_p``
+    are the gravity-free velocity/position increments expressed in b0.
+
+    Attributes:
+        delta_r: (3, 3).
+        delta_v: (3,).
+        delta_p: (3,).
+        dt: () total integrated time.
+        count: () number of samples actually integrated.
+    """
+
+    delta_r: jnp.ndarray
+    delta_v: jnp.ndarray
+    delta_p: jnp.ndarray
+    dt: jnp.ndarray
+    count: jnp.ndarray
+
+
+@jax.jit
+def preintegrate(
+    gyro: jnp.ndarray,
+    accel: jnp.ndarray,
+    dts: jnp.ndarray,
+    mask: jnp.ndarray,
+    gyro_bias: jnp.ndarray | None = None,
+    accel_bias: jnp.ndarray | None = None,
+) -> Preintegrated:
+    """Integrate a masked window of IMU samples.
+
+    Args:
+        gyro: (N, 3) angular rates (rad/s), body frame.
+        accel: (N, 3) specific force (m/s^2), body frame.
+        dts: (N,) per-sample integration intervals (s).
+        mask: (N,) 1.0/0.0 — padding slots contribute nothing.
+        gyro_bias: Optional (3,) gyro bias estimate.
+        accel_bias: Optional (3,) accel bias estimate.
+
+    Returns:
+        A :class:`Preintegrated` increment.
+    """
+    bg = jnp.zeros(3) if gyro_bias is None else gyro_bias
+    ba = jnp.zeros(3) if accel_bias is None else accel_bias
+
+    def step(carry, inp):
+        r, v, p, t = carry
+        w, a, dt, m = inp
+        dt = dt * m
+        a_corr = a - ba
+        # Position/velocity with the *current* orientation (midpoint-free
+        # Euler; sample rates of 200-400 Hz make the error negligible).
+        acc0 = r @ a_corr
+        p = p + v * dt + 0.5 * acc0 * dt * dt
+        v = v + acc0 * dt
+        r = r @ lie.so3_exp((w - bg) * dt)
+        return (r, v, p, t + dt), None
+
+    init = (jnp.eye(3), jnp.zeros(3), jnp.zeros(3), jnp.asarray(0.0))
+    (r, v, p, t), _ = jax.lax.scan(step, init, (gyro, accel, dts, mask))
+    return Preintegrated(delta_r=r, delta_v=v, delta_p=p, dt=t, count=jnp.sum(mask).astype(jnp.int32))
+
+
+@jax.jit
+def predict_pose(
+    world_t_body: jnp.ndarray,
+    velocity_w: jnp.ndarray,
+    pre: Preintegrated,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Propagate a world pose + velocity through a preintegrated increment.
+
+    Args:
+        world_t_body: (4, 4) pose at the window start.
+        velocity_w: (3,) world-frame linear velocity at the window start.
+        pre: The integrated increment.
+
+    Returns:
+        (world_t_body_end, velocity_w_end).
+    """
+    r0 = world_t_body[:3, :3]
+    p0 = world_t_body[:3, 3]
+    dt = pre.dt
+    r1 = r0 @ pre.delta_r
+    p1 = p0 + velocity_w * dt + 0.5 * GRAVITY_W * dt * dt + r0 @ pre.delta_p
+    v1 = velocity_w + GRAVITY_W * dt + r0 @ pre.delta_v
+    out = jnp.eye(4).at[:3, :3].set(r1).at[:3, 3].set(p1)
+    return out, v1
+
+
+def pack_imu_window(
+    samples_ts: list[float] | jnp.ndarray,
+    gyros,
+    accels,
+    t_start: float,
+    t_end: float,
+    capacity: int,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Host-side: pack raw samples in (t_start, t_end] into fixed arrays.
+
+    Returns (gyro (cap,3), accel (cap,3), dts (cap,), mask (cap,)) numpy-
+    compatible arrays ready for :func:`preintegrate`.
+    """
+    import numpy as np
+
+    ts = np.asarray(samples_ts, dtype=np.float64)
+    gy = np.asarray(gyros, dtype=np.float32).reshape(-1, 3)
+    ac = np.asarray(accels, dtype=np.float32).reshape(-1, 3)
+    sel = (ts > t_start) & (ts <= t_end)
+    ts_s, gy_s, ac_s = ts[sel], gy[sel], ac[sel]
+    n = min(len(ts_s), capacity)
+
+    g = np.zeros((capacity, 3), np.float32)
+    a = np.zeros((capacity, 3), np.float32)
+    d = np.zeros(capacity, np.float32)
+    m = np.zeros(capacity, np.float32)
+    if n:
+        g[:n] = gy_s[-n:]
+        a[:n] = ac_s[-n:]
+        tsel = ts_s[-n:]
+        prev = np.concatenate([[t_start], tsel[:-1]])
+        d[:n] = (tsel - prev).astype(np.float32)
+        m[:n] = 1.0
+    return g, a, d, m

@@ -1,0 +1,243 @@
+"""Multi-camera PnP: batched Gauss-Newton with Huber IRLS and RANSAC.
+
+Pose estimation for the VO front-end — the role cuVSLAM's tracker plays
+(closed CUDA). TPU shaping: RANSAC is not a data-dependent loop but a
+*batch of hypotheses* solved in parallel under `vmap`, scored densely, and
+reduced with one argmax; the final polish is a masked IRLS Gauss-Newton over
+all correspondences. Everything is fixed-iteration and fixed-shape.
+
+Conventions:
+* optimized variable: ``X = body_T_world`` (world point -> body frame);
+* per-observation camera extrinsics are ``cam_T_body`` (body -> camera);
+* observations are *normalized* image coordinates ((u-cx)/fx, (v-cy)/fy);
+* se(3) tangent is [rho, phi], left-multiplicative: X <- exp(delta) X.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from thor_slam_tpu.ops import lie
+
+
+class PnPResult(NamedTuple):
+    """Result of robust pose estimation.
+
+    Attributes:
+        body_t_world: (4, 4) estimated pose (world -> body).
+        inliers: (N,) bool inlier mask at the final pose.
+        num_inliers: () int32.
+        rms_error: () float32 RMS reprojection error of inliers (normalized
+            coords; multiply by fx for pixels).
+    """
+
+    body_t_world: jnp.ndarray
+    inliers: jnp.ndarray
+    num_inliers: jnp.ndarray
+    rms_error: jnp.ndarray
+
+
+def project_points(
+    body_t_world: jnp.ndarray,
+    points_w: jnp.ndarray,
+    cam_rot: jnp.ndarray,
+    cam_trans: jnp.ndarray,
+) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """World points -> per-observation camera frames and normalized coords.
+
+    Args:
+        body_t_world: (4, 4).
+        points_w: (N, 3) world points.
+        cam_rot: (N, 3, 3) cam_T_body rotation per observation.
+        cam_trans: (N, 3) cam_T_body translation per observation.
+
+    Returns:
+        (p_body (N,3), p_cam (N,3), uv (N,2) normalized projections).
+    """
+    p_b = points_w @ body_t_world[:3, :3].T + body_t_world[:3, 3]
+    p_c = jnp.einsum("nij,nj->ni", cam_rot, p_b) + cam_trans
+    z = jnp.maximum(p_c[:, 2], 1e-6)
+    uv = p_c[:, :2] / z[:, None]
+    return p_b, p_c, uv
+
+
+def _residuals_and_jacobian(body_t_world, points_w, obs, cam_rot, cam_trans):
+    p_b, p_c, uv = project_points(body_t_world, points_w, cam_rot, cam_trans)
+    r = uv - obs  # (N, 2)
+
+    z = jnp.maximum(p_c[:, 2], 1e-6)
+    inv_z = 1.0 / z
+    x, y = p_c[:, 0], p_c[:, 1]
+    # d(uv)/d(p_c): (N, 2, 3)
+    zero = jnp.zeros_like(inv_z)
+    j_proj = jnp.stack(
+        [
+            jnp.stack([inv_z, zero, -x * inv_z * inv_z], axis=-1),
+            jnp.stack([zero, inv_z, -y * inv_z * inv_z], axis=-1),
+        ],
+        axis=1,
+    )
+    # d(p_b)/d(delta) = [I | -hat(p_b)]: (N, 3, 6)
+    n = points_w.shape[0]
+    eye = jnp.broadcast_to(jnp.eye(3), (n, 3, 3))
+    hat_pb = jax.vmap(lie.hat)(p_b)
+    dpb = jnp.concatenate([eye, -hat_pb], axis=-1)
+    # d(p_c)/d(delta) = R_cb @ dpb: (N, 3, 6); J = j_proj @ that: (N, 2, 6)
+    j = jnp.einsum("nab,nbc,ncd->nad", j_proj, cam_rot, dpb)
+    behind = p_c[:, 2] <= 1e-4
+    return r, j, behind
+
+
+def _huber_weights(r_norm: jnp.ndarray, delta: float) -> jnp.ndarray:
+    return jnp.where(r_norm <= delta, 1.0, delta / jnp.maximum(r_norm, 1e-12))
+
+
+@partial(jax.jit, static_argnames=("iters",))
+def gauss_newton_pnp(
+    points_w: jnp.ndarray,
+    obs: jnp.ndarray,
+    weights: jnp.ndarray,
+    cam_rot: jnp.ndarray,
+    cam_trans: jnp.ndarray,
+    init_body_t_world: jnp.ndarray,
+    iters: int = 8,
+    huber_delta: float = 0.01,
+    damping: float = 1e-6,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """IRLS Gauss-Newton pose refinement over masked correspondences.
+
+    Args:
+        points_w: (N, 3) world landmarks.
+        obs: (N, 2) normalized observations.
+        weights: (N,) a-priori weights; 0 disables a correspondence.
+        cam_rot: (N, 3, 3) cam_T_body rotations per observation.
+        cam_trans: (N, 3) cam_T_body translations.
+        init_body_t_world: (4, 4) initial pose.
+        iters: Fixed GN iteration count (static).
+        huber_delta: Huber kernel width in normalized-coordinate units
+            (0.01 ~ 5 px at fx=500).
+        damping: Levenberg diagonal damping.
+
+    Returns:
+        (body_t_world, residual_norms): refined (4,4) pose and (N,) final
+        per-correspondence residual norms.
+    """
+
+    def step(_, x):
+        r, j, behind = _residuals_and_jacobian(x, points_w, obs, cam_rot, cam_trans)
+        r_norm = jnp.linalg.norm(r, axis=-1)
+        w = weights * _huber_weights(r_norm, huber_delta) * (1.0 - behind.astype(jnp.float32))
+        jw = j * w[:, None, None]
+        h = jnp.einsum("nai,naj->ij", jw, j) + damping * jnp.eye(6)
+        g = jnp.einsum("nai,na->i", jw, r)
+        delta = -jnp.linalg.solve(h, g)
+        # Guard: reject non-finite updates (singular systems).
+        delta = jnp.where(jnp.all(jnp.isfinite(delta)), delta, jnp.zeros(6))
+        return lie.se3_exp(delta) @ x
+
+    x = jax.lax.fori_loop(0, iters, step, init_body_t_world)
+    r, _, behind = _residuals_and_jacobian(x, points_w, obs, cam_rot, cam_trans)
+    r_norm = jnp.linalg.norm(r, axis=-1) + behind * 1e3
+    return x, r_norm
+
+
+@partial(jax.jit, static_argnames=("num_hypotheses", "sample_size", "hyp_iters", "refine_iters"))
+def ransac_pnp(
+    key: jax.Array,
+    points_w: jnp.ndarray,
+    obs: jnp.ndarray,
+    valid: jnp.ndarray,
+    cam_rot: jnp.ndarray,
+    cam_trans: jnp.ndarray,
+    init_body_t_world: jnp.ndarray,
+    num_hypotheses: int = 32,
+    sample_size: int = 8,
+    hyp_iters: int = 5,
+    refine_iters: int = 6,
+    inlier_threshold: float = 0.012,
+) -> PnPResult:
+    """Batched-hypothesis robust PnP.
+
+    Every hypothesis runs Gauss-Newton from ``init_body_t_world`` on a random
+    ``sample_size``-subset of valid correspondences (all hypotheses solved in
+    one vmap); the hypothesis with the most inliers seeds a final IRLS polish
+    over its full inlier set.
+
+    Args:
+        key: PRNG key for hypothesis sampling.
+        points_w: (N, 3) world landmarks.
+        obs: (N, 2) normalized observations.
+        valid: (N,) bool correspondence mask.
+        cam_rot: (N, 3, 3) per-observation cam_T_body rotations.
+        cam_trans: (N, 3) translations.
+        init_body_t_world: (4, 4) motion-model / IMU pose prediction.
+        num_hypotheses: Parallel RANSAC hypotheses (static).
+        sample_size: Correspondences per hypothesis (static).
+        hyp_iters: GN iterations per hypothesis (static).
+        refine_iters: GN iterations for the final polish (static).
+        inlier_threshold: Normalized-coordinate inlier gate
+            (0.012 ~ 6 px at fx=500).
+
+    Returns:
+        A :class:`PnPResult`.
+    """
+    n = points_w.shape[0]
+    vweights = valid.astype(jnp.float32)
+
+    # Sample hypothesis subsets proportional to validity (gumbel top-k).
+    gumbel = -jnp.log(-jnp.log(jax.random.uniform(key, (num_hypotheses, n)) + 1e-12) + 1e-12)
+    scores = jnp.where(valid[None, :], gumbel, -jnp.inf)
+    _, subset_idx = jax.lax.top_k(scores, sample_size)  # (H, S)
+    subset_w = jnp.zeros((num_hypotheses, n)).at[
+        jnp.arange(num_hypotheses)[:, None], subset_idx
+    ].set(1.0)
+    subset_w = subset_w * vweights[None, :]
+
+    def solve_one(w):
+        x, _ = gauss_newton_pnp(
+            points_w, obs, w, cam_rot, cam_trans, init_body_t_world, iters=hyp_iters
+        )
+        return x
+
+    hyp_poses = jax.vmap(solve_one)(subset_w)  # (H, 4, 4)
+
+    def count_inliers(x):
+        _, _, uv = project_points(x, points_w, cam_rot, cam_trans)
+        err = jnp.linalg.norm(uv - obs, axis=-1)
+        inl = (err <= inlier_threshold) & valid
+        return jnp.sum(inl), inl
+
+    counts, inlier_masks = jax.vmap(count_inliers)(hyp_poses)
+    best = jnp.argmax(counts)
+    best_pose = hyp_poses[best]
+    best_inliers = inlier_masks[best]
+
+    # Final polish on the winning inlier set.
+    refined, r_norm = gauss_newton_pnp(
+        points_w,
+        obs,
+        best_inliers.astype(jnp.float32),
+        cam_rot,
+        cam_trans,
+        best_pose,
+        iters=refine_iters,
+    )
+    final_inliers = (r_norm <= inlier_threshold) & valid
+    num = jnp.sum(final_inliers)
+    rms = jnp.sqrt(
+        jnp.sum(jnp.where(final_inliers, r_norm**2, 0.0)) / jnp.maximum(num, 1)
+    )
+    # If the polish lost inliers (degenerate), keep the better of the two.
+    use_refined = jnp.sum(final_inliers) >= jnp.sum(best_inliers) // 2
+    pose_out = jnp.where(use_refined, refined, best_pose)
+    inl_out = jnp.where(use_refined, final_inliers, best_inliers)
+    return PnPResult(
+        body_t_world=pose_out,
+        inliers=inl_out,
+        num_inliers=jnp.sum(inl_out),
+        rms_error=rms,
+    )

@@ -1,0 +1,428 @@
+"""The multi-camera visual-odometry tracker: one fused jitted step.
+
+This is the compute heart of the framework — the replacement for cuVSLAM's
+tracking pipeline (closed CUDA; reference launch/thor_visual_slam.launch.py).
+One `track_step` call consumes the synchronized rig tick as a single dense
+tensor (C cameras x 2 stereo images) and produces the body pose:
+
+    rectify -> FAST -> BRIEF -> [stereo match -> triangulate]
+                              -> [temporal match -> RANSAC PnP]
+                              -> keyframe landmark refresh
+
+Everything runs under one jit with static shapes: per-camera work is
+`vmap`-ed over the camera axis (the natural data-parallel axis of the rig —
+see SURVEY.md §2.4), keyframe decisions are `jnp.where` selections, RANSAC
+is a vmapped hypothesis batch. The host never sees intermediate tensors.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from thor_slam_tpu.engine import pnp, triangulate
+from thor_slam_tpu.ops import brief, fast, klt, match
+from thor_slam_tpu.ops import stereo as stereo_ops
+from thor_slam_tpu.ops.image import downsample2, gaussian_blur, remap_bilinear
+
+
+@dataclass(frozen=True)
+class TrackerParams:
+    """Static tracker configuration (hashable: participates in jit keys)."""
+
+    num_cams: int
+    height: int
+    width: int
+    max_keypoints: int = 512
+    fast_threshold: float = 0.05
+    cell_size: int = 32
+    per_cell: int = 8
+    border_margin: int = 20
+    match_max_distance: float = 64.0
+    match_ratio: float = 0.95
+    stereo_max_dy: float = 1.5
+    max_disparity_px: float = 100.0
+    klt_radius: int = 4
+    klt_iters: int = 8
+    klt_max_residual: float = 0.08
+    persist_radius_px: float = 2.0  # keypoint inherits a landmark within this
+    min_disparity: float = 0.25
+    max_depth_m: float = 40.0
+    ransac_hypotheses: int = 24
+    ransac_sample_size: int = 8
+    inlier_threshold_px: float = 3.0  # pixels; normalized per-camera by fx
+    keyframe_min_inliers: int = 50
+    keyframe_max_translation: float = 0.12
+    keyframe_max_rotation: float = 0.12
+    min_track_inliers: int = 12
+    restart_after_untracked: int = 5  # lost streak before VO restarts
+    oriented_descriptors: bool = False  # upright BRIEF: precise, VO-friendly
+
+
+class CameraSetup(NamedTuple):
+    """Per-camera constants (stacked over the camera axis C).
+
+    Attributes:
+        map_lx/map_ly/map_rx/map_ry: (C, H, W) rectification maps.
+        fx/cx/cy/baseline: (C,) rectified pinhole + baseline.
+        rect_r_body: (C, 3, 3) rotation body -> rectified-left-cam.
+        rect_t_body: (C, 3) translation of the same transform.
+        body_t_rect: (C, 4, 4) inverse transform (rect cam -> body).
+    """
+
+    map_lx: jnp.ndarray
+    map_ly: jnp.ndarray
+    map_rx: jnp.ndarray
+    map_ry: jnp.ndarray
+    fx: jnp.ndarray
+    cx: jnp.ndarray
+    cy: jnp.ndarray
+    baseline: jnp.ndarray
+    rect_r_body: jnp.ndarray
+    rect_t_body: jnp.ndarray
+    body_t_rect: jnp.ndarray
+
+
+class TrackerState(NamedTuple):
+    """Device-resident tracker state (a pytree; fixed shapes).
+
+    Attributes:
+        world_t_body: (4, 4) current pose estimate.
+        prev_world_t_body: (4, 4) previous pose (constant-velocity model).
+        velocity_w: (3,) world-frame velocity estimate.
+        lm_pos_w: (C, N, 3) active landmark positions (world).
+        lm_desc: (C, N, 8) uint32 landmark descriptors at creation (kept
+            for relocalization / loop closure, not per-frame tracking).
+        lm_valid: (C, N) bool.
+        lm_px: (C, N, 2) each landmark's pixel position in the previous
+            left frame (the KLT template anchor).
+        kf_world_t_body: (4, 4) pose of the keyframe that created the
+            active landmarks.
+        prev_left0/1/2: Previous left-image pyramid (KLT templates).
+        frame_idx: () int32.
+        untracked_streak: () int32 consecutive failed-tracking frames.
+        key: PRNG key for RANSAC sampling.
+    """
+
+    world_t_body: jnp.ndarray
+    prev_world_t_body: jnp.ndarray
+    velocity_w: jnp.ndarray
+    lm_pos_w: jnp.ndarray
+    lm_desc: jnp.ndarray
+    lm_valid: jnp.ndarray
+    lm_px: jnp.ndarray
+    kf_world_t_body: jnp.ndarray
+    prev_left0: jnp.ndarray
+    prev_left1: jnp.ndarray
+    prev_left2: jnp.ndarray
+    frame_idx: jnp.ndarray
+    untracked_streak: jnp.ndarray
+    key: jax.Array
+
+
+class TrackOutput(NamedTuple):
+    """Per-step diagnostics surfaced to the host.
+
+    Attributes:
+        world_t_body: (4, 4) solved pose.
+        num_inliers: () int32 PnP inliers.
+        num_matches: () int32 temporal 2D-3D correspondences attempted.
+        num_landmarks: () int32 active landmarks after this step.
+        rms_error: () float32 normalized-coordinate reprojection RMS.
+        refreshed: () bool — landmarks were re-triangulated (keyframe).
+    """
+
+    world_t_body: jnp.ndarray
+    num_inliers: jnp.ndarray
+    num_matches: jnp.ndarray
+    num_landmarks: jnp.ndarray
+    rms_error: jnp.ndarray
+    refreshed: jnp.ndarray
+
+
+def init_state(params: TrackerParams, world_t_body0=None, key=None) -> TrackerState:
+    """Fresh tracker state (no landmarks, pose at ``world_t_body0``)."""
+    c, n = params.num_cams, params.max_keypoints
+    h, w = params.height, params.width
+    pose0 = jnp.eye(4) if world_t_body0 is None else jnp.asarray(world_t_body0, jnp.float32)
+    return TrackerState(
+        world_t_body=pose0,
+        prev_world_t_body=pose0,
+        velocity_w=jnp.zeros(3),
+        lm_pos_w=jnp.zeros((c, n, 3)),
+        lm_desc=jnp.zeros((c, n, 8), jnp.uint32),
+        lm_valid=jnp.zeros((c, n), bool),
+        lm_px=jnp.zeros((c, n, 2)),
+        kf_world_t_body=pose0,
+        prev_left0=jnp.zeros((c, h, w)),
+        prev_left1=jnp.zeros((c, h // 2, w // 2)),
+        prev_left2=jnp.zeros((c, h // 4, w // 4)),
+        frame_idx=jnp.asarray(0, jnp.int32),
+        untracked_streak=jnp.asarray(0, jnp.int32),
+        key=jax.random.PRNGKey(0) if key is None else key,
+    )
+
+
+def _se3_inv(m):
+    r = m[:3, :3]
+    t = m[:3, 3]
+    return jnp.eye(4).at[:3, :3].set(r.T).at[:3, 3].set(-r.T @ t)
+
+
+def track_step(
+    params: TrackerParams,
+    setup: CameraSetup,
+    state: TrackerState,
+    images: jnp.ndarray,
+    pose_prediction: jnp.ndarray | None = None,
+) -> tuple[TrackerState, TrackOutput]:
+    """One VO tick. Call under jit with ``params`` static.
+
+    Args:
+        params: Static configuration.
+        setup: Per-camera constants.
+        state: Current tracker state.
+        images: (C, 2, H, W) float32 frames in [0, 1] (left, right).
+        pose_prediction: Optional (4, 4) world_T_body prediction (e.g. from
+            IMU preintegration); defaults to a constant-velocity model.
+
+    Returns:
+        (new_state, output).
+    """
+    p = params
+
+    # ------------------------------------------------------------------ 1-2
+    # Rectify all 2C images, smooth for descriptors.
+    left = jax.vmap(remap_bilinear)(images[:, 0], setup.map_lx, setup.map_ly)
+    right = jax.vmap(remap_bilinear)(images[:, 1], setup.map_rx, setup.map_ry)
+    left_sm = jax.vmap(lambda im: gaussian_blur(im, 2.0, radius=4))(left)
+    right_sm = jax.vmap(lambda im: gaussian_blur(im, 2.0, radius=4))(right)
+
+    # ------------------------------------------------------------------ 3-4
+    detect = lambda im: fast.detect_keypoints(
+        im,
+        threshold=p.fast_threshold,
+        max_keypoints=p.max_keypoints,
+        cell_size=p.cell_size,
+        per_cell=p.per_cell,
+        border_margin=p.border_margin,
+    )
+    kp_l = jax.vmap(detect)(left)
+    kp_r = jax.vmap(detect)(right)
+    describe = lambda im, xy, v: brief.compute_descriptors(
+        im, xy, v, oriented=p.oriented_descriptors
+    )
+    desc_l = jax.vmap(describe)(left_sm, kp_l.xy, kp_l.valid)
+    desc_r = jax.vmap(describe)(right_sm, kp_r.xy, kp_r.valid)
+
+    # ------------------------------------------------------------------ 5
+    # Stereo association (epipolar-gated) -> 3D points per rectified-left
+    # camera frame.
+    dy_lr = jnp.abs(kp_l.xy[:, :, None, 1] - kp_r.xy[:, None, :, 1])  # (C,N,N)
+    dx_lr = kp_l.xy[:, :, None, 0] - kp_r.xy[:, None, :, 0]
+    stereo_gate = (dy_lr <= p.stereo_max_dy + 1.0) & (dx_lr > 0) & (dx_lr <= p.max_disparity_px)
+    stereo_m = jax.vmap(
+        lambda da, va, db, vb, g: match.match_descriptors(
+            da, va, db, vb, max_distance=p.match_max_distance, ratio=p.match_ratio, allowed=g
+        )
+    )(desc_l.bits, desc_l.valid, desc_r.bits, desc_r.valid, stereo_gate)
+
+    disp, disp_valid = jax.vmap(
+        lambda xl, xr, mi, mv: triangulate.match_disparities(
+            xl, xr, mi, mv, max_dy=p.stereo_max_dy
+        )
+    )(kp_l.xy, kp_r.xy, stereo_m.idx, stereo_m.valid)
+    disp = jax.vmap(stereo_ops.refine_disparity_photometric)(
+        left, right, kp_l.xy, disp, disp_valid
+    )
+
+    pts_rect, tri_valid = jax.vmap(
+        lambda xy, d, fx, cx, cy, b: triangulate.stereo_triangulate(
+            xy, d, fx, cx, cy, b, min_disparity=p.min_disparity, max_depth_m=p.max_depth_m
+        )
+    )(kp_l.xy, disp, setup.fx, setup.cx, setup.cy, setup.baseline)
+    tri_valid = tri_valid & disp_valid & kp_l.valid
+
+    # ------------------------------------------------------------------ 6
+    # Pose prediction. Two distinct uses with different failure modes:
+    # * the KLT initialization wants motion compensation (constant-velocity
+    #   or IMU) — a few-pixel error is harmless, LK converges locally;
+    # * the PnP initialization must NOT be the extrapolated estimate when it
+    #   derives from our own output: extrapolating the last solve doubles
+    #   its error and the fixed-iteration solver then under-corrects,
+    #   compounding geometrically (measured: ~1.5x rotation error per frame).
+    #   An externally supplied prediction (IMU preintegration) is fine.
+    if pose_prediction is None:
+        delta = state.world_t_body @ _se3_inv(state.prev_world_t_body)
+        extrapolated = delta @ state.world_t_body
+        klt_prediction = jnp.where(
+            state.untracked_streak > 0, state.world_t_body, extrapolated
+        )
+        init_body_t_world = _se3_inv(state.world_t_body)  # last solved pose
+    else:
+        klt_prediction = pose_prediction
+        init_body_t_world = _se3_inv(pose_prediction)
+    klt_body_t_world = _se3_inv(klt_prediction)
+
+    # Temporal association by pyramidal KLT: each landmark's patch (anchored
+    # at its position in the previous left frame) is aligned into the
+    # current frame, initialized at the pose-predicted reprojection. Local
+    # photometric alignment is precise and unambiguous where descriptor
+    # matching is not (repetitive texture), and the residual verifies it.
+    pred_rect_t_world_r = jnp.einsum(
+        "cij,jk->cik", setup.rect_r_body, klt_body_t_world[:3, :3]
+    )  # (C,3,3)
+    pred_rect_t_world_t = (
+        jnp.einsum("cij,j->ci", setup.rect_r_body, klt_body_t_world[:3, 3])
+        + setup.rect_t_body
+    )  # (C,3)
+    lm_cam = (
+        jnp.einsum("cij,cnj->cni", pred_rect_t_world_r, state.lm_pos_w)
+        + pred_rect_t_world_t[:, None, :]
+    )  # (C,N,3)
+    z_pred = jnp.maximum(lm_cam[..., 2], 1e-6)
+    u_pred = setup.fx[:, None] * lm_cam[..., 0] / z_pred + setup.cx[:, None]
+    v_pred = setup.fx[:, None] * lm_cam[..., 1] / z_pred + setup.cy[:, None]
+    in_front = lm_cam[..., 2] > 0.05
+
+    cur_pyr1 = jax.vmap(downsample2)(left)
+    cur_pyr2 = jax.vmap(downsample2)(cur_pyr1)
+    tracks = jax.vmap(
+        lambda p0, p1, p2, c0, c1, c2, pts, init, v: klt.track_points(
+            (p0, p1, p2), (c0, c1, c2), pts, init, v,
+            num_levels=3, radius=p.klt_radius, iters=p.klt_iters,
+            max_residual=p.klt_max_residual,
+        )
+    )(
+        state.prev_left0, state.prev_left1, state.prev_left2,
+        left, cur_pyr1, cur_pyr2,
+        state.lm_px, jnp.stack([u_pred, v_pred], axis=-1),
+        state.lm_valid & in_front,
+    )
+
+    # Per-landmark 2D-3D correspondences, flattened over (C, N).
+    obs_norm = jnp.stack(
+        [
+            (tracks.xy[..., 0] - setup.cx[:, None]) / setup.fx[:, None],
+            (tracks.xy[..., 1] - setup.cy[:, None]) / setup.fx[:, None],
+        ],
+        axis=-1,
+    )  # (C, N, 2)
+    corr_valid = tracks.valid & state.lm_valid  # (C, N)
+
+    c, n = p.num_cams, p.max_keypoints
+    flat_pts = state.lm_pos_w.reshape(c * n, 3)
+    flat_obs = obs_norm.reshape(c * n, 2)
+    flat_valid = corr_valid.reshape(c * n)
+    flat_rot = jnp.repeat(setup.rect_r_body, n, axis=0)  # (C*N, 3, 3)
+    flat_trans = jnp.repeat(setup.rect_t_body, n, axis=0)
+
+    # ------------------------------------------------------------------ 7
+    key, subkey = jax.random.split(state.key)
+    # Normalized-coordinate inlier gate derived from the pixel budget
+    # (conservatively uses the largest-focal camera).
+    inlier_threshold = p.inlier_threshold_px / jnp.max(setup.fx)
+    result = pnp.ransac_pnp(
+        subkey,
+        flat_pts,
+        flat_obs,
+        flat_valid,
+        flat_rot,
+        flat_trans,
+        init_body_t_world,
+        num_hypotheses=p.ransac_hypotheses,
+        sample_size=p.ransac_sample_size,
+        inlier_threshold=inlier_threshold,
+    )
+
+    # Accept the solve only with enough support; otherwise hold prediction.
+    tracked = result.num_inliers >= p.min_track_inliers
+    body_t_world = jnp.where(tracked, result.body_t_world, init_body_t_world)
+    world_t_body = _se3_inv(body_t_world)
+    untracked_streak = jnp.where(tracked, 0, state.untracked_streak + 1)
+
+    # ------------------------------------------------------------------ 8
+    # Keyframe policy + landmark refresh (branch-free selection).
+    # Landmarks are only re-anchored from a pose we actually trust: a
+    # tracked solve (normal keyframing) — or a forced restart after a long
+    # untracked streak (VO re-bootstrap from the predicted pose; relative
+    # tracking resumes, absolute drift is accepted).
+    rel = _se3_inv(state.kf_world_t_body) @ world_t_body
+    trans_dist = jnp.linalg.norm(rel[:3, 3])
+    rot_angle = jnp.arccos(jnp.clip(0.5 * (jnp.trace(rel[:3, :3]) - 1.0), -1.0, 1.0))
+    want_kf = (
+        (result.num_inliers < p.keyframe_min_inliers)
+        | (trans_dist > p.keyframe_max_translation)
+        | (rot_angle > p.keyframe_max_rotation)
+    )
+    restart = untracked_streak >= p.restart_after_untracked
+    refresh = (state.frame_idx == 0) | (tracked & want_kf) | restart
+    untracked_streak = jnp.where(restart, 0, untracked_streak)
+
+    # New landmarks: triangulated points lifted to world with the new pose —
+    # EXCEPT persistent ones. A freshly detected keypoint that lands on an
+    # inlier-tracked landmark's current position inherits that landmark's
+    # world coordinates: persistent landmarks anchor the world frame across
+    # keyframes and cut re-anchoring drift dramatically.
+    world_t_rect = jnp.einsum("ij,cjk->cik", world_t_body, setup.body_t_rect)  # (C,4,4)
+    pts_w = (
+        jnp.einsum("cij,cnj->cni", world_t_rect[:, :3, :3], pts_rect)
+        + world_t_rect[:, None, :3, 3]
+    )
+    inlier_cn = result.inliers.reshape(c, n)
+    anchor_ok = corr_valid & inlier_cn  # (C, N) landmarks with trusted tracks
+    # Distance from each new keypoint to each tracked landmark position.
+    d2 = jnp.sum(
+        (kp_l.xy[:, :, None, :] - tracks.xy[:, None, :, :]) ** 2, axis=-1
+    )  # (C, N_kp, N_lm)
+    d2 = jnp.where(anchor_ok[:, None, :], d2, jnp.inf)
+    nearest = jnp.argmin(d2, axis=-1)  # (C, N_kp)
+    near_d2 = jnp.min(d2, axis=-1)
+    inherits = near_d2 <= p.persist_radius_px**2
+    inherited_pos = jnp.take_along_axis(state.lm_pos_w, nearest[..., None], axis=1)
+    kf_pos = jnp.where(inherits[..., None], inherited_pos, pts_w)
+    kf_valid = tri_valid | (inherits & kp_l.valid)
+
+    new_state = TrackerState(
+        world_t_body=world_t_body,
+        prev_world_t_body=state.world_t_body,
+        velocity_w=state.velocity_w,  # updated by the host layer (knows dt)
+        lm_pos_w=jnp.where(refresh, kf_pos, state.lm_pos_w),
+        lm_desc=jnp.where(refresh, desc_l.bits, state.lm_desc),
+        lm_valid=jnp.where(refresh, kf_valid, corr_valid),
+        lm_px=jnp.where(refresh, kp_l.xy, tracks.xy),
+        kf_world_t_body=jnp.where(refresh, world_t_body, state.kf_world_t_body),
+        prev_left0=left,
+        prev_left1=cur_pyr1,
+        prev_left2=cur_pyr2,
+        frame_idx=state.frame_idx + 1,
+        untracked_streak=untracked_streak,
+        key=key,
+    )
+    output = TrackOutput(
+        world_t_body=world_t_body,
+        num_inliers=result.num_inliers,
+        num_matches=jnp.sum(flat_valid),
+        num_landmarks=jnp.sum(new_state.lm_valid),
+        rms_error=result.rms_error,
+        refreshed=refresh,
+    )
+    return new_state, output
+
+
+def make_track_step(params: TrackerParams, setup: CameraSetup):
+    """Bind params/setup and return a jitted ``(state, images) -> (state, out)``.
+
+    The camera setup is closed over (becomes jit constants: rectification
+    maps live on device once, not re-transferred per tick).
+    """
+    setup_dev = jax.tree.map(jnp.asarray, setup)
+
+    @jax.jit
+    def step(state: TrackerState, images: jnp.ndarray, pose_prediction=None):
+        return track_step(params, setup_dev, state, images, pose_prediction)
+
+    return step

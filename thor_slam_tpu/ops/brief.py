@@ -109,20 +109,28 @@ def _bilinear_patch_sample(patches: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarra
     return (v00 * (1 - fx) + v01 * fx) * (1 - fy) + (v10 * (1 - fx) + v11 * fx) * fy
 
 
-@jax.jit
-def compute_descriptors(image: jnp.ndarray, xy: jnp.ndarray, valid: jnp.ndarray) -> Descriptors:
-    """Oriented BRIEF-256 for keypoints ``xy`` on a (pre-smoothed) image.
+@partial(jax.jit, static_argnames=("oriented",))
+def compute_descriptors(
+    image: jnp.ndarray, xy: jnp.ndarray, valid: jnp.ndarray, oriented: bool = True
+) -> Descriptors:
+    """BRIEF-256 for keypoints ``xy`` on a (pre-smoothed) image.
 
     Args:
         image: (H, W) float32, ideally Gaussian-smoothed (sigma ~ 2).
         xy: (N, 2) float32 keypoint positions.
         valid: (N,) bool slot mask.
+        oriented: Steer the test pattern by the intensity-centroid angle
+            (rotation invariance). Upright BRIEF (False) is more precise and
+            is the right choice for stereo VO where in-plane rotation between
+            association candidates is small.
 
     Returns:
         :class:`Descriptors` with (N, 8) uint32 packed bits.
     """
     patches = extract_patches(image, xy)  # (N, P, P)
     angle = patch_orientation(patches)  # (N,)
+    if not oriented:
+        angle = jnp.zeros_like(angle)
     ca, sa = jnp.cos(angle), jnp.sin(angle)
 
     pairs = jnp.asarray(TEST_PAIRS, dtype=jnp.float32)  # (256, 4)

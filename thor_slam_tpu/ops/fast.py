@@ -121,8 +121,8 @@ def detect_keypoints(
         A :class:`Keypoints` of capacity ``max_keypoints``.
     """
     h, w = image.shape
-    score = fast_score_map(image, threshold)
-    score = nms3x3(score)
+    raw = fast_score_map(image, threshold)  # kept for subpixel refinement
+    score = nms3x3(raw)
     score = _mask_border(score, border_margin)
 
     # Pad to cell multiples, carve into cells, take per-cell top-k.
@@ -150,6 +150,29 @@ def detect_keypoints(
         pad = max_keypoints - k
         top_scores = jnp.concatenate([top_scores, jnp.zeros(pad, top_scores.dtype)])
         top_i = jnp.concatenate([top_i, jnp.zeros(pad, top_i.dtype)])
-    xy = jnp.stack([flat_x[top_i], flat_y[top_i]], axis=-1).astype(jnp.float32)
+    xi = flat_x[top_i]
+    yi = flat_y[top_i]
+
+    # Subpixel refinement: 1D parabola fits on the raw (pre-NMS) response.
+    raw_flat = raw.reshape(-1)
+
+    def sample(yy, xx):
+        yy = jnp.clip(yy, 0, h - 1)
+        xx = jnp.clip(xx, 0, w - 1)
+        return raw_flat[yy * w + xx]
+
+    s_c = sample(yi, xi)
+    s_l = sample(yi, xi - 1)
+    s_r = sample(yi, xi + 1)
+    s_u = sample(yi - 1, xi)
+    s_d = sample(yi + 1, xi)
+    denom_x = s_l - 2.0 * s_c + s_r
+    denom_y = s_u - 2.0 * s_c + s_d
+    dx = jnp.where(jnp.abs(denom_x) > 1e-9, 0.5 * (s_l - s_r) / jnp.where(jnp.abs(denom_x) > 1e-9, denom_x, 1.0), 0.0)
+    dy = jnp.where(jnp.abs(denom_y) > 1e-9, 0.5 * (s_u - s_d) / jnp.where(jnp.abs(denom_y) > 1e-9, denom_y, 1.0), 0.0)
+    dx = jnp.clip(dx, -0.5, 0.5)
+    dy = jnp.clip(dy, -0.5, 0.5)
+
+    xy = jnp.stack([xi.astype(jnp.float32) + dx, yi.astype(jnp.float32) + dy], axis=-1)
     valid = top_scores > 0.0
     return Keypoints(xy=jnp.where(valid[:, None], xy, 0.0), score=jnp.where(valid, top_scores, 0.0), valid=valid)

@@ -85,6 +85,7 @@ def match_descriptors(
     max_distance: float = 64.0,
     ratio: float = 0.9,
     use_mxu: bool = True,
+    allowed: jnp.ndarray | None = None,
 ) -> Matches:
     """Mutual nearest-neighbor matching with Lowe ratio and distance gates.
 
@@ -96,6 +97,10 @@ def match_descriptors(
         max_distance: Reject matches with Hamming distance above this.
         ratio: Reject unless best < ratio * second-best (set >= 1 to disable).
         use_mxu: Select the matmul backend (static; both are exact).
+        allowed: Optional (N, M) bool *guided-matching* gate — pairs outside
+            it can never match. Spatial gating (predicted reprojection
+            windows, epipolar bands) is what makes descriptor matching
+            robust in self-similar scenes; every production tracker does it.
 
     Returns:
         :class:`Matches` of capacity N.
@@ -104,7 +109,10 @@ def match_descriptors(
         dist = hamming_matrix_mxu(desc_a, desc_b)
     else:
         dist = hamming_matrix_swar(desc_a, desc_b)
-    dist = jnp.where(valid_a[:, None] & valid_b[None, :], dist, _INF)
+    gate = valid_a[:, None] & valid_b[None, :]
+    if allowed is not None:
+        gate = gate & allowed
+    dist = jnp.where(gate, dist, _INF)
 
     # Best and second best along B for the ratio test.
     neg_top2, idx_top2 = jax.lax.top_k(-dist, 2)  # (N, 2)

@@ -202,6 +202,63 @@ def sgm_disparity(
     return jnp.where(valid, disp, 0.0), valid
 
 
+def refine_disparity_photometric(
+    left: jnp.ndarray,
+    right: jnp.ndarray,
+    xy_left: jnp.ndarray,
+    disparity: jnp.ndarray,
+    valid: jnp.ndarray,
+    patch_radius: int = 3,
+) -> jnp.ndarray:
+    """Subpixel disparity via parabola on patch SAD along the epipolar line.
+
+    For each keypoint, compares the left patch against right patches at
+    integer disparities d-1, d, d+1 and fits a parabola — lifting
+    feature-match disparities (integer-ish) to ~0.1 px precision.
+
+    Args:
+        left: (H, W) rectified left image.
+        right: (H, W) rectified right image.
+        xy_left: (N, 2) left keypoint positions.
+        disparity: (N,) coarse disparities.
+        valid: (N,) mask.
+
+    Returns:
+        (N,) refined disparities (coarse value kept where refinement is
+        ill-conditioned or the slot is invalid).
+    """
+    h, w = left.shape
+    r = patch_radius
+    n = xy_left.shape[0]
+    x0 = jnp.clip(jnp.round(xy_left[:, 0]).astype(jnp.int32), r + 1, w - r - 2)
+    y0 = jnp.clip(jnp.round(xy_left[:, 1]).astype(jnp.int32), r, h - r - 1)
+    d0 = jnp.round(disparity).astype(jnp.int32)
+
+    dy = jnp.arange(-r, r + 1)
+    dx = jnp.arange(-r, r + 1)
+    rows = y0[:, None, None] + dy[None, :, None]
+    cols = x0[:, None, None] + dx[None, None, :]
+    lpatch = left.reshape(-1)[(rows * w + cols).reshape(-1)].reshape(n, 2 * r + 1, 2 * r + 1)
+
+    def sad_at(offset):
+        xr = jnp.clip(x0 - d0 + offset, r, w - r - 1)
+        cols_r = xr[:, None, None] + dx[None, None, :]
+        rp = right.reshape(-1)[(rows * w + cols_r).reshape(-1)].reshape(n, 2 * r + 1, 2 * r + 1)
+        return jnp.sum(jnp.abs(lpatch - rp), axis=(1, 2))
+
+    s_m = sad_at(-1)  # disparity d0 + 1 (right sample shifted left)
+    s_0 = sad_at(0)
+    s_p = sad_at(1)  # disparity d0 - 1
+    denom = s_m - 2.0 * s_0 + s_p
+    # Minimum of the parabola through (d0+1, s_m), (d0, s_0), (d0-1, s_p):
+    # offset in +disparity direction = 0.5 * (s_p - s_m) / denom.
+    off = jnp.where(jnp.abs(denom) > 1e-9, 0.5 * (s_p - s_m) / jnp.where(jnp.abs(denom) > 1e-9, denom, 1.0), 0.0)
+    off = jnp.clip(off, -1.0, 1.0)
+    refined = d0.astype(jnp.float32) + off
+    ok = valid & (s_0 <= s_m) & (s_0 <= s_p)
+    return jnp.where(ok, refined, disparity)
+
+
 def disparity_to_depth(disparity: jnp.ndarray, valid: jnp.ndarray, fx: float, baseline_m: float) -> jnp.ndarray:
     """Depth map (meters) from disparity; invalid pixels get 0."""
     z = fx * baseline_m / jnp.maximum(disparity, 1e-6)
