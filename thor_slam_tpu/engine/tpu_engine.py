@@ -24,11 +24,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from thor_slam_tpu import geometry
 from thor_slam_tpu.camera.rig import RigCalibration, stack_synchronized_images
 from thor_slam_tpu.camera.types import SynchronizedFrameSet
 from thor_slam_tpu.engine import tracker as trk
-from thor_slam_tpu.ops import rectify
+from thor_slam_tpu.engine.setup import build_camera_setup
 from thor_slam_tpu.slam.interface import (
     MapPoint,
     SlamConfig,
@@ -59,6 +58,7 @@ class TpuSlamEngine(SlamEngine):
         self._step = None
         self._tracker_state = None
         self._params: trk.TrackerParams | None = None
+        self._setup: trk.CameraSetup | None = None
         self._source_order: list[str] = []
         self._keyframe_poses: list[SlamPose] = []
         self._low_inlier_streak = 0
@@ -71,58 +71,8 @@ class TpuSlamEngine(SlamEngine):
         if config is not None:
             self._config = config
 
-        self._source_order = sorted(calibration.source_names)
-        maps_lx, maps_ly, maps_rx, maps_ry = [], [], [], []
-        fxs, cxs, cys, baselines = [], [], [], []
-        rect_r_body, rect_t_body, body_t_rect = [], [], []
-        height = width = None
-
-        for name in self._source_order:
-            intrs = calibration.intrinsics[name]
-            exts = calibration.extrinsics[name]
-            if len(intrs) < 2:
-                raise RuntimeError(
-                    f"TpuSlamEngine requires stereo sources; '{name}' has {len(intrs)} imagers"
-                )
-            sr = rectify.rectification_from_extrinsics(intrs[0], intrs[1], exts[0], exts[1])
-            if height is None:
-                height, width = sr.height, sr.width
-            elif (sr.height, sr.width) != (height, width):
-                raise RuntimeError("All sources must share one resolution for dense stacking")
-
-            maps_lx.append(sr.map_left[0])
-            maps_ly.append(sr.map_left[1])
-            maps_rx.append(sr.map_right[0])
-            maps_ry.append(sr.map_right[1])
-            fxs.append(sr.fx)
-            cxs.append(sr.new_matrix[0, 2])
-            cys.append(sr.new_matrix[1, 2])
-            baselines.append(sr.baseline_m)
-
-            # body_T_rect = (rig_T_source @ source_T_camL) @ homog(R_rect^T).
-            world_exts = calibration.get_world_extrinsics(name)
-            body_t_caml = world_exts[0].to_4x4_matrix()
-            rect_fix = np.eye(4)
-            rect_fix[:3, :3] = sr.rect_rotation_left.T
-            btr = body_t_caml @ rect_fix
-            body_t_rect.append(btr)
-            rtb = geometry.se3_inverse(btr)
-            rect_r_body.append(rtb[:3, :3])
-            rect_t_body.append(rtb[:3, 3])
-
-        setup = trk.CameraSetup(
-            map_lx=np.stack(maps_lx),
-            map_ly=np.stack(maps_ly),
-            map_rx=np.stack(maps_rx),
-            map_ry=np.stack(maps_ry),
-            fx=np.asarray(fxs, np.float32),
-            cx=np.asarray(cxs, np.float32),
-            cy=np.asarray(cys, np.float32),
-            baseline=np.asarray(baselines, np.float32),
-            rect_r_body=np.stack(rect_r_body).astype(np.float32),
-            rect_t_body=np.stack(rect_t_body).astype(np.float32),
-            body_t_rect=np.stack(body_t_rect).astype(np.float32),
-        )
+        setup, self._source_order, height, width = build_camera_setup(calibration)
+        self._setup = setup
 
         self._params = trk.TrackerParams(
             num_cams=len(self._source_order),

@@ -194,14 +194,114 @@ def track_step(
     """
     p = params
 
-    # ------------------------------------------------------------------ 1-2
+    # ------------------------------------------------------------------ 6
+    # Pose prediction. Two distinct uses with different failure modes:
+    # * the KLT initialization wants motion compensation (constant-velocity
+    #   or IMU) — a few-pixel error is harmless, LK converges locally;
+    # * the PnP initialization must NOT be the extrapolated estimate when it
+    #   derives from our own output: extrapolating the last solve doubles
+    #   its error and the fixed-iteration solver then under-corrects,
+    #   compounding geometrically (measured: ~1.5x rotation error per frame).
+    #   An externally supplied prediction (IMU preintegration) is fine.
+    if pose_prediction is None:
+        delta = state.world_t_body @ _se3_inv(state.prev_world_t_body)
+        extrapolated = delta @ state.world_t_body
+        klt_prediction = jnp.where(
+            state.untracked_streak > 0, state.world_t_body, extrapolated
+        )
+        init_body_t_world = _se3_inv(state.world_t_body)  # last solved pose
+    else:
+        klt_prediction = pose_prediction
+        init_body_t_world = _se3_inv(pose_prediction)
+    klt_body_t_world = _se3_inv(klt_prediction)
+
+    fe = run_frontend(params, setup, state, images, klt_body_t_world)
+
+    c, n = p.num_cams, p.max_keypoints
+    flat_pts = state.lm_pos_w.reshape(c * n, 3)
+    flat_obs = fe.obs_norm.reshape(c * n, 2)
+    flat_valid = fe.corr_valid.reshape(c * n)
+    flat_rot = jnp.repeat(setup.rect_r_body, n, axis=0)  # (C*N, 3, 3)
+    flat_trans = jnp.repeat(setup.rect_t_body, n, axis=0)
+
+    # ------------------------------------------------------------------ 7
+    key, subkey = jax.random.split(state.key)
+    # Normalized-coordinate inlier gate derived from the pixel budget
+    # (conservatively uses the largest-focal camera).
+    inlier_threshold = p.inlier_threshold_px / jnp.max(setup.fx)
+    result = pnp.ransac_pnp(
+        subkey,
+        flat_pts,
+        flat_obs,
+        flat_valid,
+        flat_rot,
+        flat_trans,
+        init_body_t_world,
+        num_hypotheses=p.ransac_hypotheses,
+        sample_size=p.ransac_sample_size,
+        inlier_threshold=inlier_threshold,
+    )
+
+    return _finish_step(
+        params, setup, state, fe,
+        body_t_world=result.body_t_world,
+        num_inliers=result.num_inliers,
+        inliers_cn=result.inliers.reshape(c, n),
+        rms_error=result.rms_error,
+        init_body_t_world=init_body_t_world,
+        key=key,
+    )
+
+
+class FrontendProducts(NamedTuple):
+    """Everything the pose back-end and keyframe logic need, per camera.
+
+    Attributes:
+        left/cur_pyr1/cur_pyr2: Rectified left pyramid (C, H/2^l, W/2^l).
+        kp_xy/kp_valid: Current detections (C, N, 2)/(C, N).
+        desc_bits: Left descriptors (C, N, 8) uint32.
+        pts_rect/tri_valid: Stereo triangulation in rect-left frames.
+        tracks_xy/tracks_valid: KLT-tracked landmark positions (C, N, 2).
+        obs_norm: Normalized tracked observations (C, N, 2).
+        corr_valid: 2D-3D correspondence mask (C, N).
+    """
+
+    left: jnp.ndarray
+    cur_pyr1: jnp.ndarray
+    cur_pyr2: jnp.ndarray
+    kp_xy: jnp.ndarray
+    kp_valid: jnp.ndarray
+    desc_bits: jnp.ndarray
+    pts_rect: jnp.ndarray
+    tri_valid: jnp.ndarray
+    tracks_xy: jnp.ndarray
+    tracks_valid: jnp.ndarray
+    obs_norm: jnp.ndarray
+    corr_valid: jnp.ndarray
+
+
+def run_frontend(
+    params: TrackerParams,
+    setup: CameraSetup,
+    state: TrackerState,
+    images: jnp.ndarray,
+    klt_body_t_world: jnp.ndarray,
+) -> FrontendProducts:
+    """The per-camera image pipeline: rectify -> detect -> describe ->
+    stereo triangulate -> KLT-track landmarks.
+
+    Embarrassingly parallel over the camera axis — this is the unit that
+    shards across chips (each device runs its cameras; only the 6-DoF pose
+    solve needs cross-device reduction). See parallel/mesh.py.
+    """
+    p = params
+
     # Rectify all 2C images, smooth for descriptors.
     left = jax.vmap(remap_bilinear)(images[:, 0], setup.map_lx, setup.map_ly)
     right = jax.vmap(remap_bilinear)(images[:, 1], setup.map_rx, setup.map_ry)
     left_sm = jax.vmap(lambda im: gaussian_blur(im, 2.0, radius=4))(left)
     right_sm = jax.vmap(lambda im: gaussian_blur(im, 2.0, radius=4))(right)
 
-    # ------------------------------------------------------------------ 3-4
     detect = lambda im: fast.detect_keypoints(
         im,
         threshold=p.fast_threshold,
@@ -218,7 +318,6 @@ def track_step(
     desc_l = jax.vmap(describe)(left_sm, kp_l.xy, kp_l.valid)
     desc_r = jax.vmap(describe)(right_sm, kp_r.xy, kp_r.valid)
 
-    # ------------------------------------------------------------------ 5
     # Stereo association (epipolar-gated) -> 3D points per rectified-left
     # camera frame.
     dy_lr = jnp.abs(kp_l.xy[:, :, None, 1] - kp_r.xy[:, None, :, 1])  # (C,N,N)
@@ -245,27 +344,6 @@ def track_step(
         )
     )(kp_l.xy, disp, setup.fx, setup.cx, setup.cy, setup.baseline)
     tri_valid = tri_valid & disp_valid & kp_l.valid
-
-    # ------------------------------------------------------------------ 6
-    # Pose prediction. Two distinct uses with different failure modes:
-    # * the KLT initialization wants motion compensation (constant-velocity
-    #   or IMU) — a few-pixel error is harmless, LK converges locally;
-    # * the PnP initialization must NOT be the extrapolated estimate when it
-    #   derives from our own output: extrapolating the last solve doubles
-    #   its error and the fixed-iteration solver then under-corrects,
-    #   compounding geometrically (measured: ~1.5x rotation error per frame).
-    #   An externally supplied prediction (IMU preintegration) is fine.
-    if pose_prediction is None:
-        delta = state.world_t_body @ _se3_inv(state.prev_world_t_body)
-        extrapolated = delta @ state.world_t_body
-        klt_prediction = jnp.where(
-            state.untracked_streak > 0, state.world_t_body, extrapolated
-        )
-        init_body_t_world = _se3_inv(state.world_t_body)  # last solved pose
-    else:
-        klt_prediction = pose_prediction
-        init_body_t_world = _se3_inv(pose_prediction)
-    klt_body_t_world = _se3_inv(klt_prediction)
 
     # Temporal association by pyramidal KLT: each landmark's patch (anchored
     # at its position in the previous left frame) is aligned into the
@@ -303,7 +381,7 @@ def track_step(
         state.lm_valid & in_front,
     )
 
-    # Per-landmark 2D-3D correspondences, flattened over (C, N).
+    # Per-landmark 2D-3D correspondences.
     obs_norm = jnp.stack(
         [
             (tracks.xy[..., 0] - setup.cx[:, None]) / setup.fx[:, None],
@@ -313,38 +391,42 @@ def track_step(
     )  # (C, N, 2)
     corr_valid = tracks.valid & state.lm_valid  # (C, N)
 
-    c, n = p.num_cams, p.max_keypoints
-    flat_pts = state.lm_pos_w.reshape(c * n, 3)
-    flat_obs = obs_norm.reshape(c * n, 2)
-    flat_valid = corr_valid.reshape(c * n)
-    flat_rot = jnp.repeat(setup.rect_r_body, n, axis=0)  # (C*N, 3, 3)
-    flat_trans = jnp.repeat(setup.rect_t_body, n, axis=0)
-
-    # ------------------------------------------------------------------ 7
-    key, subkey = jax.random.split(state.key)
-    # Normalized-coordinate inlier gate derived from the pixel budget
-    # (conservatively uses the largest-focal camera).
-    inlier_threshold = p.inlier_threshold_px / jnp.max(setup.fx)
-    result = pnp.ransac_pnp(
-        subkey,
-        flat_pts,
-        flat_obs,
-        flat_valid,
-        flat_rot,
-        flat_trans,
-        init_body_t_world,
-        num_hypotheses=p.ransac_hypotheses,
-        sample_size=p.ransac_sample_size,
-        inlier_threshold=inlier_threshold,
+    return FrontendProducts(
+        left=left,
+        cur_pyr1=cur_pyr1,
+        cur_pyr2=cur_pyr2,
+        kp_xy=kp_l.xy,
+        kp_valid=kp_l.valid,
+        desc_bits=desc_l.bits,
+        pts_rect=pts_rect,
+        tri_valid=tri_valid,
+        tracks_xy=tracks.xy,
+        tracks_valid=tracks.valid,
+        obs_norm=obs_norm,
+        corr_valid=corr_valid,
     )
 
+
+def _finish_step(
+    params: TrackerParams,
+    setup: CameraSetup,
+    state: TrackerState,
+    fe: FrontendProducts,
+    body_t_world: jnp.ndarray,
+    num_inliers: jnp.ndarray,
+    inliers_cn: jnp.ndarray,
+    rms_error: jnp.ndarray,
+    init_body_t_world: jnp.ndarray,
+    key: jax.Array,
+) -> tuple[TrackerState, TrackOutput]:
+    """Shared back half of a tick: acceptance, keyframing, state update."""
+    p = params
+
     # Accept the solve only with enough support; otherwise hold prediction.
-    tracked = result.num_inliers >= p.min_track_inliers
-    body_t_world = jnp.where(tracked, result.body_t_world, init_body_t_world)
+    tracked = num_inliers >= p.min_track_inliers
+    body_t_world = jnp.where(tracked, body_t_world, init_body_t_world)
     world_t_body = _se3_inv(body_t_world)
     untracked_streak = jnp.where(tracked, 0, state.untracked_streak + 1)
-
-    # ------------------------------------------------------------------ 8
     # Keyframe policy + landmark refresh (branch-free selection).
     # Landmarks are only re-anchored from a pose we actually trust: a
     # tracked solve (normal keyframing) — or a forced restart after a long
@@ -354,7 +436,7 @@ def track_step(
     trans_dist = jnp.linalg.norm(rel[:3, 3])
     rot_angle = jnp.arccos(jnp.clip(0.5 * (jnp.trace(rel[:3, :3]) - 1.0), -1.0, 1.0))
     want_kf = (
-        (result.num_inliers < p.keyframe_min_inliers)
+        (num_inliers < p.keyframe_min_inliers)
         | (trans_dist > p.keyframe_max_translation)
         | (rot_angle > p.keyframe_max_rotation)
     )
@@ -369,14 +451,13 @@ def track_step(
     # keyframes and cut re-anchoring drift dramatically.
     world_t_rect = jnp.einsum("ij,cjk->cik", world_t_body, setup.body_t_rect)  # (C,4,4)
     pts_w = (
-        jnp.einsum("cij,cnj->cni", world_t_rect[:, :3, :3], pts_rect)
+        jnp.einsum("cij,cnj->cni", world_t_rect[:, :3, :3], fe.pts_rect)
         + world_t_rect[:, None, :3, 3]
     )
-    inlier_cn = result.inliers.reshape(c, n)
-    anchor_ok = corr_valid & inlier_cn  # (C, N) landmarks with trusted tracks
+    anchor_ok = fe.corr_valid & inliers_cn  # (C, N) landmarks w/ trusted tracks
     # Distance from each new keypoint to each tracked landmark position.
     d2 = jnp.sum(
-        (kp_l.xy[:, :, None, :] - tracks.xy[:, None, :, :]) ** 2, axis=-1
+        (fe.kp_xy[:, :, None, :] - fe.tracks_xy[:, None, :, :]) ** 2, axis=-1
     )  # (C, N_kp, N_lm)
     d2 = jnp.where(anchor_ok[:, None, :], d2, jnp.inf)
     nearest = jnp.argmin(d2, axis=-1)  # (C, N_kp)
@@ -384,30 +465,30 @@ def track_step(
     inherits = near_d2 <= p.persist_radius_px**2
     inherited_pos = jnp.take_along_axis(state.lm_pos_w, nearest[..., None], axis=1)
     kf_pos = jnp.where(inherits[..., None], inherited_pos, pts_w)
-    kf_valid = tri_valid | (inherits & kp_l.valid)
+    kf_valid = fe.tri_valid | (inherits & fe.kp_valid)
 
     new_state = TrackerState(
         world_t_body=world_t_body,
         prev_world_t_body=state.world_t_body,
         velocity_w=state.velocity_w,  # updated by the host layer (knows dt)
         lm_pos_w=jnp.where(refresh, kf_pos, state.lm_pos_w),
-        lm_desc=jnp.where(refresh, desc_l.bits, state.lm_desc),
-        lm_valid=jnp.where(refresh, kf_valid, corr_valid),
-        lm_px=jnp.where(refresh, kp_l.xy, tracks.xy),
+        lm_desc=jnp.where(refresh, fe.desc_bits, state.lm_desc),
+        lm_valid=jnp.where(refresh, kf_valid, fe.corr_valid),
+        lm_px=jnp.where(refresh, fe.kp_xy, fe.tracks_xy),
         kf_world_t_body=jnp.where(refresh, world_t_body, state.kf_world_t_body),
-        prev_left0=left,
-        prev_left1=cur_pyr1,
-        prev_left2=cur_pyr2,
+        prev_left0=fe.left,
+        prev_left1=fe.cur_pyr1,
+        prev_left2=fe.cur_pyr2,
         frame_idx=state.frame_idx + 1,
         untracked_streak=untracked_streak,
         key=key,
     )
     output = TrackOutput(
         world_t_body=world_t_body,
-        num_inliers=result.num_inliers,
-        num_matches=jnp.sum(flat_valid),
+        num_inliers=num_inliers,
+        num_matches=jnp.sum(fe.corr_valid),
         num_landmarks=jnp.sum(new_state.lm_valid),
-        rms_error=result.rms_error,
+        rms_error=rms_error,
         refreshed=refresh,
     )
     return new_state, output

@@ -1,0 +1,198 @@
+"""Camera-sharded SPMD tracking over a device mesh.
+
+The rig's natural parallel axis is the camera (SURVEY.md §2.4): the image
+front-end (rectify/detect/describe/stereo/KLT) is embarrassingly parallel
+per camera, while the 6-DoF pose solve couples them only through 6x6
+normal equations. The multi-chip design follows directly:
+
+* a 1-D ``Mesh`` with axis ``"cam"``; every per-camera array (images,
+  rectification maps, landmark banks, pyramids) is sharded on its leading
+  camera axis, poses and scalars are replicated;
+* the front-end runs unchanged inside ``shard_map`` — zero communication;
+* the pose solve is a distributed Huber-IRLS Gauss-Newton: each device
+  reduces its local correspondences to (J^T W J, J^T W r) — 6x6 + 6 floats
+  — and one ``psum`` per iteration rides the ICI. The update is computed
+  identically on every device, keeping poses replicated by construction.
+* keyframe decisions use psum'd global inlier counts, so all devices
+  refresh their local landmark banks on the same frames.
+
+Communication per tick: a few hundred bytes of psums — the design scales
+to any rig size that fits cameras on chips.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from thor_slam_tpu.engine import tracker as trk
+from thor_slam_tpu.ops import lie
+
+
+def make_camera_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    """A 1-D mesh over ``n_devices`` with axis name "cam"."""
+    if devices is None:
+        devices = jax.devices()[: n_devices or len(jax.devices())]
+    return Mesh(np.asarray(devices), axis_names=("cam",))
+
+
+def shard_state(state: trk.TrackerState, mesh: Mesh) -> trk.TrackerState:
+    """Place a tracker state on the mesh: camera arrays sharded, rest replicated."""
+    cam_sharded = {"lm_pos_w", "lm_desc", "lm_valid", "lm_px", "prev_left0", "prev_left1", "prev_left2"}
+
+    def place(name, x):
+        spec = P("cam") if name in cam_sharded else P()
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return trk.TrackerState(**{k: place(k, v) for k, v in state._asdict().items()})
+
+
+def _distributed_robust_pnp(
+    points_w: jnp.ndarray,
+    obs: jnp.ndarray,
+    valid: jnp.ndarray,
+    cam_rot: jnp.ndarray,
+    cam_trans: jnp.ndarray,
+    init_body_t_world: jnp.ndarray,
+    inlier_threshold: jnp.ndarray,
+    axis_name: str,
+    iters: int = 10,
+    huber_delta: float = 0.01,
+    damping: float = 1e-6,
+):
+    """Huber-IRLS Gauss-Newton with cross-device psum of the normal equations.
+
+    Runs inside shard_map: ``points_w``/``obs``/... hold only this device's
+    correspondences; every device computes the identical pose update from
+    the psum'd 6x6 system.
+    """
+    from thor_slam_tpu.engine.pnp import _huber_weights, _residuals_and_jacobian
+
+    weights = valid.astype(jnp.float32)
+
+    def step(_, x):
+        r, j, behind = _residuals_and_jacobian(x, points_w, obs, cam_rot, cam_trans)
+        r_norm = jnp.linalg.norm(r, axis=-1)
+        w = weights * _huber_weights(r_norm, huber_delta) * (1.0 - behind.astype(jnp.float32))
+        jw = j * w[:, None, None]
+        h_local = jnp.einsum("nai,naj->ij", jw, j)
+        g_local = jnp.einsum("nai,na->i", jw, r)
+        h = jax.lax.psum(h_local, axis_name) + damping * jnp.eye(6)
+        g = jax.lax.psum(g_local, axis_name)
+        delta = -jnp.linalg.solve(h, g)
+        delta = jnp.where(jnp.all(jnp.isfinite(delta)), delta, jnp.zeros(6))
+        return lie.se3_exp(delta) @ x
+
+    x = jax.lax.fori_loop(0, iters, step, init_body_t_world)
+    r, _, behind = _residuals_and_jacobian(x, points_w, obs, cam_rot, cam_trans)
+    r_norm = jnp.linalg.norm(r, axis=-1) + behind * 1e3
+    inliers = (r_norm <= inlier_threshold) & valid
+    num_inliers = jax.lax.psum(jnp.sum(inliers), axis_name)
+    sq = jnp.sum(jnp.where(inliers, r_norm**2, 0.0))
+    rms = jnp.sqrt(jax.lax.psum(sq, axis_name) / jnp.maximum(num_inliers, 1))
+    return x, inliers, num_inliers, rms
+
+
+def make_sharded_track_step(params: trk.TrackerParams, setup: trk.CameraSetup, mesh: Mesh):
+    """Build the SPMD tick: ``(state, images) -> (state, output)`` on ``mesh``.
+
+    ``params.num_cams`` must be divisible by the mesh size; each device owns
+    ``num_cams / mesh_size`` cameras. Setup arrays go on device once,
+    sharded by camera.
+    """
+    n_dev = mesh.devices.size
+    if params.num_cams % n_dev != 0:
+        raise ValueError(f"num_cams={params.num_cams} not divisible by mesh size {n_dev}")
+
+    setup_sharded = trk.CameraSetup(
+        *(jax.device_put(jnp.asarray(v), NamedSharding(mesh, P("cam"))) for v in setup)
+    )
+
+    cam_specs = trk.TrackerState(
+        world_t_body=P(),
+        prev_world_t_body=P(),
+        velocity_w=P(),
+        lm_pos_w=P("cam"),
+        lm_desc=P("cam"),
+        lm_valid=P("cam"),
+        lm_px=P("cam"),
+        kf_world_t_body=P(),
+        prev_left0=P("cam"),
+        prev_left1=P("cam"),
+        prev_left2=P("cam"),
+        frame_idx=P(),
+        untracked_streak=P(),
+        key=P(),
+    )
+    setup_specs = trk.CameraSetup(*(P("cam") for _ in trk.CameraSetup._fields))
+    out_specs_out = trk.TrackOutput(
+        world_t_body=P(), num_inliers=P(), num_matches=P(),
+        num_landmarks=P(), rms_error=P(), refreshed=P(),
+    )
+
+    # Per-device camera count: shard_map sees local shards.
+    local_params = trk.TrackerParams(
+        **{**params.__dict__, "num_cams": params.num_cams // n_dev}
+    )
+
+    def spmd_step(setup_c, state, images_c):
+        p = local_params
+        # Pose prediction (identical on all devices — replicated inputs).
+        delta = state.world_t_body @ trk._se3_inv(state.prev_world_t_body)
+        extrapolated = delta @ state.world_t_body
+        klt_prediction = jnp.where(
+            state.untracked_streak > 0, state.world_t_body, extrapolated
+        )
+        init_body_t_world = trk._se3_inv(state.world_t_body)
+        klt_body_t_world = trk._se3_inv(klt_prediction)
+
+        fe = trk.run_frontend(p, setup_c, state, images_c, klt_body_t_world)
+
+        c, n = p.num_cams, p.max_keypoints
+        flat_pts = state.lm_pos_w.reshape(c * n, 3)
+        flat_obs = fe.obs_norm.reshape(c * n, 2)
+        flat_valid = fe.corr_valid.reshape(c * n)
+        flat_rot = jnp.repeat(setup_c.rect_r_body, n, axis=0)
+        flat_trans = jnp.repeat(setup_c.rect_t_body, n, axis=0)
+
+        inlier_threshold = p.inlier_threshold_px / jax.lax.pmax(
+            jnp.max(setup_c.fx), "cam"
+        )
+        body_t_world, inliers, num_inliers, rms = _distributed_robust_pnp(
+            flat_pts, flat_obs, flat_valid, flat_rot, flat_trans,
+            init_body_t_world, inlier_threshold, axis_name="cam",
+        )
+
+        key, _ = jax.random.split(state.key)
+        new_state, out = trk._finish_step(
+            p, setup_c, state, fe,
+            body_t_world=body_t_world,
+            num_inliers=num_inliers,
+            inliers_cn=inliers.reshape(c, n),
+            rms_error=rms,
+            init_body_t_world=init_body_t_world,
+            key=key,
+        )
+        out = out._replace(
+            num_matches=jax.lax.psum(out.num_matches, "cam"),
+            num_landmarks=jax.lax.psum(out.num_landmarks, "cam"),
+        )
+        return new_state, out
+
+    sharded = jax.shard_map(
+        spmd_step,
+        mesh=mesh,
+        in_specs=(setup_specs, cam_specs, P("cam")),
+        out_specs=(cam_specs, out_specs_out),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def step(state: trk.TrackerState, images: jnp.ndarray):
+        return sharded(setup_sharded, state, images)
+
+    return step

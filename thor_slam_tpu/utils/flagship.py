@@ -1,0 +1,77 @@
+"""The flagship configuration: a 4x stereo rig, used by bench and driver hooks.
+
+Builds the synthetic-rig calibration and tracker artifacts for the headline
+benchmark target — 4 stereo cameras tracked at >= 60 FPS per chip
+(BASELINE.md). Resolution defaults to 720p (1280x720); the reference's
+deployed config runs 640x400 (reference config/slam_config.yaml).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from thor_slam_tpu.camera.rig import RigCalibration
+from thor_slam_tpu.camera.sources.synthetic import (
+    OrbitTrajectory,
+    SyntheticRigSpec,
+    SyntheticWorld,
+    make_synthetic_rig,
+)
+from thor_slam_tpu.camera.types import IMUExtrinsics, Extrinsics
+from thor_slam_tpu.engine import tracker as trk
+from thor_slam_tpu.engine.setup import build_camera_setup
+
+
+def flagship_rig(
+    num_cams: int = 4,
+    width: int = 1280,
+    height: int = 720,
+    max_keypoints: int = 512,
+):
+    """Build (params, setup, calibration, sources, world, trajectory)."""
+    spec = SyntheticRigSpec(
+        num_sources=num_cams,
+        stereo=True,
+        width=width,
+        height=height,
+        baseline_m=0.075,  # OAK-D-class baseline
+        fps=30.0,
+    )
+    world = SyntheticWorld(half_extents=(5.0, 5.0, 2.5))
+    traj = OrbitTrajectory(radius=1.8, angular_rate=0.4)
+    sources, rig_ext, _, _ = make_synthetic_rig(spec, world=world, trajectory=traj)
+
+    calibration = RigCalibration(
+        intrinsics={s.name: s.get_intrinsics() for s in sources},
+        extrinsics={s.name: s.get_extrinsics() for s in sources},
+        rig_extrinsics=rig_ext,
+        imu_extrinsics=IMUExtrinsics(source_name=sources[0].name, extrinsics=Extrinsics.identity()),
+        source_names=[s.name for s in sources],
+    )
+    setup, order, h, w = build_camera_setup(calibration)
+    params = trk.TrackerParams(
+        num_cams=num_cams, height=h, width=w, max_keypoints=max_keypoints
+    )
+    return params, setup, calibration, sources, world, traj
+
+
+def render_sequence(sources, num_frames: int, xp=np):
+    """Render a (T, C, 2, H, W) float32 image sequence on host or device.
+
+    With ``xp=jax.numpy`` the ray casting runs on the accelerator (each
+    frame is a couple of dense elementwise passes) — used by bench.py so
+    720p data generation doesn't dominate wall time.
+    """
+    frames = []
+    for t_idx in range(num_frames):
+        cams = []
+        for src in sources:
+            t = src.frame_time(t_idx)
+            pair = []
+            for ci in range(2):
+                pose = src.world_t_optical(t, ci)
+                img = src._world.render(src.get_intrinsics()[0], pose, xp=xp)
+                pair.append(img)
+            cams.append(xp.stack(pair))
+        frames.append(xp.stack(cams))
+    return xp.stack(frames)
