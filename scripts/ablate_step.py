@@ -1,0 +1,110 @@
+"""Ablation timing of track_step: stub stages out, measure the delta.
+
+Usage: python -m scripts.ablate_step [WIDTHxHEIGHT]
+Monkeypatches individual stages to no-ops and re-times the full fused step
+(fresh jit per variant). The difference full - ablated is that stage's true
+in-context cost, including fusion effects that per-stage microbenchmarks
+miss. Not part of the test suite.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def time_step(step, state, f0, f1, reps=10):
+    state, out = step(state, f0)
+    state, out = step(state, f1)
+    jax.block_until_ready(out.world_t_body)
+    t0 = time.perf_counter()
+    for i in range(reps):
+        state, out = step(state, f0 if i % 2 else f1)
+    jax.block_until_ready(out.world_t_body)
+    return (time.perf_counter() - t0) / reps * 1000.0
+
+
+def main():
+    res = sys.argv[1] if len(sys.argv) > 1 else "640x400"
+    w, h = (int(v) for v in res.split("x"))
+
+    from thor_slam_tpu.engine import pnp, tracker as trk
+    from thor_slam_tpu.ops import brief, fast, klt, match
+    from thor_slam_tpu.ops import stereo as stereo_ops
+    from thor_slam_tpu.utils.flagship import flagship_rig
+
+    params, setup, *_ = flagship_rig(num_cams=4, width=w, height=h, max_keypoints=512)
+    rng = np.random.default_rng(0)
+    f0 = jnp.asarray(rng.uniform(0, 1, (4, 2, h, w)).astype(np.float32))
+    f1 = jnp.asarray(rng.uniform(0, 1, (4, 2, h, w)).astype(np.float32))
+
+    def run(label):
+        step = trk.make_track_step(params, setup)
+        ms = time_step(step, trk.init_state(params), f0, f1)
+        print(f"{label:32s} {ms:8.2f} ms", flush=True)
+        return ms
+
+    base = run("FULL")
+
+    # --- ablate KLT ---
+    orig_klt = klt.track_points
+    def fake_klt(prev_pyr, cur_pyr, pts_prev, pts_init, valid, **kw):
+        return klt.TrackResult(xy=pts_init, residual=jnp.zeros(pts_prev.shape[0]), valid=valid)
+    klt.track_points = fake_klt
+    run("no KLT")
+    klt.track_points = orig_klt
+
+    # --- ablate RANSAC PnP ---
+    orig_pnp = pnp.ransac_pnp
+    def fake_pnp(key, pts, obs, valid, rot, tr, init, **kw):
+        return pnp.PnPResult(
+            body_t_world=init, inliers=valid, num_inliers=jnp.sum(valid),
+            rms_error=jnp.asarray(0.0),
+        )
+    pnp.ransac_pnp = fake_pnp
+    run("no RANSAC PnP")
+    pnp.ransac_pnp = orig_pnp
+
+    # --- ablate disparity refine ---
+    orig_ref = stereo_ops.refine_disparity_photometric
+    stereo_ops.refine_disparity_photometric = lambda l, r, xy, d, v, **kw: d
+    run("no disparity refine")
+    stereo_ops.refine_disparity_photometric = orig_ref
+
+    # --- ablate detection (fixed grid keypoints) ---
+    orig_detect = fast.detect_keypoints
+    def fake_detect(im, threshold=0.0, max_keypoints=512, **kw):
+        n = max_keypoints
+        xs = (jnp.arange(n) * 37 % (im.shape[1] - 60) + 30).astype(jnp.float32)
+        ys = (jnp.arange(n) * 23 % (im.shape[0] - 60) + 30).astype(jnp.float32)
+        return fast.Keypoints(
+            xy=jnp.stack([xs, ys], -1), score=jnp.ones(n), valid=jnp.ones(n, bool)
+        )
+    fast.detect_keypoints = fake_detect
+    run("no FAST detect")
+    fast.detect_keypoints = orig_detect
+
+    # --- ablate descriptors+matching ---
+    orig_match = match.match_descriptors
+    def fake_match(da, va, db, vb, **kw):
+        n = da.shape[0]
+        return match.Matches(idx=jnp.arange(n, dtype=jnp.int32), distance=jnp.zeros(n), valid=va & vb)
+    match.match_descriptors = fake_match
+    run("no matching")
+    match.match_descriptors = orig_match
+
+    orig_desc = brief.compute_descriptors
+    def fake_desc(im, xy, valid, oriented=True):
+        n = xy.shape[0]
+        return brief.Descriptors(bits=jnp.zeros((n, 8), jnp.uint32), angle=jnp.zeros(n), valid=valid)
+    brief.compute_descriptors = fake_desc
+    run("no BRIEF")
+    brief.compute_descriptors = orig_desc
+
+
+if __name__ == "__main__":
+    main()

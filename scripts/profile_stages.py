@@ -24,7 +24,7 @@ def bench_fn(name, fn, *args, reps=10):
         out = fn_j(*args)
     jax.block_until_ready(out)
     ms = (time.perf_counter() - t0) / reps * 1000.0
-    print(f"{name:28s} {ms:8.2f} ms")
+    print(f"{name:28s} {ms:8.2f} ms", flush=True)
     return ms
 
 
@@ -35,9 +35,9 @@ def main():
     n = 512
 
     from thor_slam_tpu.engine import tracker as trk
-    from thor_slam_tpu.ops import brief, fast, klt, match
+    from thor_slam_tpu.ops import brief, calib, fast, klt, match
     from thor_slam_tpu.ops import stereo as stereo_ops
-    from thor_slam_tpu.ops.image import downsample2, gaussian_blur, remap_bilinear
+    from thor_slam_tpu.ops.image import downsample2, gaussian_blur
     from thor_slam_tpu.utils.flagship import flagship_rig
 
     params, setup, *_ = flagship_rig(num_cams=c, width=w, height=h, max_keypoints=n)
@@ -46,17 +46,9 @@ def main():
     rng = np.random.default_rng(0)
     images = jnp.asarray(rng.uniform(0, 1, (c, 2, h, w)).astype(np.float32))
     img1 = images[:, 0]
-    print(f"profile {c} cams @ {w}x{h}, N={n}  device={jax.devices()[0]}")
+    print(f"profile {c} cams @ {w}x{h}, N={n}  device={jax.devices()[0]}", flush=True)
 
     total = 0.0
-    total += bench_fn(
-        "remap (2C images)",
-        lambda im: (
-            jax.vmap(remap_bilinear)(im[:, 0], setup.map_lx, setup.map_ly),
-            jax.vmap(remap_bilinear)(im[:, 1], setup.map_rx, setup.map_ry),
-        ),
-        images,
-    )
     total += bench_fn(
         "gaussian blur (2C)",
         lambda a: (jax.vmap(lambda x: gaussian_blur(x, 2.0, radius=4))(a),
@@ -73,7 +65,7 @@ def main():
     )
     kp = jax.vmap(lambda x: fast.detect_keypoints(x, max_keypoints=n))(img1)
     total += bench_fn(
-        "BRIEF describe (2C)",
+        "BRIEF describe (2C, MXU)",
         lambda a, xy, v: (
             jax.vmap(lambda i, x, m: brief.compute_descriptors(i, x, m, oriented=False))(a, xy, v),
             jax.vmap(lambda i, x, m: brief.compute_descriptors(i, x, m, oriented=False))(a, xy, v),
@@ -82,6 +74,14 @@ def main():
     )
     desc = jax.vmap(lambda i, x, m: brief.compute_descriptors(i, x, m, oriented=False))(
         img1, kp.xy, kp.valid
+    )
+    total += bench_fn(
+        "coord rectify (2C)",
+        lambda xy: (
+            jax.vmap(calib.raw_pixels_to_rect)(xy, setup.k_left, setup.dist_left, setup.rect_left, setup.k_rect),
+            jax.vmap(calib.raw_pixels_to_rect)(xy, setup.k_right, setup.dist_right, setup.rect_right, setup.k_rect),
+        ),
+        kp.xy,
     )
     total += bench_fn(
         "match (stereo, gated)",
@@ -100,13 +100,12 @@ def main():
     pyr1 = jax.vmap(downsample2)(img1)
     pyr2 = jax.vmap(downsample2)(pyr1)
     total += bench_fn(
-        "KLT track (C x N)",
+        "KLT track (MXU windows)",
         lambda p0, p1, p2, pts: jax.vmap(
             lambda a, b, cc, xy: klt.track_points((a, b, cc), (a, b, cc), xy, xy, jnp.ones(n, bool))
         )(p0, p1, p2, pts),
         img1, pyr1, pyr2, kp.xy,
     )
-    # PnP on C*N correspondences.
     from thor_slam_tpu.engine import pnp
 
     pts3 = jnp.asarray(rng.uniform(-3, 3, (c * n, 3)).astype(np.float32))
@@ -120,7 +119,7 @@ def main():
         ),
         pts3, obs,
     )
-    print(f"{'SUM of stages':28s} {total:8.2f} ms")
+    print(f"{'SUM of stages':28s} {total:8.2f} ms", flush=True)
 
     step = trk.make_track_step(params, setup)
     state = trk.init_state(params)
@@ -132,7 +131,7 @@ def main():
         state, out = step(state, images)
     jax.block_until_ready(out.world_t_body)
     ms = (time.perf_counter() - t0) / reps * 1000.0
-    print(f"{'FULL track_step':28s} {ms:8.2f} ms  ({1000.0 / ms:.1f} fps)")
+    print(f"{'FULL track_step':28s} {ms:8.2f} ms  ({1000.0 / ms:.1f} fps)", flush=True)
 
 
 if __name__ == "__main__":

@@ -81,8 +81,8 @@ class TestGating:
         pts = jnp.asarray([[2.0, 2.0]])
         init = jnp.asarray([[-10.0, 2.0]])
         res = klt.track_points(pyr, pyr, pts, init, jnp.ones(1, bool))
-        # Clipped back in-bounds or invalid; never out-of-frame coordinates.
-        assert 0 <= float(res.xy[0, 0]) < 160
+        # Out-of-frame tracks must be reported invalid.
+        assert not bool(res.valid[0])
 
     def test_input_mask_respected(self):
         img = textured(seed=6)

@@ -33,6 +33,15 @@ def build_camera_setup(calibration: RigCalibration) -> tuple[trk.CameraSetup, li
     cols: dict[str, list] = {f: [] for f in trk.CameraSetup._fields}
     height = width = None
 
+    def k4(intr):
+        return np.asarray([intr.fx, intr.fy, intr.cx, intr.cy], np.float32)
+
+    def dist5(intr):
+        d = np.zeros(5, np.float32)
+        c = np.asarray(intr.coeffs, np.float32).reshape(-1)
+        d[: min(5, c.size)] = c[:5]
+        return d
+
     for name in source_order:
         intrs = calibration.intrinsics[name]
         exts = calibration.extrinsics[name]
@@ -40,7 +49,9 @@ def build_camera_setup(calibration: RigCalibration) -> tuple[trk.CameraSetup, li
             raise RuntimeError(
                 f"TpuSlamEngine requires stereo sources; '{name}' has {len(intrs)} imagers"
             )
-        sr = rectify.rectification_from_extrinsics(intrs[0], intrs[1], exts[0], exts[1])
+        sr = rectify.rectification_from_extrinsics(
+            intrs[0], intrs[1], exts[0], exts[1], compute_maps=False
+        )
         if height is None:
             height, width = sr.height, sr.width
         elif (sr.height, sr.width) != (height, width):
@@ -48,34 +59,33 @@ def build_camera_setup(calibration: RigCalibration) -> tuple[trk.CameraSetup, li
 
         world_exts = calibration.get_world_extrinsics(name)
         body_t_caml = world_exts[0].to_4x4_matrix()
-        rect_fix = np.eye(4)
-        rect_fix[:3, :3] = sr.rect_rotation_left.T
-        btr = body_t_caml @ rect_fix
-        rtb = geometry.se3_inverse(btr)
+        cam_t_body = geometry.se3_inverse(body_t_caml)
 
-        cols["map_lx"].append(sr.map_left[0])
-        cols["map_ly"].append(sr.map_left[1])
-        cols["map_rx"].append(sr.map_right[0])
-        cols["map_ry"].append(sr.map_right[1])
-        cols["fx"].append(sr.fx)
-        cols["cx"].append(sr.new_matrix[0, 2])
-        cols["cy"].append(sr.new_matrix[1, 2])
+        cols["k_left"].append(k4(intrs[0]))
+        cols["k_right"].append(k4(intrs[1]))
+        cols["dist_left"].append(dist5(intrs[0]))
+        cols["dist_right"].append(dist5(intrs[1]))
+        cols["rect_left"].append(sr.rect_rotation_left)
+        cols["rect_right"].append(sr.rect_rotation_right)
+        cols["k_rect"].append(
+            np.asarray([sr.fx, sr.new_matrix[0, 2], sr.new_matrix[1, 2]], np.float32)
+        )
         cols["baseline"].append(sr.baseline_m)
-        cols["rect_r_body"].append(rtb[:3, :3])
-        cols["rect_t_body"].append(rtb[:3, 3])
-        cols["body_t_rect"].append(btr)
+        cols["cam_r_body"].append(cam_t_body[:3, :3])
+        cols["cam_t_body"].append(cam_t_body[:3, 3])
+        cols["body_t_cam"].append(body_t_caml)
 
     setup = trk.CameraSetup(
-        map_lx=np.stack(cols["map_lx"]),
-        map_ly=np.stack(cols["map_ly"]),
-        map_rx=np.stack(cols["map_rx"]),
-        map_ry=np.stack(cols["map_ry"]),
-        fx=np.asarray(cols["fx"], np.float32),
-        cx=np.asarray(cols["cx"], np.float32),
-        cy=np.asarray(cols["cy"], np.float32),
+        k_left=np.stack(cols["k_left"]),
+        k_right=np.stack(cols["k_right"]),
+        dist_left=np.stack(cols["dist_left"]),
+        dist_right=np.stack(cols["dist_right"]),
+        rect_left=np.stack(cols["rect_left"]).astype(np.float32),
+        rect_right=np.stack(cols["rect_right"]).astype(np.float32),
+        k_rect=np.stack(cols["k_rect"]),
         baseline=np.asarray(cols["baseline"], np.float32),
-        rect_r_body=np.stack(cols["rect_r_body"]).astype(np.float32),
-        rect_t_body=np.stack(cols["rect_t_body"]).astype(np.float32),
-        body_t_rect=np.stack(cols["body_t_rect"]).astype(np.float32),
+        cam_r_body=np.stack(cols["cam_r_body"]).astype(np.float32),
+        cam_t_body=np.stack(cols["cam_t_body"]).astype(np.float32),
+        body_t_cam=np.stack(cols["body_t_cam"]).astype(np.float32),
     )
     return setup, source_order, height, width

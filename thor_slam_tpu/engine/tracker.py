@@ -26,7 +26,8 @@ import jax.numpy as jnp
 from thor_slam_tpu.engine import pnp, triangulate
 from thor_slam_tpu.ops import brief, fast, klt, match
 from thor_slam_tpu.ops import stereo as stereo_ops
-from thor_slam_tpu.ops.image import downsample2, gaussian_blur, remap_bilinear
+from thor_slam_tpu.ops import calib
+from thor_slam_tpu.ops.image import downsample2, gaussian_blur
 
 
 @dataclass(frozen=True)
@@ -65,25 +66,35 @@ class TrackerParams:
 class CameraSetup(NamedTuple):
     """Per-camera constants (stacked over the camera axis C).
 
+    The tracker never remaps images (a full-frame gather is scalar-bound on
+    TPU); geometry is applied to *coordinates*: keypoints are undistorted/
+    rectified analytically and landmark predictions are projected through
+    the forward distortion model. The per-camera reference frame is the RAW
+    left camera.
+
     Attributes:
-        map_lx/map_ly/map_rx/map_ry: (C, H, W) rectification maps.
-        fx/cx/cy/baseline: (C,) rectified pinhole + baseline.
-        rect_r_body: (C, 3, 3) rotation body -> rectified-left-cam.
-        rect_t_body: (C, 3) translation of the same transform.
-        body_t_rect: (C, 4, 4) inverse transform (rect cam -> body).
+        k_left/k_right: (C, 4) raw intrinsics (fx, fy, cx, cy) per imager.
+        dist_left/dist_right: (C, 5) plumb-bob distortion coefficients.
+        rect_left/rect_right: (C, 3, 3) rotations raw-cam -> rectified-cam
+            (for epipolar-aligned stereo coordinates).
+        k_rect: (C, 3) rectified intrinsics (f, cx, cy).
+        baseline: (C,) rectified stereo baselines (meters).
+        cam_r_body: (C, 3, 3) rotation body -> raw-left-cam.
+        cam_t_body: (C, 3) translation of the same transform.
+        body_t_cam: (C, 4, 4) inverse (raw-left-cam -> body).
     """
 
-    map_lx: jnp.ndarray
-    map_ly: jnp.ndarray
-    map_rx: jnp.ndarray
-    map_ry: jnp.ndarray
-    fx: jnp.ndarray
-    cx: jnp.ndarray
-    cy: jnp.ndarray
+    k_left: jnp.ndarray
+    k_right: jnp.ndarray
+    dist_left: jnp.ndarray
+    dist_right: jnp.ndarray
+    rect_left: jnp.ndarray
+    rect_right: jnp.ndarray
+    k_rect: jnp.ndarray
     baseline: jnp.ndarray
-    rect_r_body: jnp.ndarray
-    rect_t_body: jnp.ndarray
-    body_t_rect: jnp.ndarray
+    cam_r_body: jnp.ndarray
+    cam_t_body: jnp.ndarray
+    body_t_cam: jnp.ndarray
 
 
 class TrackerState(NamedTuple):
@@ -221,14 +232,14 @@ def track_step(
     flat_pts = state.lm_pos_w.reshape(c * n, 3)
     flat_obs = fe.obs_norm.reshape(c * n, 2)
     flat_valid = fe.corr_valid.reshape(c * n)
-    flat_rot = jnp.repeat(setup.rect_r_body, n, axis=0)  # (C*N, 3, 3)
-    flat_trans = jnp.repeat(setup.rect_t_body, n, axis=0)
+    flat_rot = jnp.repeat(setup.cam_r_body, n, axis=0)  # (C*N, 3, 3)
+    flat_trans = jnp.repeat(setup.cam_t_body, n, axis=0)
 
     # ------------------------------------------------------------------ 7
     key, subkey = jax.random.split(state.key)
     # Normalized-coordinate inlier gate derived from the pixel budget
     # (conservatively uses the largest-focal camera).
-    inlier_threshold = p.inlier_threshold_px / jnp.max(setup.fx)
+    inlier_threshold = p.inlier_threshold_px / jnp.max(setup.k_left[:, 0])
     result = pnp.ransac_pnp(
         subkey,
         flat_pts,
@@ -260,7 +271,7 @@ class FrontendProducts(NamedTuple):
         left/cur_pyr1/cur_pyr2: Rectified left pyramid (C, H/2^l, W/2^l).
         kp_xy/kp_valid: Current detections (C, N, 2)/(C, N).
         desc_bits: Left descriptors (C, N, 8) uint32.
-        pts_rect/tri_valid: Stereo triangulation in rect-left frames.
+        pts_cam/tri_valid: Stereo triangulation in raw-left camera frames.
         tracks_xy/tracks_valid: KLT-tracked landmark positions (C, N, 2).
         obs_norm: Normalized tracked observations (C, N, 2).
         corr_valid: 2D-3D correspondence mask (C, N).
@@ -272,7 +283,7 @@ class FrontendProducts(NamedTuple):
     kp_xy: jnp.ndarray
     kp_valid: jnp.ndarray
     desc_bits: jnp.ndarray
-    pts_rect: jnp.ndarray
+    pts_cam: jnp.ndarray
     tri_valid: jnp.ndarray
     tracks_xy: jnp.ndarray
     tracks_valid: jnp.ndarray
@@ -296,9 +307,9 @@ def run_frontend(
     """
     p = params
 
-    # Rectify all 2C images, smooth for descriptors.
-    left = jax.vmap(remap_bilinear)(images[:, 0], setup.map_lx, setup.map_ly)
-    right = jax.vmap(remap_bilinear)(images[:, 1], setup.map_rx, setup.map_ry)
+    # Raw images straight through — no remap (see CameraSetup docstring).
+    left = images[:, 0]
+    right = images[:, 1]
     left_sm = jax.vmap(lambda im: gaussian_blur(im, 2.0, radius=4))(left)
     right_sm = jax.vmap(lambda im: gaussian_blur(im, 2.0, radius=4))(right)
 
@@ -318,10 +329,17 @@ def run_frontend(
     desc_l = jax.vmap(describe)(left_sm, kp_l.xy, kp_l.valid)
     desc_r = jax.vmap(describe)(right_sm, kp_r.xy, kp_r.valid)
 
-    # Stereo association (epipolar-gated) -> 3D points per rectified-left
-    # camera frame.
-    dy_lr = jnp.abs(kp_l.xy[:, :, None, 1] - kp_r.xy[:, None, :, 1])  # (C,N,N)
-    dx_lr = kp_l.xy[:, :, None, 0] - kp_r.xy[:, None, :, 0]
+    # Stereo association on RECTIFIED COORDINATES (the images stay raw):
+    # keypoints are lifted through undistortion + the rectifying rotation,
+    # the epipolar gate and disparity live in rectified pixel space.
+    rect_xy_l = jax.vmap(calib.raw_pixels_to_rect)(
+        kp_l.xy, setup.k_left, setup.dist_left, setup.rect_left, setup.k_rect
+    )  # (C, N, 2)
+    rect_xy_r = jax.vmap(calib.raw_pixels_to_rect)(
+        kp_r.xy, setup.k_right, setup.dist_right, setup.rect_right, setup.k_rect
+    )
+    dy_lr = jnp.abs(rect_xy_l[:, :, None, 1] - rect_xy_r[:, None, :, 1])  # (C,N,N)
+    dx_lr = rect_xy_l[:, :, None, 0] - rect_xy_r[:, None, :, 0]
     stereo_gate = (dy_lr <= p.stereo_max_dy + 1.0) & (dx_lr > 0) & (dx_lr <= p.max_disparity_px)
     stereo_m = jax.vmap(
         lambda da, va, db, vb, g: match.match_descriptors(
@@ -329,42 +347,50 @@ def run_frontend(
         )
     )(desc_l.bits, desc_l.valid, desc_r.bits, desc_r.valid, stereo_gate)
 
-    disp, disp_valid = jax.vmap(
+    disp_rect, disp_valid = jax.vmap(
         lambda xl, xr, mi, mv: triangulate.match_disparities(
             xl, xr, mi, mv, max_dy=p.stereo_max_dy
         )
-    )(kp_l.xy, kp_r.xy, stereo_m.idx, stereo_m.valid)
-    disp = jax.vmap(stereo_ops.refine_disparity_photometric)(
-        left, right, kp_l.xy, disp, disp_valid
+    )(rect_xy_l, rect_xy_r, stereo_m.idx, stereo_m.valid)
+
+    # Subpixel: photometric refinement runs in RAW image space (epipolar
+    # lines are locally ~horizontal for small distortion), then the refined
+    # raw parallax is mapped back through the rectification.
+    disp_raw = kp_l.xy[..., 0] - jnp.take_along_axis(kp_r.xy[..., 0], stereo_m.idx, axis=1)
+    disp_raw_ref = jax.vmap(stereo_ops.refine_disparity_photometric)(
+        left, right, kp_l.xy, disp_raw, disp_valid
     )
+    disp = disp_rect + jnp.where(disp_valid, disp_raw_ref - disp_raw, 0.0)
 
     pts_rect, tri_valid = jax.vmap(
-        lambda xy, d, fx, cx, cy, b: triangulate.stereo_triangulate(
-            xy, d, fx, cx, cy, b, min_disparity=p.min_disparity, max_depth_m=p.max_depth_m
+        lambda xy, d, k, b: triangulate.stereo_triangulate(
+            xy, d, k[0], k[1], k[2], b,
+            min_disparity=p.min_disparity, max_depth_m=p.max_depth_m,
         )
-    )(kp_l.xy, disp, setup.fx, setup.cx, setup.cy, setup.baseline)
+    )(rect_xy_l, disp, setup.k_rect, setup.baseline)
     tri_valid = tri_valid & disp_valid & kp_l.valid
+    # Rectified-frame points -> raw left camera frame: p_cam = R_rect^T p_rect.
+    pts_cam = jnp.einsum("cji,cnj->cni", setup.rect_left, pts_rect)
 
     # Temporal association by pyramidal KLT: each landmark's patch (anchored
     # at its position in the previous left frame) is aligned into the
     # current frame, initialized at the pose-predicted reprojection. Local
     # photometric alignment is precise and unambiguous where descriptor
     # matching is not (repetitive texture), and the residual verifies it.
-    pred_rect_t_world_r = jnp.einsum(
-        "cij,jk->cik", setup.rect_r_body, klt_body_t_world[:3, :3]
+    pred_cam_t_world_r = jnp.einsum(
+        "cij,jk->cik", setup.cam_r_body, klt_body_t_world[:3, :3]
     )  # (C,3,3)
-    pred_rect_t_world_t = (
-        jnp.einsum("cij,j->ci", setup.rect_r_body, klt_body_t_world[:3, 3])
-        + setup.rect_t_body
+    pred_cam_t_world_t = (
+        jnp.einsum("cij,j->ci", setup.cam_r_body, klt_body_t_world[:3, 3])
+        + setup.cam_t_body
     )  # (C,3)
     lm_cam = (
-        jnp.einsum("cij,cnj->cni", pred_rect_t_world_r, state.lm_pos_w)
-        + pred_rect_t_world_t[:, None, :]
+        jnp.einsum("cij,cnj->cni", pred_cam_t_world_r, state.lm_pos_w)
+        + pred_cam_t_world_t[:, None, :]
     )  # (C,N,3)
-    z_pred = jnp.maximum(lm_cam[..., 2], 1e-6)
-    u_pred = setup.fx[:, None] * lm_cam[..., 0] / z_pred + setup.cx[:, None]
-    v_pred = setup.fx[:, None] * lm_cam[..., 1] / z_pred + setup.cy[:, None]
-    in_front = lm_cam[..., 2] > 0.05
+    uv_pred, in_front = jax.vmap(calib.cam_points_to_raw_pixels)(
+        lm_cam, setup.k_left, setup.dist_left
+    )
 
     cur_pyr1 = jax.vmap(downsample2)(left)
     cur_pyr2 = jax.vmap(downsample2)(cur_pyr1)
@@ -377,17 +403,14 @@ def run_frontend(
     )(
         state.prev_left0, state.prev_left1, state.prev_left2,
         left, cur_pyr1, cur_pyr2,
-        state.lm_px, jnp.stack([u_pred, v_pred], axis=-1),
+        state.lm_px, uv_pred,
         state.lm_valid & in_front,
     )
 
-    # Per-landmark 2D-3D correspondences.
-    obs_norm = jnp.stack(
-        [
-            (tracks.xy[..., 0] - setup.cx[:, None]) / setup.fx[:, None],
-            (tracks.xy[..., 1] - setup.cy[:, None]) / setup.fx[:, None],
-        ],
-        axis=-1,
+    # Per-landmark 2D-3D correspondences: undistorted normalized coords in
+    # the raw left camera frame.
+    obs_norm = jax.vmap(calib.raw_pixels_to_normalized)(
+        tracks.xy, setup.k_left, setup.dist_left
     )  # (C, N, 2)
     corr_valid = tracks.valid & state.lm_valid  # (C, N)
 
@@ -398,7 +421,7 @@ def run_frontend(
         kp_xy=kp_l.xy,
         kp_valid=kp_l.valid,
         desc_bits=desc_l.bits,
-        pts_rect=pts_rect,
+        pts_cam=pts_cam,
         tri_valid=tri_valid,
         tracks_xy=tracks.xy,
         tracks_valid=tracks.valid,
@@ -449,10 +472,10 @@ def _finish_step(
     # inlier-tracked landmark's current position inherits that landmark's
     # world coordinates: persistent landmarks anchor the world frame across
     # keyframes and cut re-anchoring drift dramatically.
-    world_t_rect = jnp.einsum("ij,cjk->cik", world_t_body, setup.body_t_rect)  # (C,4,4)
+    world_t_cam = jnp.einsum("ij,cjk->cik", world_t_body, setup.body_t_cam)  # (C,4,4)
     pts_w = (
-        jnp.einsum("cij,cnj->cni", world_t_rect[:, :3, :3], fe.pts_rect)
-        + world_t_rect[:, None, :3, 3]
+        jnp.einsum("cij,cnj->cni", world_t_cam[:, :3, :3], fe.pts_cam)
+        + world_t_cam[:, None, :3, 3]
     )
     anchor_ok = fe.corr_valid & inliers_cn  # (C, N) landmarks w/ trusted tracks
     # Distance from each new keypoint to each tracked landmark position.

@@ -37,6 +37,31 @@ def _make_test_pairs(seed: int = 42) -> np.ndarray:
 
 TEST_PAIRS = _make_test_pairs()
 
+
+def _upright_sampling_matrix() -> np.ndarray:
+    """Constant (P*P, 2*256) bilinear sampling matrix for the upright pattern.
+
+    For unrotated BRIEF the sample positions are fixed fractional offsets, so
+    sampling all 512 test points from a patch is ``patch_flat @ S`` — one MXU
+    matmul instead of 512 gathers per keypoint (XLA gathers are scalar-bound
+    on TPU).
+    """
+    s = np.zeros((PATCH_SIZE * PATCH_SIZE, 2 * NUM_BITS), dtype=np.float32)
+    pts = np.concatenate([TEST_PAIRS[:, :2], TEST_PAIRS[:, 2:]], axis=0)  # (512, 2)
+    for col, (px, py) in enumerate(pts):
+        x = np.clip(px + PATCH_RADIUS, 0, PATCH_SIZE - 1.001)
+        y = np.clip(py + PATCH_RADIUS, 0, PATCH_SIZE - 1.001)
+        x0, y0 = int(np.floor(x)), int(np.floor(y))
+        fx, fy = x - x0, y - y0
+        s[y0 * PATCH_SIZE + x0, col] += (1 - fx) * (1 - fy)
+        s[y0 * PATCH_SIZE + x0 + 1, col] += fx * (1 - fy)
+        s[(y0 + 1) * PATCH_SIZE + x0, col] += (1 - fx) * fy
+        s[(y0 + 1) * PATCH_SIZE + x0 + 1, col] += fx * fy
+    return s
+
+
+UPRIGHT_SAMPLING = _upright_sampling_matrix()
+
 # Disk mask + coordinate grids for the intensity-centroid orientation.
 _yy, _xx = np.mgrid[-PATCH_RADIUS : PATCH_RADIUS + 1, -PATCH_RADIUS : PATCH_RADIUS + 1]
 _DISK = ((_xx**2 + _yy**2) <= PATCH_RADIUS**2).astype(np.float32)
@@ -128,24 +153,33 @@ def compute_descriptors(
         :class:`Descriptors` with (N, 8) uint32 packed bits.
     """
     patches = extract_patches(image, xy)  # (N, P, P)
-    angle = patch_orientation(patches)  # (N,)
-    if not oriented:
-        angle = jnp.zeros_like(angle)
-    ca, sa = jnp.cos(angle), jnp.sin(angle)
+    n = patches.shape[0]
 
-    pairs = jnp.asarray(TEST_PAIRS, dtype=jnp.float32)  # (256, 4)
-    x1, y1, x2, y2 = pairs[:, 0], pairs[:, 1], pairs[:, 2], pairs[:, 3]
+    if oriented:
+        angle = patch_orientation(patches)  # (N,)
+        ca, sa = jnp.cos(angle), jnp.sin(angle)
+        pairs = jnp.asarray(TEST_PAIRS, dtype=jnp.float32)  # (256, 4)
+        x1, y1, x2, y2 = pairs[:, 0], pairs[:, 1], pairs[:, 2], pairs[:, 3]
 
-    # Rotate the test pattern by each keypoint's orientation (steering).
-    def rot(px, py):
-        rx = ca[:, None] * px[None, :] - sa[:, None] * py[None, :]
-        ry = sa[:, None] * px[None, :] + ca[:, None] * py[None, :]
-        return rx, ry  # (N, 256)
+        # Rotate the test pattern by each keypoint's orientation (steering).
+        def rot(px, py):
+            rx = ca[:, None] * px[None, :] - sa[:, None] * py[None, :]
+            ry = sa[:, None] * px[None, :] + ca[:, None] * py[None, :]
+            return rx, ry  # (N, 256)
 
-    r1x, r1y = rot(x1, y1)
-    r2x, r2y = rot(x2, y2)
-    i1 = _bilinear_patch_sample(patches, r1x, r1y)
-    i2 = _bilinear_patch_sample(patches, r2x, r2y)
+        r1x, r1y = rot(x1, y1)
+        r2x, r2y = rot(x2, y2)
+        i1 = _bilinear_patch_sample(patches, r1x, r1y)
+        i2 = _bilinear_patch_sample(patches, r2x, r2y)
+    else:
+        # Upright pattern: all 512 sample points via one constant matmul.
+        angle = jnp.zeros(n, dtype=jnp.float32)
+        samples = jnp.dot(
+            patches.reshape(n, -1),
+            jnp.asarray(UPRIGHT_SAMPLING),
+            preferred_element_type=jnp.float32,
+        )  # (N, 512)
+        i1, i2 = samples[:, :NUM_BITS], samples[:, NUM_BITS:]
     bits = (i1 < i2).astype(jnp.uint32)  # (N, 256)
 
     weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :]

@@ -1,4 +1,4 @@
-"""Pyramidal Lucas-Kanade (KLT) patch tracking — batched, jit-safe.
+"""Pyramidal Lucas-Kanade (KLT) patch tracking — MXU-native, gather-free core.
 
 The temporal-association workhorse of the tracker (the role of cuVSLAM's
 patch tracker). Descriptor matching associates globally but is ambiguous in
@@ -6,10 +6,14 @@ repetitive scenes; LK refines a *predicted* position to subpixel accuracy by
 local photometric alignment and reports a residual that doubles as a
 verification score.
 
-TPU shaping: all N tracks are advanced together — each LK iteration is one
-batched gather (N x P^2 bilinear samples) plus dense 2x2 normal-equation
-solves on the VPU. Iterations and pyramid levels are static; invalid tracks
-are masked, never branched on.
+TPU shaping — the key design decision: XLA gathers are scalar-unit-bound on
+TPU (measured ~65M elements/s), so per-iteration bilinear gathers are
+replaced by linear algebra. Per track and pyramid level we extract one
+(S x S) window around the initial estimate, materialize its (2m+2)^2
+statically-shifted (P x P) views, and express bilinear sampling at any
+fractional offset as ``weights @ views`` — a batched matvec the MXU eats.
+Each LK iteration is then pure dense math; only the one-time window
+extraction touches a gather.
 """
 
 from __future__ import annotations
@@ -35,25 +39,66 @@ class TrackResult(NamedTuple):
     valid: jnp.ndarray
 
 
-def _bilinear(image: jnp.ndarray, xs: jnp.ndarray, ys: jnp.ndarray) -> jnp.ndarray:
-    """Bilinear samples at (xs, ys); coordinates clipped to the frame."""
+def _extract_windows(image: jnp.ndarray, centers: jnp.ndarray, wr: int) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(N, S, S) windows around integer centers; returns (windows, centers_clipped)."""
     h, w = image.shape
-    x = jnp.clip(xs, 0.0, w - 1.001)
-    y = jnp.clip(ys, 0.0, h - 1.001)
-    x0 = jnp.floor(x).astype(jnp.int32)
-    y0 = jnp.floor(y).astype(jnp.int32)
-    fx = x - x0
-    fy = y - y0
-    flat = image.reshape(-1)
+    n = centers.shape[0]
+    cx = jnp.clip(centers[:, 0], wr, w - wr - 1)
+    cy = jnp.clip(centers[:, 1], wr, h - wr - 1)
+    d = jnp.arange(-wr, wr + 1)
+    rows = cy[:, None, None] + d[None, :, None]
+    cols = cx[:, None, None] + d[None, None, :]
+    s = 2 * wr + 1
+    win = image.reshape(-1)[(rows * w + cols).reshape(-1)].reshape(n, s, s)
+    return win, jnp.stack([cx, cy], axis=-1)
 
-    def take(yy, xx):
-        return flat[(yy * w + xx).reshape(-1)].reshape(xs.shape)
 
-    v00 = take(y0, x0)
-    v01 = take(y0, x0 + 1)
-    v10 = take(y0 + 1, x0)
-    v11 = take(y0 + 1, x0 + 1)
-    return (v00 * (1 - fx) + v01 * fx) * (1 - fy) + (v10 * (1 - fx) + v11 * fx) * fy
+def _shifted_views(win: jnp.ndarray, radius: int, m: int) -> jnp.ndarray:
+    """All integer-shift (P x P) views of (S x S) windows: (N, K*K, P*P).
+
+    View (a, b) is the patch at integer offset (a - m, b - m) from the
+    window center, for a, b in [0, 2m+1].
+    """
+    n, s, _ = win.shape
+    p = 2 * radius + 1
+    k = 2 * m + 2
+    wr = radius + m + 1
+    views = []
+    for a in range(k):
+        for b in range(k):
+            y0 = wr + (a - m) - radius
+            x0 = wr + (b - m) - radius
+            views.append(win[:, y0 : y0 + p, x0 : x0 + p].reshape(n, p * p))
+    return jnp.stack(views, axis=1)  # (N, K*K, P*P)
+
+
+def _interp_weights(d: jnp.ndarray, m: int) -> jnp.ndarray:
+    """Bilinear one-hot-lerp weights over the K*K shift grid: (N, K*K).
+
+    d: (N, 2) fractional offsets from the window center, in [-m, m].
+    """
+    k = 2 * m + 2
+    fl = jnp.floor(d)
+    fr = d - fl
+    base = (fl + m).astype(jnp.int32)  # (N, 2) in [0, 2m]
+    j = jnp.arange(k)
+
+    def axis_w(base_a, fr_a):
+        return jnp.where(
+            j[None, :] == base_a[:, None],
+            1.0 - fr_a[:, None],
+            jnp.where(j[None, :] == base_a[:, None] + 1, fr_a[:, None], 0.0),
+        )
+
+    wx = axis_w(base[:, 0], fr[:, 0])  # (N, K)
+    wy = axis_w(base[:, 1], fr[:, 1])
+    return (wy[:, :, None] * wx[:, None, :]).reshape(d.shape[0], k * k)
+
+
+def _sample(views: jnp.ndarray, d: jnp.ndarray, m: int) -> jnp.ndarray:
+    """Bilinear patch sample at offsets d via one MXU matvec: (N, P*P)."""
+    w2 = _interp_weights(d, m)
+    return jnp.einsum("ns,nsp->np", w2, views, preferred_element_type=jnp.float32)
 
 
 def _lk_level(
@@ -63,26 +108,28 @@ def _lk_level(
     pts_cur: jnp.ndarray,
     radius: int,
     iters: int,
+    m: int,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Inverse-compositional LK at one pyramid level.
+    """Inverse-compositional LK at one level. Returns (positions, residual)."""
+    wr = radius + m + 1
 
-    Returns (refined current positions (N,2), final residual (N,)).
-    """
-    n = pts_prev.shape[0]
-    d = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
-    dy, dx = jnp.meshgrid(d, d, indexing="ij")  # (P, P)
-    dx = dx.reshape(-1)  # (P^2,)
-    dy = dy.reshape(-1)
+    c_prev = jnp.round(pts_prev).astype(jnp.int32)
+    c_cur = jnp.round(pts_cur).astype(jnp.int32)
+    win_p, cp = _extract_windows(prev, c_prev, wr)
+    win_c, cc = _extract_windows(cur, c_cur, wr)
+    views_p = _shifted_views(win_p, radius, m)
+    views_c = _shifted_views(win_c, radius, m)
+    cp = cp.astype(jnp.float32)
+    cc = cc.astype(jnp.float32)
 
-    # Template patch + gradients from the previous frame (fixed per track).
-    px = pts_prev[:, 0:1] + dx[None, :]  # (N, P^2)
-    py = pts_prev[:, 1:2] + dy[None, :]
-    t = _bilinear(prev, px, py)
-    gx = 0.5 * (_bilinear(prev, px + 1.0, py) - _bilinear(prev, px - 1.0, py))
-    gy = 0.5 * (_bilinear(prev, px, py + 1.0) - _bilinear(prev, px, py - 1.0))
+    # Template + gradients at the (sub-pixel) previous position — fixed.
+    d_t = jnp.clip(pts_prev - cp, -1.0, 1.0)
+    t = _sample(views_p, d_t, m)
+    ex = jnp.array([1.0, 0.0])
+    ey = jnp.array([0.0, 1.0])
+    gx = 0.5 * (_sample(views_p, d_t + ex, m) - _sample(views_p, d_t - ex, m))
+    gy = 0.5 * (_sample(views_p, d_t + ey, m) - _sample(views_p, d_t - ey, m))
 
-    # 2x2 spatial-gradient normal matrix per track (inverse compositional:
-    # computed once on the template).
     gxx = jnp.sum(gx * gx, axis=1)
     gxy = jnp.sum(gx * gy, axis=1)
     gyy = jnp.sum(gy * gy, axis=1)
@@ -91,26 +138,34 @@ def _lk_level(
     det_safe = jnp.where(inv_ok, det, 1.0)
 
     def body(_, xy):
-        cx = xy[:, 0:1] + dx[None, :]
-        cy = xy[:, 1:2] + dy[None, :]
-        c = _bilinear(cur, cx, cy)
-        e = c - t  # (N, P^2)
+        d = jnp.clip(xy - cc, -m * 1.0, m * 1.0)
+        c = _sample(views_c, d, m)
+        e = c - t
         bx = jnp.sum(e * gx, axis=1)
         by = jnp.sum(e * gy, axis=1)
         ux = (gyy * bx - gxy * by) / det_safe
         uy = (gxx * by - gxy * bx) / det_safe
-        step = jnp.stack([ux, uy], axis=-1)
-        step = jnp.clip(step, -radius * 1.0, radius * 1.0)
-        return xy - step * inv_ok[:, None]
+        step = jnp.clip(jnp.stack([ux, uy], axis=-1), -radius * 1.0, radius * 1.0)
+        xy = xy - step * inv_ok[:, None]
+        # Stay inside the window's representable offset range.
+        return cc + jnp.clip(xy - cc, -m * 1.0, m * 1.0)
 
-    xy = jax.lax.fori_loop(0, iters, body, pts_cur)
-    cxf = xy[:, 0:1] + dx[None, :]
-    cyf = xy[:, 1:2] + dy[None, :]
-    resid = jnp.mean(jnp.abs(_bilinear(cur, cxf, cyf) - t), axis=1)
+    xy = cc + jnp.clip(pts_cur - cc, -m * 1.0, m * 1.0)
+    xy = jax.lax.fori_loop(0, iters, body, xy)
+    resid = jnp.mean(jnp.abs(_sample(views_c, jnp.clip(xy - cc, -m * 1.0, m * 1.0), m) - t), axis=1)
+
+    # Window centers get clamped near image borders (common at coarse pyramid
+    # levels); a clamped window cannot represent the track — pass the input
+    # through unrefined and let finer levels (whose windows fit) handle it.
+    clipped = (
+        jnp.max(jnp.abs(pts_prev - cp), axis=1) > 1.5
+    ) | (jnp.max(jnp.abs(pts_cur - cc), axis=1) > m)
+    xy = jnp.where(clipped[:, None], pts_cur, xy)
+    resid = jnp.where(clipped, 0.0, resid)
     return xy, resid
 
 
-@partial(jax.jit, static_argnames=("num_levels", "radius", "iters"))
+@partial(jax.jit, static_argnames=("num_levels", "radius", "iters", "search"))
 def track_points(
     prev_pyramid: tuple[jnp.ndarray, ...],
     cur_pyramid: tuple[jnp.ndarray, ...],
@@ -122,6 +177,7 @@ def track_points(
     iters: int = 8,
     max_residual: float = 0.08,
     border: int = 4,
+    search: int = 4,
 ) -> TrackResult:
     """Track points from the previous frame into the current one.
 
@@ -130,33 +186,36 @@ def track_points(
         cur_pyramid: Same structure for the current frame.
         pts_prev: (N, 2) template positions in the previous frame.
         pts_init: (N, 2) initial guesses in the current frame (e.g. the
-            pose-predicted reprojections) — this is what makes pyramid
-            depth 3 sufficient and repetition harmless.
+            pose-predicted reprojections).
         valid: (N,) bool input mask.
         num_levels: Pyramid levels to use (static).
         radius: Patch half-size (static).
         iters: LK iterations per level (static).
         max_residual: Mean-absolute-error acceptance gate (intensity units).
         border: Reject tracks closer than this to the image border.
+        search: Per-level search half-range m in pixels (static). Total
+            capture range ~ search * (2^num_levels - 1) around pts_init.
 
     Returns:
         A :class:`TrackResult`.
     """
     assert len(prev_pyramid) >= num_levels and len(cur_pyramid) >= num_levels
 
-    # Coarse-to-fine: offsets estimated at level l are upsampled to l-1.
     scale_top = 2.0 ** (num_levels - 1)
     xy = pts_init / scale_top
     resid = jnp.zeros(pts_prev.shape[0])
     for lvl in range(num_levels - 1, -1, -1):
         s = 2.0**lvl
         xy, resid = _lk_level(
-            prev_pyramid[lvl], cur_pyramid[lvl], pts_prev / s, xy, radius, iters
+            prev_pyramid[lvl], cur_pyramid[lvl], pts_prev / s, xy, radius, iters, search
         )
         if lvl > 0:
             xy = xy * 2.0
 
     h, w = cur_pyramid[0].shape
+    # The level-0 window must have fit: tracks closer to the border than the
+    # window radius were never photometrically verified.
+    border = max(border, radius + search + 1)
     in_bounds = (
         (xy[:, 0] >= border)
         & (xy[:, 0] < w - border)

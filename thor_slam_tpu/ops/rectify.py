@@ -143,6 +143,7 @@ def stereo_rectify(
     left_t_right: np.ndarray,
     out_width: int | None = None,
     out_height: int | None = None,
+    compute_maps: bool = True,
 ) -> StereoRectification:
     """Bouguet stereo rectification from calibrated extrinsics.
 
@@ -197,13 +198,18 @@ def stereo_rectify(
         [[f, 0.0, out_width / 2.0], [0.0, f, out_height / 2.0], [0.0, 0.0, 1.0]]
     )
 
+    empty = (np.zeros((0, 0), np.float32), np.zeros((0, 0), np.float32))
     return StereoRectification(
         rect_rotation_left=rect_l,
         rect_rotation_right=rect_r,
         new_matrix=k_new,
         baseline_m=float(np.linalg.norm(t_new)),
-        map_left=init_undistort_rectify_map(left, rect_l, k_new, out_width, out_height),
-        map_right=init_undistort_rectify_map(right, rect_r, k_new, out_width, out_height),
+        map_left=init_undistort_rectify_map(left, rect_l, k_new, out_width, out_height)
+        if compute_maps
+        else empty,
+        map_right=init_undistort_rectify_map(right, rect_r, k_new, out_width, out_height)
+        if compute_maps
+        else empty,
         width=out_width,
         height=out_height,
     )
@@ -216,6 +222,7 @@ def rectification_from_extrinsics(
     right_ext: Extrinsics,
     out_width: int | None = None,
     out_height: int | None = None,
+    compute_maps: bool = True,
 ) -> StereoRectification:
     """Rectification from per-imager source-frame extrinsics.
 
@@ -225,7 +232,7 @@ def rectification_from_extrinsics(
     from thor_slam_tpu import geometry
 
     left_t_right = geometry.se3_inverse(left_ext.to_4x4_matrix()) @ right_ext.to_4x4_matrix()
-    return stereo_rectify(left, right, left_t_right, out_width, out_height)
+    return stereo_rectify(left, right, left_t_right, out_width, out_height, compute_maps)
 
 
 def rectify_image(image, rect_map):

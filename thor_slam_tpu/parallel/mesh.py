@@ -156,11 +156,11 @@ def make_sharded_track_step(params: trk.TrackerParams, setup: trk.CameraSetup, m
         flat_pts = state.lm_pos_w.reshape(c * n, 3)
         flat_obs = fe.obs_norm.reshape(c * n, 2)
         flat_valid = fe.corr_valid.reshape(c * n)
-        flat_rot = jnp.repeat(setup_c.rect_r_body, n, axis=0)
-        flat_trans = jnp.repeat(setup_c.rect_t_body, n, axis=0)
+        flat_rot = jnp.repeat(setup_c.cam_r_body, n, axis=0)
+        flat_trans = jnp.repeat(setup_c.cam_t_body, n, axis=0)
 
         inlier_threshold = p.inlier_threshold_px / jax.lax.pmax(
-            jnp.max(setup_c.fx), "cam"
+            jnp.max(setup_c.k_left[:, 0]), "cam"
         )
         body_t_world, inliers, num_inliers, rms = _distributed_robust_pnp(
             flat_pts, flat_obs, flat_valid, flat_rot, flat_trans,
