@@ -60,6 +60,7 @@ def build_camera_setup(calibration: RigCalibration) -> tuple[trk.CameraSetup, li
         world_exts = calibration.get_world_extrinsics(name)
         body_t_caml = world_exts[0].to_4x4_matrix()
         cam_t_body = geometry.se3_inverse(body_t_caml)
+        camr_t_body = geometry.se3_inverse(world_exts[1].to_4x4_matrix())
 
         cols["k_left"].append(k4(intrs[0]))
         cols["k_right"].append(k4(intrs[1]))
@@ -74,6 +75,8 @@ def build_camera_setup(calibration: RigCalibration) -> tuple[trk.CameraSetup, li
         cols["cam_r_body"].append(cam_t_body[:3, :3])
         cols["cam_t_body"].append(cam_t_body[:3, 3])
         cols["body_t_cam"].append(body_t_caml)
+        cols["cam_r_body_right"].append(camr_t_body[:3, :3])
+        cols["cam_t_body_right"].append(camr_t_body[:3, 3])
 
     setup = trk.CameraSetup(
         k_left=np.stack(cols["k_left"]),
@@ -87,5 +90,7 @@ def build_camera_setup(calibration: RigCalibration) -> tuple[trk.CameraSetup, li
         cam_r_body=np.stack(cols["cam_r_body"]).astype(np.float32),
         cam_t_body=np.stack(cols["cam_t_body"]).astype(np.float32),
         body_t_cam=np.stack(cols["body_t_cam"]).astype(np.float32),
+        cam_r_body_right=np.stack(cols["cam_r_body_right"]).astype(np.float32),
+        cam_t_body_right=np.stack(cols["cam_t_body_right"]).astype(np.float32),
     )
     return setup, source_order, height, width

@@ -26,8 +26,10 @@ import numpy as np
 
 from thor_slam_tpu.camera.rig import RigCalibration, stack_synchronized_images
 from thor_slam_tpu.camera.types import SynchronizedFrameSet
+from thor_slam_tpu.engine import ba
 from thor_slam_tpu.engine import tracker as trk
 from thor_slam_tpu.engine.setup import build_camera_setup
+from thor_slam_tpu.ops import rectify
 from thor_slam_tpu.slam.interface import (
     MapPoint,
     SlamConfig,
@@ -48,11 +50,29 @@ class TpuSlamEngine(SlamEngine):
             :class:`~thor_slam_tpu.engine.tracker.TrackerParams` fields;
             num_cams/height/width are derived from calibration).
         lost_after: Consecutive low-inlier frames before LOST.
+        enable_ba: Run sliding-window bundle adjustment at every keyframe.
+            Default off: on short, feature-rich sequences the landmark-
+            persistent VO is already at ~0.3% drift and window BA measured
+            net-neutral (landmark-id hops across keyframe refreshes inject
+            structural outliers). Enable for long drift-heavy trajectories.
+        ba_window: Keyframes per BA window (static shape K).
+        ba_landmarks: Landmark slots per BA window (static shape L).
     """
 
-    def __init__(self, params: dict | None = None, lost_after: int = 5) -> None:
+    def __init__(
+        self,
+        params: dict | None = None,
+        lost_after: int = 5,
+        enable_ba: bool = False,
+        ba_window: int = 6,
+        ba_landmarks: int = 384,
+    ) -> None:
         self._param_overrides = dict(params or {})
         self._lost_after = lost_after
+        self._enable_ba = enable_ba
+        self._ba_window = ba_window
+        self._ba_landmarks = ba_landmarks
+        self._kf_snapshots: list[dict] = []
         self._state_enum = TrackingState.NOT_INITIALIZED
         self._config = SlamConfig()
         self._step = None
@@ -83,6 +103,7 @@ class TpuSlamEngine(SlamEngine):
         self._step = trk.make_track_step(self._params, setup)
         self._tracker_state = trk.init_state(self._params)
         self._keyframe_poses = []
+        self._kf_snapshots = []
         self._low_inlier_streak = 0
         self._last_timestamp = None
         self._frame_count = 0
@@ -142,6 +163,9 @@ class TpuSlamEngine(SlamEngine):
                 self._state_enum = TrackingState.LOST
 
         if refreshed and self._state_enum == TrackingState.TRACKING:
+            if self._enable_ba:
+                self._snapshot_keyframe(ts)
+                world_t_body = self._run_bundle_adjustment(world_t_body)
             self._keyframe_poses.append(
                 SlamPose.from_4x4_matrix(world_t_body, timestamp=ts)
             )
@@ -161,6 +185,148 @@ class TpuSlamEngine(SlamEngine):
 
     def get_tracking_state(self) -> TrackingState:
         return self._state_enum
+
+    # ----------------------------------------------------- BA backend
+
+    def _snapshot_keyframe(self, ts: float) -> None:
+        """Capture the fresh keyframe's landmark bank for the BA window."""
+        st = self._tracker_state
+
+        def normalize(px, k_all, dist_all):
+            out = np.empty_like(px)
+            for ci in range(px.shape[0]):
+                k = np.asarray(k_all[ci])
+                dist = np.asarray(dist_all[ci])
+                xn = np.stack(
+                    [(px[ci, :, 0] - k[2]) / k[0], (px[ci, :, 1] - k[3]) / k[1]], -1
+                )
+                out[ci] = rectify.undistort_normalized(xn, dist)
+            return out
+
+        self._kf_snapshots.append(
+            {
+                "ids": np.asarray(st.lm_id),
+                "valid": np.asarray(st.lm_valid),
+                "pos": np.asarray(st.lm_pos_w),
+                "obs": normalize(
+                    np.asarray(st.lm_obs_px), self._setup.k_left, self._setup.dist_left
+                ),
+                "robs": normalize(
+                    np.asarray(st.lm_robs_px), self._setup.k_right, self._setup.dist_right
+                ),
+                "robs_valid": np.asarray(st.lm_robs_valid),
+                "body_t_world": np.linalg.inv(np.asarray(st.world_t_body, np.float64)),
+                "ts": ts,
+            }
+        )
+        if len(self._kf_snapshots) > self._ba_window:
+            self._kf_snapshots = self._kf_snapshots[-self._ba_window :]
+
+    def _run_bundle_adjustment(self, world_t_body: np.ndarray) -> np.ndarray:
+        """Optimize the keyframe window; push corrections into the tracker.
+
+        Returns the (possibly corrected) current world_T_body.
+        """
+        snaps = self._kf_snapshots
+        if len(snaps) < 3:
+            return world_t_body
+        k_win = self._ba_window
+        c = self._params.num_cams
+        l_cap = self._ba_landmarks
+
+        # Join landmark ids across snapshots; keep those seen in >= 2 kfs.
+        counts: dict[int, int] = {}
+        for s in snaps:
+            for lid in np.unique(s["ids"][s["valid"]]):
+                counts[int(lid)] = counts.get(int(lid), 0) + 1
+        multi = [lid for lid, n in counts.items() if n >= 3 and lid >= 0]
+        if len(multi) < 24:
+            return world_t_body
+        multi.sort(key=lambda lid: -counts[lid])
+        chosen = multi[:l_cap]
+        id_to_idx = {lid: i for i, lid in enumerate(chosen)}
+        l_n = len(chosen)
+
+        # Camera axis of the BA problem is 2C: left imagers then right
+        # imagers — keeping the stereo constraint in the window (without it,
+        # landmark depth is only held by weak inter-keyframe parallax).
+        obs = np.zeros((k_win, 2 * c, l_cap, 2), np.float32)
+        mask = np.zeros((k_win, 2 * c, l_cap), np.float32)
+        poses = np.tile(np.eye(4, dtype=np.float32), (k_win, 1, 1))
+        pose_mask = np.zeros(k_win, np.float32)
+        lms = np.zeros((l_cap, 3), np.float32)
+        lm_mask = np.zeros(l_cap, np.float32)
+
+        for ki, s in enumerate(snaps):
+            poses[ki] = s["body_t_world"]
+            pose_mask[ki] = 1.0
+            ids, valid = s["ids"], s["valid"]
+            for ci in range(c):
+                for slot in np.nonzero(valid[ci])[0]:
+                    li = id_to_idx.get(int(ids[ci, slot]))
+                    if li is None:
+                        continue
+                    obs[ki, ci, li] = s["obs"][ci, slot]
+                    mask[ki, ci, li] = 1.0
+                    if s["robs_valid"][ci, slot]:
+                        obs[ki, c + ci, li] = s["robs"][ci, slot]
+                        mask[ki, c + ci, li] = 1.0
+                    lms[li] = s["pos"][ci, slot]  # newest snapshot wins
+                    lm_mask[li] = 1.0
+
+        cam_rot = np.concatenate(
+            [np.asarray(self._setup.cam_r_body), np.asarray(self._setup.cam_r_body_right)]
+        )
+        cam_trans = np.concatenate(
+            [np.asarray(self._setup.cam_t_body), np.asarray(self._setup.cam_t_body_right)]
+        )
+        problem = ba.BAProblem(
+            body_t_world=jnp.asarray(poses),
+            landmarks_w=jnp.asarray(lms),
+            obs=jnp.asarray(obs),
+            obs_mask=jnp.asarray(mask),
+            cam_rot=jnp.asarray(cam_rot),
+            cam_trans=jnp.asarray(cam_trans),
+            pose_mask=jnp.asarray(pose_mask),
+            lm_mask=jnp.asarray(lm_mask),
+        )
+        result = ba.bundle_adjust(problem, huber_delta=0.004)
+
+        refined_poses = np.asarray(result.body_t_world, np.float64)
+        refined_lms = np.asarray(result.landmarks_w)
+
+        # Write refined poses back into the snapshots (next window reuses them).
+        for ki, s in enumerate(snaps):
+            s["body_t_world"] = refined_poses[ki]
+
+        # The live pose is NOT touched: the newest keyframe is the least-
+        # constrained pose in the window (its landmarks are barely multi-
+        # observed yet), so overwriting the tracker with its refinement
+        # injects noise. Corrections flow through the refined LANDMARKS —
+        # the tracker's next PnP solve snaps to the improved map — and
+        # through the keyframe trajectory (map output).
+        st = self._tracker_state
+        ids = np.asarray(st.lm_id)
+        pos = np.array(st.lm_pos_w)
+        valid = np.asarray(st.lm_valid)
+        for ci in range(c):
+            for slot in np.nonzero(valid[ci])[0]:
+                li = id_to_idx.get(int(ids[ci, slot]))
+                if li is not None and lm_mask[li]:
+                    pos[ci, slot] = refined_lms[li]
+
+        self._tracker_state = st._replace(lm_pos_w=jnp.asarray(pos, jnp.float32))
+
+        # Refined keyframe trajectory for the map output.
+        n_past = min(len(self._keyframe_poses), len(snaps) - 1)
+        for j in range(n_past):
+            ki = len(snaps) - 1 - n_past + j
+            old = self._keyframe_poses[len(self._keyframe_poses) - n_past + j]
+            self._keyframe_poses[len(self._keyframe_poses) - n_past + j] = SlamPose.from_4x4_matrix(
+                np.linalg.inv(refined_poses[ki]), timestamp=old.timestamp
+            )
+        del l_n
+        return world_t_body
 
     # ------------------------------------------------------------ mapping
 
@@ -237,6 +403,7 @@ class TpuSlamEngine(SlamEngine):
         if self._params is not None:
             self._tracker_state = trk.init_state(self._params)
         self._keyframe_poses = []
+        self._kf_snapshots = []
         self._low_inlier_streak = 0
         self._last_timestamp = None
         self._frame_count = 0

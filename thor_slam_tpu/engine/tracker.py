@@ -82,6 +82,9 @@ class CameraSetup(NamedTuple):
         cam_r_body: (C, 3, 3) rotation body -> raw-left-cam.
         cam_t_body: (C, 3) translation of the same transform.
         body_t_cam: (C, 4, 4) inverse (raw-left-cam -> body).
+        cam_r_body_right/cam_t_body_right: body -> raw-RIGHT-cam transforms
+            (the BA backend keeps the stereo constraint by including right-
+            camera observations).
     """
 
     k_left: jnp.ndarray
@@ -95,6 +98,8 @@ class CameraSetup(NamedTuple):
     cam_r_body: jnp.ndarray
     cam_t_body: jnp.ndarray
     body_t_cam: jnp.ndarray
+    cam_r_body_right: jnp.ndarray
+    cam_t_body_right: jnp.ndarray
 
 
 class TrackerState(NamedTuple):
@@ -110,6 +115,16 @@ class TrackerState(NamedTuple):
         lm_valid: (C, N) bool.
         lm_px: (C, N, 2) each landmark's pixel position in the previous
             left frame (the KLT template anchor).
+        lm_obs_px: (C, N, 2) the landmark's best *observation* in the
+            latest frame — the KLT-tracked position for inherited landmarks
+            (subpixel-consistent with their 3D position), the detector
+            position for fresh ones. This is what the BA backend consumes;
+            ``lm_px`` (the KLT template anchor) is always the detector
+            position at the keyframe.
+        lm_id: (C, N) int32 persistent landmark identities — slots change at
+            keyframe refreshes, ids survive inheritance (the join key for
+            the sliding-window bundle adjustment backend).
+        lm_id_counter: () int32 next fresh landmark id.
         kf_world_t_body: (4, 4) pose of the keyframe that created the
             active landmarks.
         prev_left0/1/2: Previous left-image pyramid (KLT templates).
@@ -125,6 +140,11 @@ class TrackerState(NamedTuple):
     lm_desc: jnp.ndarray
     lm_valid: jnp.ndarray
     lm_px: jnp.ndarray
+    lm_obs_px: jnp.ndarray
+    lm_robs_px: jnp.ndarray
+    lm_robs_valid: jnp.ndarray
+    lm_id: jnp.ndarray
+    lm_id_counter: jnp.ndarray
     kf_world_t_body: jnp.ndarray
     prev_left0: jnp.ndarray
     prev_left1: jnp.ndarray
@@ -167,6 +187,11 @@ def init_state(params: TrackerParams, world_t_body0=None, key=None) -> TrackerSt
         lm_desc=jnp.zeros((c, n, 8), jnp.uint32),
         lm_valid=jnp.zeros((c, n), bool),
         lm_px=jnp.zeros((c, n, 2)),
+        lm_obs_px=jnp.zeros((c, n, 2)),
+        lm_robs_px=jnp.zeros((c, n, 2)),
+        lm_robs_valid=jnp.zeros((c, n), bool),
+        lm_id=-jnp.ones((c, n), jnp.int32),
+        lm_id_counter=jnp.asarray(0, jnp.int32),
         kf_world_t_body=pose0,
         prev_left0=jnp.zeros((c, h, w)),
         prev_left1=jnp.zeros((c, h // 2, w // 2)),
@@ -285,6 +310,7 @@ class FrontendProducts(NamedTuple):
     desc_bits: jnp.ndarray
     pts_cam: jnp.ndarray
     tri_valid: jnp.ndarray
+    right_obs_px: jnp.ndarray
     tracks_xy: jnp.ndarray
     tracks_valid: jnp.ndarray
     obs_norm: jnp.ndarray
@@ -372,6 +398,11 @@ def run_frontend(
     # Rectified-frame points -> raw left camera frame: p_cam = R_rect^T p_rect.
     pts_cam = jnp.einsum("cji,cnj->cni", setup.rect_left, pts_rect)
 
+    # The matched right-image observation per left keypoint (subpixel x from
+    # the refined raw disparity) — kept for the BA backend's stereo residual.
+    right_y = jnp.take_along_axis(kp_r.xy[..., 1], stereo_m.idx, axis=1)
+    right_obs_px = jnp.stack([kp_l.xy[..., 0] - disp_raw_ref, right_y], axis=-1)
+
     # Temporal association by pyramidal KLT: each landmark's patch (anchored
     # at its position in the previous left frame) is aligned into the
     # current frame, initialized at the pose-predicted reprojection. Local
@@ -423,6 +454,7 @@ def run_frontend(
         desc_bits=desc_l.bits,
         pts_cam=pts_cam,
         tri_valid=tri_valid,
+        right_obs_px=right_obs_px,
         tracks_xy=tracks.xy,
         tracks_valid=tracks.valid,
         obs_norm=obs_norm,
@@ -490,6 +522,28 @@ def _finish_step(
     kf_pos = jnp.where(inherits[..., None], inherited_pos, pts_w)
     kf_valid = fe.tri_valid | (inherits & fe.kp_valid)
 
+    # Persistent landmark identities: inherited slots keep their id; fresh
+    # triangulations get new ids from the running counter (the BA backend
+    # joins observations across keyframes by these).
+    c_, n_ = p.num_cams, p.max_keypoints
+    inherited_id = jnp.take_along_axis(state.lm_id, nearest, axis=1)
+    fresh_ids = (
+        state.lm_id_counter
+        + jnp.arange(c_ * n_, dtype=jnp.int32).reshape(c_, n_)
+    )
+    kf_id = jnp.where(inherits, inherited_id, fresh_ids)
+    # BA observation: inherited landmarks keep their subpixel tracked
+    # position (consistent with their 3D point); fresh ones the detection.
+    inherited_track = jnp.take_along_axis(fe.tracks_xy, nearest[..., None], axis=1)
+    kf_obs_px = jnp.where(inherits[..., None], inherited_track, fe.kp_xy)
+    # Right-camera observation, shifted by the same (sub-pixel) offset the
+    # left observation moved by relative to the detection.
+    kf_robs_px = fe.right_obs_px + (kf_obs_px - fe.kp_xy)
+    kf_robs_valid = fe.tri_valid & kf_valid
+    new_counter = jnp.where(
+        refresh, state.lm_id_counter + c_ * n_, state.lm_id_counter
+    ).astype(jnp.int32)
+
     new_state = TrackerState(
         world_t_body=world_t_body,
         prev_world_t_body=state.world_t_body,
@@ -498,6 +552,11 @@ def _finish_step(
         lm_desc=jnp.where(refresh, fe.desc_bits, state.lm_desc),
         lm_valid=jnp.where(refresh, kf_valid, fe.corr_valid),
         lm_px=jnp.where(refresh, fe.kp_xy, fe.tracks_xy),
+        lm_obs_px=jnp.where(refresh, kf_obs_px, fe.tracks_xy),
+        lm_robs_px=jnp.where(refresh, kf_robs_px, state.lm_robs_px),
+        lm_robs_valid=jnp.where(refresh, kf_robs_valid, state.lm_robs_valid),
+        lm_id=jnp.where(refresh, kf_id, state.lm_id),
+        lm_id_counter=new_counter,
         kf_world_t_body=jnp.where(refresh, world_t_body, state.kf_world_t_body),
         prev_left0=fe.left,
         prev_left1=fe.cur_pyr1,

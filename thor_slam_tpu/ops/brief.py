@@ -17,6 +17,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from thor_slam_tpu.ops.image import extract_patches_mxu
+
 PATCH_RADIUS = 18  # patch half-size; fits rotated +/-13 px test points
 PATCH_SIZE = 2 * PATCH_RADIUS + 1
 PAIR_RADIUS = 13.0
@@ -84,22 +86,14 @@ class Descriptors(NamedTuple):
 
 
 def extract_patches(image: jnp.ndarray, xy: jnp.ndarray) -> jnp.ndarray:
-    """Gather (N, P, P) patches centered at integer keypoint positions.
+    """(N, P, P) patches centered at (rounded) keypoint positions.
 
-    Coordinates are clipped so border keypoints yield in-bounds (if
-    distorted) patches — callers use the detector's border margin to avoid
-    them in practice.
+    Routed through the one-hot-matmul extraction (MXU) — XLA's gather is
+    scalar-bound on TPU and dominated the whole tracker tick before.
+    Coordinates are clipped so border keypoints yield in-bounds patches.
     """
-    h, w = image.shape
-    n = xy.shape[0]
-    cx = jnp.clip(jnp.round(xy[:, 0]).astype(jnp.int32), PATCH_RADIUS, w - PATCH_RADIUS - 1)
-    cy = jnp.clip(jnp.round(xy[:, 1]).astype(jnp.int32), PATCH_RADIUS, h - PATCH_RADIUS - 1)
-    dy = jnp.arange(-PATCH_RADIUS, PATCH_RADIUS + 1)
-    dx = jnp.arange(-PATCH_RADIUS, PATCH_RADIUS + 1)
-    rows = cy[:, None, None] + dy[None, :, None]  # (N, P, 1)
-    cols = cx[:, None, None] + dx[None, None, :]  # (N, 1, P)
-    flat_idx = (rows * w + cols).reshape(n, PATCH_SIZE, PATCH_SIZE)
-    return image.reshape(-1)[flat_idx.reshape(-1)].reshape(n, PATCH_SIZE, PATCH_SIZE)
+    centers = jnp.round(xy).astype(jnp.int32)
+    return extract_patches_mxu(image, centers, PATCH_SIZE)
 
 
 def patch_orientation(patches: jnp.ndarray) -> jnp.ndarray:

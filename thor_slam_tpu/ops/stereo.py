@@ -227,23 +227,19 @@ def refine_disparity_photometric(
         (N,) refined disparities (coarse value kept where refinement is
         ill-conditioned or the slot is invalid).
     """
+    from thor_slam_tpu.ops.image import extract_patches_mxu
+
     h, w = left.shape
     r = patch_radius
-    n = xy_left.shape[0]
     x0 = jnp.clip(jnp.round(xy_left[:, 0]).astype(jnp.int32), r + 1, w - r - 2)
     y0 = jnp.clip(jnp.round(xy_left[:, 1]).astype(jnp.int32), r, h - r - 1)
     d0 = jnp.round(disparity).astype(jnp.int32)
 
-    dy = jnp.arange(-r, r + 1)
-    dx = jnp.arange(-r, r + 1)
-    rows = y0[:, None, None] + dy[None, :, None]
-    cols = x0[:, None, None] + dx[None, None, :]
-    lpatch = left.reshape(-1)[(rows * w + cols).reshape(-1)].reshape(n, 2 * r + 1, 2 * r + 1)
+    lpatch = extract_patches_mxu(left, jnp.stack([x0, y0], -1), 2 * r + 1)
 
     def sad_at(offset):
         xr = jnp.clip(x0 - d0 + offset, r, w - r - 1)
-        cols_r = xr[:, None, None] + dx[None, None, :]
-        rp = right.reshape(-1)[(rows * w + cols_r).reshape(-1)].reshape(n, 2 * r + 1, 2 * r + 1)
+        rp = extract_patches_mxu(right, jnp.stack([xr, y0], -1), 2 * r + 1)
         return jnp.sum(jnp.abs(lpatch - rp), axis=(1, 2))
 
     s_m = sad_at(-1)  # disparity d0 + 1 (right sample shifted left)

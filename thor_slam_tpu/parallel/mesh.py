@@ -40,12 +40,29 @@ def make_camera_mesh(n_devices: int | None = None, devices=None) -> Mesh:
     return Mesh(np.asarray(devices), axis_names=("cam",))
 
 
+#: TrackerState fields sharded on the camera axis; everything else replicated.
+_CAM_SHARDED_FIELDS = frozenset(
+    {
+        "lm_pos_w", "lm_desc", "lm_valid", "lm_px", "lm_obs_px", "lm_robs_px",
+        "lm_robs_valid", "lm_id", "prev_left0", "prev_left1", "prev_left2",
+    }
+)
+
+
+def _state_specs() -> trk.TrackerState:
+    return trk.TrackerState(
+        **{
+            f: (P("cam") if f in _CAM_SHARDED_FIELDS else P())
+            for f in trk.TrackerState._fields
+        }
+    )
+
+
 def shard_state(state: trk.TrackerState, mesh: Mesh) -> trk.TrackerState:
     """Place a tracker state on the mesh: camera arrays sharded, rest replicated."""
-    cam_sharded = {"lm_pos_w", "lm_desc", "lm_valid", "lm_px", "prev_left0", "prev_left1", "prev_left2"}
 
     def place(name, x):
-        spec = P("cam") if name in cam_sharded else P()
+        spec = P("cam") if name in _CAM_SHARDED_FIELDS else P()
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     return trk.TrackerState(**{k: place(k, v) for k, v in state._asdict().items()})
@@ -112,22 +129,7 @@ def make_sharded_track_step(params: trk.TrackerParams, setup: trk.CameraSetup, m
         *(jax.device_put(jnp.asarray(v), NamedSharding(mesh, P("cam"))) for v in setup)
     )
 
-    cam_specs = trk.TrackerState(
-        world_t_body=P(),
-        prev_world_t_body=P(),
-        velocity_w=P(),
-        lm_pos_w=P("cam"),
-        lm_desc=P("cam"),
-        lm_valid=P("cam"),
-        lm_px=P("cam"),
-        kf_world_t_body=P(),
-        prev_left0=P("cam"),
-        prev_left1=P("cam"),
-        prev_left2=P("cam"),
-        frame_idx=P(),
-        untracked_streak=P(),
-        key=P(),
-    )
+    cam_specs = _state_specs()
     setup_specs = trk.CameraSetup(*(P("cam") for _ in trk.CameraSetup._fields))
     out_specs_out = trk.TrackOutput(
         world_t_body=P(), num_inliers=P(), num_matches=P(),
