@@ -1,0 +1,64 @@
+# thor_slam_tpu operator targets (the reference's Makefile role).
+
+PY ?= python
+CONFIG ?= config/slam_config.yaml
+FRAMES ?=
+NUM_CAMERAS ?= 4
+
+.PHONY: help
+help:
+	@grep -E '^[a-z-]+:.*##' Makefile | sed 's/:.*##/\t/'
+
+# ----------------------------- run -----------------------------
+
+.PHONY: slam-run
+slam-run: ## Run SLAM tracking (config: CONFIG=...)
+	$(PY) -m scripts.run_slam --config $(CONFIG) $(if $(FRAMES),--frames $(FRAMES))
+
+.PHONY: slam-run-synthetic
+slam-run-synthetic: ## Run SLAM on the hardware-free synthetic rig
+	$(PY) -m scripts.run_slam --synthetic $(if $(FRAMES),--frames $(FRAMES))
+
+.PHONY: pipeline-run
+pipeline-run: ## Run SLAM + RGB-D product streams
+	$(PY) -m scripts.run_pipeline --config $(CONFIG) $(if $(FRAMES),--frames $(FRAMES))
+
+.PHONY: odom-tf
+odom-tf: ## Broadcast map->odom TF (requires rclpy)
+	$(PY) -m scripts.publish_odom_tf
+
+# --------------------------- hardware ---------------------------
+
+.PHONY: find-cameras
+find-cameras: ## List DepthAI devices on the network
+	$(PY) -m scripts.find_cameras
+
+.PHONY: set-ip
+set-ip: ## Flash a camera IP: make set-ip ARGS="<cur-ip> --static <new-ip>"
+	$(PY) -m scripts.set_ip $(ARGS)
+
+# ----------------------------- dev ------------------------------
+
+.PHONY: test
+test: ## Run the test suite (virtual 8-device CPU mesh)
+	$(PY) -m pytest tests/ -x -q
+
+.PHONY: bench
+bench: ## Headline benchmark on the attached TPU chip
+	$(PY) bench.py
+
+.PHONY: profile
+profile: ## Per-stage TPU timing of the tracker
+	$(PY) -m scripts.profile_stages 640x400 4
+
+.PHONY: native
+native: ## Build the native C++ runtime extension
+	$(PY) setup_native.py build_ext --inplace
+
+.PHONY: format
+format: ## Format (ruff, if available)
+	-ruff format thor_slam_tpu tests scripts
+
+.PHONY: static-checks
+static-checks: ## Lint (ruff, if available)
+	-ruff check thor_slam_tpu tests scripts

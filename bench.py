@@ -27,6 +27,10 @@ def main() -> None:
     seq_len = int(os.environ.get("BENCH_SEQ", "12"))
 
     import jax
+    from thor_slam_tpu.utils.platform import enable_compilation_cache
+
+    enable_compilation_cache()
+
     import jax.numpy as jnp
 
     from thor_slam_tpu.engine import tracker as trk

@@ -1,0 +1,159 @@
+"""Full pipeline runner: SLAM tracking + per-camera RGB-D product streams.
+
+The counterpart of the reference's scripts/run_pipeline.py: everything
+run_slam does, plus dense SGM depth for the cameras listed in
+``nvblox_cameras`` (or flagged ``enable_rgbd``), published as aligned
+(rgb, 16UC1-millimeter depth) pairs on bus topics
+``/camera_{i}/rgb|depth`` — the nvblox feed contract (reference
+run_pipeline.py:166-292). The RGB-D path is rate-independent from the SLAM
+path (here: every ``--rgbd-every`` ticks).
+
+Usage:
+    python -m scripts.run_pipeline --config config/slam_config.yaml
+    python -m scripts.run_pipeline --synthetic --frames 60 --rgbd-every 5
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import signal
+import sys
+import time
+
+from scripts.run_slam import _handle_signal, build_hardware_sources, build_synthetic_sources
+
+logger = logging.getLogger("run_pipeline")
+
+
+def run(cfg, max_frames: int | None = None, rgbd_every: int = 5) -> int:
+    import scripts.run_slam as rs
+    from thor_slam_tpu.camera.rig import CameraRig
+    from thor_slam_tpu.engine.tpu_engine import TpuSlamEngine
+    from thor_slam_tpu.pipeline.bus import MessageBus
+    from thor_slam_tpu.pipeline.rgbd import RGBDProcessor
+    from thor_slam_tpu.slam.interface import SlamConfig
+    from thor_slam_tpu.utils.profiling import PipelineStats, RateCounter
+
+    imu_ext = None
+    if cfg.synthetic.enabled or not cfg.cameras:
+        sources, rig_ext = build_synthetic_sources(cfg)
+    else:
+        sources, rig_ext, imu_ext = build_hardware_sources(cfg)
+
+    bus = MessageBus()
+    pose_topic = bus.topic("/slam/pose", queue_size=30)
+    stats = PipelineStats()
+
+    engine = TpuSlamEngine(
+        params=dict(max_keypoints=cfg.backend.max_keypoints, **cfg.backend.tracker),
+        enable_ba=cfg.backend.enable_ba,
+        use_imu=cfg.backend.use_imu,
+    )
+    rig = CameraRig(
+        sources,
+        queue_size=cfg.rig_queue_size,
+        rig_extrinsics=rig_ext,
+        imu_extrinsics=imu_ext,
+        imu_source=sources[0].name if sources[0].has_sensor_data else None,
+    )
+
+    # RGB-D processors: explicit nvblox list, else enable_rgbd flags, else
+    # (synthetic mode) the first camera.
+    rgbd_ips = cfg.rgbd_camera_ips()
+    if not rgbd_ips and (cfg.synthetic.enabled or not cfg.cameras):
+        rgbd_ips = [sources[0].name]
+    processors: list[RGBDProcessor] = []
+    rgbd_topics = {}
+    rgbd_fps: dict[str, RateCounter] = {}
+
+    frame_count = 0
+    try:
+        rig.start()
+        logger.info("Initializing engine (jit warm-up)...")
+        engine.initialize(rig.calibration, SlamConfig(num_cameras=cfg.num_cameras))
+
+        for i, ip in enumerate(rgbd_ips):
+            src = rig.get_source(ip)
+            if src is None:
+                logger.warning("RGB-D camera %s not in the rig; skipping", ip)
+                continue
+            proc = RGBDProcessor(ip, src.get_intrinsics(), src.get_extrinsics())
+            processors.append(proc)
+            rgbd_topics[ip] = (
+                bus.topic(f"/camera_{i}/rgb", queue_size=5),
+                bus.topic(f"/camera_{i}/depth", queue_size=5),
+            )
+            rgbd_fps[ip] = RateCounter()
+            logger.info("RGB-D stream for %s -> /camera_%d/{rgb,depth}", ip, i)
+
+        last_status = time.monotonic()
+        while not rs._shutdown and (max_frames is None or frame_count < max_frames):
+            with stats.stage("sync").time():
+                sync = rig.get_synchronized_frames()
+            if sync is None:
+                time.sleep(0.001)
+                continue
+            with stats.stage("track").time():
+                pose = engine.process_frames(sync)
+            frame_count += 1
+            stats.fps.tick()
+            stats.max_time_delta_ms = sync.max_time_delta * 1000.0
+            stats.tracking_state = engine.get_tracking_state().name
+            stats.num_inliers = engine.last_diagnostics.get("num_inliers", 0)
+            if pose is not None:
+                pose_topic.publish(pose)
+
+            if frame_count % rgbd_every == 0:
+                with stats.stage("rgbd").time():
+                    for proc in processors:
+                        frame = proc.process(sync)
+                        if frame is not None:
+                            rgb_t, depth_t = rgbd_topics[proc.camera_name]
+                            rgb_t.publish(frame)
+                            depth_t.publish(frame)
+                            rgbd_fps[proc.camera_name].tick()
+
+            now = time.monotonic()
+            if now - last_status >= 2.0:
+                rates = " ".join(
+                    f"rgbd[{ip[-2:]}]={r.rate_hz:.1f}Hz" for ip, r in rgbd_fps.items()
+                )
+                print(stats.status_line(frame_count) + " | " + rates, flush=True)
+                last_status = now
+    finally:
+        rig.stop()
+        m = engine.get_map()
+        print(
+            f"Done: {frame_count} frames | map: {len(m.points)} points, "
+            f"{len(m.keyframe_poses)} keyframes",
+            flush=True,
+        )
+        engine.shutdown()
+    return 0
+
+
+def main() -> int:
+    from thor_slam_tpu.utils.config import RunConfig, load_config
+    from thor_slam_tpu.utils.platform import enable_compilation_cache
+
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--config", default=None, help="YAML config path")
+    parser.add_argument("--synthetic", action="store_true", help="Force the synthetic rig")
+    parser.add_argument("--frames", type=int, default=None, help="Stop after N frames")
+    parser.add_argument("--rgbd-every", type=int, default=5, help="RGB-D cadence (ticks)")
+    args = parser.parse_args()
+
+    logging.basicConfig(level=logging.INFO, format="%(name)s: %(message)s")
+    enable_compilation_cache()
+    cfg = load_config(args.config) if args.config else RunConfig()
+    if args.synthetic:
+        cfg.synthetic.enabled = True
+
+    signal.signal(signal.SIGINT, _handle_signal)
+    signal.signal(signal.SIGTERM, _handle_signal)
+    return run(cfg, max_frames=args.frames, rgbd_every=args.rgbd_every)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

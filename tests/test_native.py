@@ -1,0 +1,75 @@
+"""Native host-runtime extension: build + parity with the Python fallback."""
+
+import subprocess
+import sys
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+REPO = Path(__file__).parent.parent
+
+
+@pytest.fixture(scope="module", autouse=True)
+def built_extension():
+    """Build the .so if missing (g++ is in the image; a few seconds)."""
+    so = REPO / "thor_slam_tpu" / "native" / "libframesync.so"
+    if not so.exists():
+        rc = subprocess.call([sys.executable, str(REPO / "setup_native.py"), "build_ext"])
+        if rc != 0:
+            pytest.skip("native build failed")
+    import thor_slam_tpu.native as nat
+
+    if not nat.AVAILABLE:
+        # Library appeared after import; reset the module cache.
+        nat._LIB = None
+        nat.AVAILABLE = nat._find_library() is not None
+    if not nat.AVAILABLE:
+        pytest.skip("native library not loadable")
+    return nat
+
+
+class TestStaging:
+    def test_matches_numpy(self, built_extension):
+        nat = built_extension
+        rng = np.random.default_rng(0)
+        imgs = [rng.integers(0, 255, (60, 80), np.uint8) for _ in range(8)]
+        out = nat.stage_frames(imgs)
+        np.testing.assert_allclose(out, np.stack(imgs).astype(np.float32) / 255.0)
+        assert out.dtype == np.float32
+
+    def test_non_contiguous_input(self, built_extension):
+        nat = built_extension
+        big = np.random.default_rng(1).integers(0, 255, (60, 160), np.uint8)
+        view = big[:, ::2]  # non-contiguous
+        out = nat.stage_frames([view])
+        np.testing.assert_allclose(out[0], view.astype(np.float32) / 255.0)
+
+
+class TestSyncSearch:
+    def test_reference_timestamp(self, built_extension):
+        nat = built_extension
+        ts = [np.array([0.1, 0.2, 0.35]), np.array([0.12, 0.3])]
+        assert nat.reference_timestamp(ts) == pytest.approx(0.3)
+
+    def test_reference_none_when_empty(self, built_extension):
+        nat = built_extension
+        assert nat.reference_timestamp([np.array([0.1]), np.array([])]) is None
+
+    def test_closest_indices(self, built_extension):
+        nat = built_extension
+        ts = [np.array([0.0, 0.1, 0.2, 0.3]), np.array([0.05, 0.25])]
+        idx, max_dt = nat.closest_indices(ts, 0.21)
+        assert idx.tolist() == [2, 1]
+        assert max_dt == pytest.approx(0.04, abs=1e-9)
+
+    def test_matches_rig_semantics(self, built_extension):
+        """Native search must agree with the rig's min-|dt| semantics."""
+        nat = built_extension
+        rng = np.random.default_rng(2)
+        ts = [np.sort(rng.uniform(0, 1, rng.integers(1, 20))) for _ in range(6)]
+        target = 0.5
+        idx, _ = nat.closest_indices(ts, target)
+        for t, i in zip(ts, idx):
+            expect = int(np.argmin(np.abs(t - target)))
+            assert abs(t[i] - target) == pytest.approx(abs(t[expect] - target))

@@ -121,6 +121,41 @@ def predict_pose(
     return out, v1
 
 
+def preintegrate_np(gyro, accel, dts, mask, gyro_bias=None, accel_bias=None):
+    """NumPy twin of :func:`preintegrate` for host-side use.
+
+    The per-frame pose *prediction* integrates <=64 samples of scalar math —
+    cheaper on the host than a device dispatch (which costs a round trip on
+    remote-attached TPUs). Device preintegration remains the right choice
+    inside fused graphs (tight VIO, batch evaluation).
+    """
+    import numpy as np
+
+    from thor_slam_tpu import geometry
+
+    bg = np.zeros(3) if gyro_bias is None else np.asarray(gyro_bias)
+    ba = np.zeros(3) if accel_bias is None else np.asarray(accel_bias)
+    r = np.eye(3)
+    v = np.zeros(3)
+    p = np.zeros(3)
+    t = 0.0
+    for w, a, dt, m in zip(np.asarray(gyro), np.asarray(accel), np.asarray(dts), np.asarray(mask)):
+        dt = float(dt) * float(m)
+        if dt == 0.0:
+            continue
+        acc0 = r @ (a - ba)
+        p = p + v * dt + 0.5 * acc0 * dt * dt
+        v = v + acc0 * dt
+        phi = (w - bg) * dt
+        angle = float(np.linalg.norm(phi))
+        if angle > 0:
+            r = r @ geometry.quat_to_matrix(geometry.axis_angle_to_quat(phi, angle))
+        t += dt
+    return Preintegrated(
+        delta_r=r, delta_v=v, delta_p=p, dt=t, count=int(np.sum(mask))
+    )
+
+
 def pack_imu_window(
     samples_ts: list[float] | jnp.ndarray,
     gyros,

@@ -26,7 +26,7 @@ import numpy as np
 
 from thor_slam_tpu.camera.rig import RigCalibration, stack_synchronized_images
 from thor_slam_tpu.camera.types import SynchronizedFrameSet
-from thor_slam_tpu.engine import ba
+from thor_slam_tpu.engine import ba, loop, posegraph
 from thor_slam_tpu.engine import tracker as trk
 from thor_slam_tpu.engine.setup import build_camera_setup
 from thor_slam_tpu.ops import rectify
@@ -66,13 +66,38 @@ class TpuSlamEngine(SlamEngine):
         enable_ba: bool = False,
         ba_window: int = 6,
         ba_landmarks: int = 384,
+        use_imu: bool = True,
+        imu_buffer_capacity: int = 256,
+        loop_db_capacity: int = 256,
+        loop_min_votes: int = 60,
+        loop_min_inliers: int = 40,
+        loop_exclude_recent: int = 12,
+        loop_cooldown_kfs: int = 20,
+        loop_min_correction_m: float = 0.05,
     ) -> None:
         self._param_overrides = dict(params or {})
         self._lost_after = lost_after
         self._enable_ba = enable_ba
         self._ba_window = ba_window
         self._ba_landmarks = ba_landmarks
+        self._use_imu = use_imu
+        self._imu_capacity = imu_buffer_capacity
+        self._imu_ts: list[float] = []
+        self._imu_gyro: list[np.ndarray] = []
+        self._imu_accel: list[np.ndarray] = []
+        self._body_r_imu = np.eye(3)
         self._kf_snapshots: list[dict] = []
+        self._loop_db: list[dict] = []
+        self._loop_db_capacity = loop_db_capacity
+        self._loop_min_votes = loop_min_votes
+        self._loop_min_inliers = loop_min_inliers
+        self._loop_exclude_recent = loop_exclude_recent
+        self._loop_cooldown_kfs = loop_cooldown_kfs
+        self._loop_min_correction = loop_min_correction_m
+        self._loop_cooldown = 0
+        self._loops_closed = 0
+        #: Per-frame tracking diagnostics (updated by process_frames).
+        self.last_diagnostics: dict = {}
         self._state_enum = TrackingState.NOT_INITIALIZED
         self._config = SlamConfig()
         self._step = None
@@ -93,6 +118,10 @@ class TpuSlamEngine(SlamEngine):
 
         setup, self._source_order, height, width = build_camera_setup(calibration)
         self._setup = setup
+        if calibration.imu_extrinsics is not None:
+            self._body_r_imu = np.asarray(
+                calibration.imu_extrinsics.extrinsics.rotation, np.float64
+            )
 
         self._params = trk.TrackerParams(
             num_cams=len(self._source_order),
@@ -115,6 +144,9 @@ class TpuSlamEngine(SlamEngine):
             (self._params.num_cams, 2, height, width), jnp.float32
         )
         warm_state, _ = self._step(self._tracker_state, dummy)
+        if self._use_imu:  # also compile the explicit-prediction variant
+            warm_state2, _ = self._step(self._tracker_state, dummy, jnp.eye(4))
+            jax.block_until_ready(warm_state2.world_t_body)
         jax.block_until_ready(warm_state.world_t_body)
         logger.info(
             "TpuSlamEngine initialized: %d cams @ %dx%d (warm-up %.1fs)",
@@ -127,15 +159,28 @@ class TpuSlamEngine(SlamEngine):
         if self._step is None:
             raise RuntimeError("initialize() must be called before process_frames()")
 
-        images = stack_synchronized_images(frame_set, self._source_order)
-        if images.dtype == np.uint8:
-            images = images.astype(np.float32) / 255.0
-        images = jnp.asarray(images)
+        images = self._stage_images(frame_set)
 
-        self._tracker_state, out = self._step(self._tracker_state, images)
-        num_inliers = int(out.num_inliers)
-        refreshed = bool(out.refreshed)
-        world_t_body = np.asarray(out.world_t_body, np.float64)
+        pose_prediction = None
+        if self._use_imu and frame_set.sensor_data is not None:
+            self._ingest_imu(frame_set.sensor_data, frame_set.sensor_timestamp)
+            pose_prediction = self._imu_pose_prediction(frame_set.timestamp)
+
+        self._tracker_state, out = self._step(self._tracker_state, images, pose_prediction)
+        # ONE host transfer for all per-frame outputs: scalar-by-scalar
+        # fetches each pay a device round trip (expensive on remote TPUs).
+        world_t_body, num_inliers, refreshed, rms, n_lm = jax.device_get(
+            (out.world_t_body, out.num_inliers, out.refreshed, out.rms_error, out.num_landmarks)
+        )
+        num_inliers = int(num_inliers)
+        refreshed = bool(refreshed)
+        world_t_body = np.asarray(world_t_body, np.float64)
+        self.last_diagnostics = {
+            "num_inliers": num_inliers,
+            "num_landmarks": int(n_lm),
+            "rms_error": float(rms),
+            "refreshed": refreshed,
+        }
 
         # Velocity estimate for the constant-velocity model.
         ts = frame_set.timestamp
@@ -169,6 +214,8 @@ class TpuSlamEngine(SlamEngine):
             self._keyframe_poses.append(
                 SlamPose.from_4x4_matrix(world_t_body, timestamp=ts)
             )
+            if self._config.enable_loop_closure:
+                world_t_body = self._loop_closure_tick(world_t_body, ts)
             if len(self._keyframe_poses) > 10000:
                 self._keyframe_poses = self._keyframe_poses[-10000:]
 
@@ -185,6 +232,209 @@ class TpuSlamEngine(SlamEngine):
 
     def get_tracking_state(self) -> TrackingState:
         return self._state_enum
+
+    def _stage_images(self, frame_set: SynchronizedFrameSet) -> jnp.ndarray:
+        """Stage the tick into one (C, 2, H, W) float32 device array.
+
+        Uses the native fused stack+normalize when built (4x faster than
+        numpy for the 8-image tick); single device transfer either way.
+        """
+        from thor_slam_tpu import native
+
+        flat = [
+            f.image
+            for name in self._source_order
+            for f in frame_set.frame_sets[name].frames
+        ]
+        if native.AVAILABLE and all(im.dtype == np.uint8 for im in flat):
+            c = len(self._source_order)
+            staged = native.stage_frames(flat)
+            arr = staged.reshape(c, len(flat) // c, *flat[0].shape)
+        else:
+            arr = stack_synchronized_images(frame_set, self._source_order)
+            if arr.dtype == np.uint8:
+                arr = arr.astype(np.float32) / 255.0
+        return jnp.asarray(arr)
+
+    # ----------------------------------------------------- IMU fusion
+
+    def _ingest_imu(self, sensor_data: dict, sensor_ts: float | None) -> None:
+        """Buffer IMU samples (single dict or driver-batched arrays)."""
+        acc = np.asarray(sensor_data.get("accelerometer"))
+        gyr = np.asarray(sensor_data.get("gyroscope"))
+        if acc is None or gyr is None:
+            return
+        if acc.ndim == 2:  # batched packet (synthetic source / DepthAI batching)
+            ts = np.asarray(sensor_data.get("timestamps"))
+            for i in range(acc.shape[0]):
+                t = float(ts[i]) if ts is not None else (sensor_ts or 0.0)
+                if not self._imu_ts or t > self._imu_ts[-1]:
+                    self._imu_ts.append(t)
+                    self._imu_gyro.append(gyr[i])
+                    self._imu_accel.append(acc[i])
+        else:
+            t = float(sensor_data.get("timestamp", sensor_ts or 0.0))
+            if not self._imu_ts or t > self._imu_ts[-1]:
+                self._imu_ts.append(t)
+                self._imu_gyro.append(gyr)
+                self._imu_accel.append(acc)
+        if len(self._imu_ts) > self._imu_capacity:
+            del self._imu_ts[: -self._imu_capacity]
+            del self._imu_gyro[: -self._imu_capacity]
+            del self._imu_accel[: -self._imu_capacity]
+
+    def _imu_pose_prediction(self, ts: float) -> np.ndarray | None:
+        """Gyro-preintegrated rotation + constant-velocity translation.
+
+        Full accelerometer dead reckoning needs a gravity-aligned world
+        frame; the gyro alone gives the part that breaks constant-velocity
+        models (fast rotation), so rotation comes from preintegration
+        (reference fusion role: launch/thor_visual_slam.launch.py:80) and
+        translation stays extrapolated.
+        """
+        if self._last_timestamp is None or len(self._imu_ts) < 2:
+            return None
+        from thor_slam_tpu.engine import imu as imu_mod
+
+        g, a, d, m = imu_mod.pack_imu_window(
+            self._imu_ts, self._imu_gyro, self._imu_accel,
+            t_start=self._last_timestamp, t_end=ts, capacity=64,
+        )
+        if m.sum() < 1:
+            return None
+        pre = imu_mod.preintegrate_np(g, a, d, m)  # host: no device round trip
+        # IMU-frame rotation increment -> body frame.
+        delta_r_imu = np.asarray(pre.delta_r, np.float64)
+        rbi = self._body_r_imu
+        delta_r_body = rbi @ delta_r_imu @ rbi.T
+
+        st = self._tracker_state
+        cur = np.asarray(st.world_t_body, np.float64)
+        prev = np.asarray(st.prev_world_t_body, np.float64)
+        pred = np.eye(4)
+        pred[:3, :3] = cur[:3, :3] @ delta_r_body
+        pred[:3, 3] = 2.0 * cur[:3, 3] - prev[:3, 3]  # constant velocity
+        return jnp.asarray(pred, jnp.float32)
+
+    # ----------------------------------------------------- loop closure
+
+    def _loop_closure_tick(self, world_t_body: np.ndarray, ts: float) -> np.ndarray:
+        """Keyframe hook: update the place DB, detect + close loops."""
+        st = self._tracker_state
+        # Camera-0 slice of the fresh keyframe is the place signature.
+        entry = {
+            "desc": np.asarray(st.lm_desc[0]),
+            "valid": np.asarray(st.lm_valid[0]),
+            "lm_w": np.asarray(st.lm_pos_w[0]),
+            "obs_px": np.asarray(st.lm_obs_px[0]),
+            "world_t_body": world_t_body.copy(),
+            "ts": ts,
+        }
+        self._loop_db.append(entry)
+        if len(self._loop_db) > self._loop_db_capacity:
+            self._loop_db = self._loop_db[-self._loop_db_capacity :]
+
+        k = len(self._loop_db)
+        if self._loop_cooldown > 0:
+            self._loop_cooldown -= 1
+            return world_t_body
+        if k <= self._loop_exclude_recent + 1:
+            return world_t_body
+
+        db_desc = np.stack([e["desc"] for e in self._loop_db[:-1]])
+        db_valid = np.stack([e["valid"] for e in self._loop_db[:-1]])
+        mask = np.ones(k - 1, np.float32)
+        mask[-self._loop_exclude_recent :] = 0.0
+
+        cand = loop.find_candidate(
+            jnp.asarray(entry["desc"]), jnp.asarray(entry["valid"]),
+            jnp.asarray(db_desc), jnp.asarray(db_valid), jnp.asarray(mask),
+        )
+        votes = int(cand.votes)
+        if votes < self._loop_min_votes:
+            return world_t_body
+        ci = int(cand.keyframe)
+        cand_e = self._loop_db[ci]
+
+        # Geometric verification: candidate's landmarks vs our observations.
+        k0 = np.asarray(self._setup.k_left[0])
+        d0 = np.asarray(self._setup.dist_left[0])
+        xn = np.stack(
+            [(entry["obs_px"][:, 0] - k0[2]) / k0[0], (entry["obs_px"][:, 1] - k0[3]) / k0[1]], -1
+        )
+        obs_norm = rectify.undistort_normalized(xn, d0).astype(np.float32)
+        ver = loop.verify_candidate(
+            jax.random.PRNGKey(self._frame_count),
+            jnp.asarray(cand_e["lm_w"], jnp.float32),
+            jnp.asarray(cand_e["valid"]),
+            jnp.asarray(cand_e["desc"]),
+            jnp.asarray(obs_norm),
+            jnp.asarray(entry["desc"]),
+            jnp.asarray(entry["valid"]),
+            jnp.asarray(self._setup.cam_r_body[0]),
+            jnp.asarray(self._setup.cam_t_body[0]),
+            jnp.asarray(np.linalg.inv(world_t_body), jnp.float32),
+            min_inliers=self._loop_min_inliers,
+        )
+        if not bool(ver.accepted):
+            return world_t_body
+
+        # Discrepancy gate: the loop constraint must disagree with odometry
+        # by more than the constraint's own noise floor — otherwise there is
+        # no drift to fix and "closing" only injects noise.
+        loop_pose_est = np.linalg.inv(np.asarray(ver.body_t_candidate, np.float64))
+        disc = np.linalg.norm(loop_pose_est[:3, 3] - world_t_body[:3, 3])
+        if disc < self._loop_min_correction:
+            self._loop_cooldown = self._loop_cooldown_kfs
+            return world_t_body
+
+        # Pose-graph over the loop DB trajectory: odometry chain + loop edge.
+        poses = np.stack([e["world_t_body"] for e in self._loop_db]).astype(np.float32)
+        kk = poses.shape[0]
+        e_cap = kk  # chain (kk-1 edges) + 1 loop edge
+        ei, ej, et, w = posegraph.sequential_graph(poses, capacity_edges=e_cap)
+        loop_pose = np.linalg.inv(np.asarray(ver.body_t_candidate, np.float64))
+        ei[e_cap - 1], ej[e_cap - 1] = ci, kk - 1
+        et[e_cap - 1] = np.linalg.inv(self._loop_db[ci]["world_t_body"]) @ loop_pose
+        w[e_cap - 1] = 3.0
+        graph = posegraph.PoseGraph(
+            poses=jnp.asarray(poses), node_mask=jnp.ones(kk),
+            edge_i=jnp.asarray(ei), edge_j=jnp.asarray(ej),
+            edge_t=jnp.asarray(et), edge_weight=jnp.asarray(w),
+        )
+        opt_poses, _ = posegraph.optimize(graph)
+        opt_poses = np.asarray(opt_poses, np.float64)
+
+        # Apply: rewrite DB + keyframe trajectory; rigidly correct the live
+        # pose and the landmark bank with the newest keyframe's correction.
+        t_corr = opt_poses[-1] @ np.linalg.inv(poses[-1].astype(np.float64))
+        for idx, e in enumerate(self._loop_db):
+            e["world_t_body"] = opt_poses[idx]
+        n_kf = min(len(self._keyframe_poses), kk)
+        for j in range(n_kf):
+            old = self._keyframe_poses[-n_kf + j]
+            self._keyframe_poses[-n_kf + j] = SlamPose.from_4x4_matrix(
+                opt_poses[kk - n_kf + j], timestamp=old.timestamp
+            )
+
+        new_world_t_body = t_corr @ world_t_body
+        pos = np.asarray(st.lm_pos_w)
+        pos = pos @ t_corr[:3, :3].T + t_corr[:3, 3]
+        self._tracker_state = st._replace(
+            lm_pos_w=jnp.asarray(pos, jnp.float32),
+            world_t_body=jnp.asarray(new_world_t_body, jnp.float32),
+            prev_world_t_body=jnp.asarray(
+                t_corr @ np.asarray(st.prev_world_t_body, np.float64), jnp.float32
+            ),
+            kf_world_t_body=jnp.asarray(new_world_t_body, jnp.float32),
+        )
+        self._loops_closed += 1
+        self._loop_cooldown = self._loop_cooldown_kfs
+        logger.info(
+            "Loop closed: kf %d <-> %d (votes=%d inliers=%d), |corr|=%.3f m",
+            ci, kk - 1, votes, int(ver.num_inliers), float(np.linalg.norm(t_corr[:3, 3])),
+        )
+        return new_world_t_body
 
     # ----------------------------------------------------- BA backend
 
@@ -404,6 +654,9 @@ class TpuSlamEngine(SlamEngine):
             self._tracker_state = trk.init_state(self._params)
         self._keyframe_poses = []
         self._kf_snapshots = []
+        self._loop_db = []
+        self._loops_closed = 0
+        self._imu_ts, self._imu_gyro, self._imu_accel = [], [], []
         self._low_inlier_streak = 0
         self._last_timestamp = None
         self._frame_count = 0

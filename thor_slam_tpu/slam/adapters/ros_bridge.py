@@ -1,0 +1,143 @@
+"""Optional ROS 2 edge: export TPU-SLAM results to the ROS ecosystem.
+
+The reference's adapter republishes *inputs* to an external CUDA solver
+(reference isaac_ros.py). With SLAM computed in-process on TPU, the ROS
+edge inverts: it publishes our *outputs* — odometry on
+``/visual_slam/tracking/odometry`` (the reference's topic, so downstream
+consumers like nvblox/RViz/publish_odom_tf work unchanged), TF, and the
+RGB-D product streams in the nvblox format (rgb + 16UC1 depth +
+CameraInfo, reference run_pipeline.py:193-256).
+
+Poses are converted RDF-world -> FLU base_link with the same basis change
+the reference applies (reference isaac_ros.py:42-49). Everything is gated
+on rclpy; the core stack has no ROS dependency.
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+
+from thor_slam_tpu import geometry
+from thor_slam_tpu.pipeline.rgbd import RGBDFrame
+from thor_slam_tpu.slam.interface import SlamPose
+
+logger = logging.getLogger(__name__)
+
+try:  # pragma: no cover - ROS stack
+    import rclpy
+    from builtin_interfaces.msg import Time as RosTime
+    from geometry_msgs.msg import TransformStamped
+    from nav_msgs.msg import Odometry
+    from rclpy.node import Node
+    from sensor_msgs.msg import CameraInfo, Image
+    from tf2_ros import TransformBroadcaster
+
+    HAVE_ROS = True
+except ImportError:
+    HAVE_ROS = False
+
+
+def _ros_time(ts: float):  # pragma: no cover - ROS stack
+    t = RosTime()
+    t.sec = int(ts)
+    t.nanosec = int((ts - int(ts)) * 1e9)
+    return t
+
+
+class RosBridge:  # pragma: no cover - ROS stack
+    """Publishes SlamPose / RGBDFrame objects as ROS 2 messages."""
+
+    def __init__(self, node_name: str = "thor_slam_tpu_bridge", odom_frame: str = "map") -> None:
+        if not HAVE_ROS:
+            raise ImportError("rclpy is not installed; the ROS edge is unavailable")
+        if not rclpy.ok():
+            rclpy.init()
+        self._node: Node = rclpy.create_node(node_name)
+        self._odom_frame = odom_frame
+        self._odom_pub = self._node.create_publisher(
+            Odometry, "/visual_slam/tracking/odometry", 10
+        )
+        self._tf = TransformBroadcaster(self._node)
+        self._rgbd_pubs: dict[str, tuple] = {}
+
+    def publish_pose(self, pose: SlamPose) -> None:
+        """Odometry + TF in FLU (converted from our RDF-consistent world)."""
+        m = pose.to_4x4_matrix()
+        m_flu = geometry.FLU_FROM_RDF @ m @ geometry.RDF_FROM_FLU
+        pos = m_flu[:3, 3]
+        quat = geometry.matrix_to_quat(m_flu[:3, :3])
+
+        msg = Odometry()
+        msg.header.stamp = _ros_time(pose.timestamp)
+        msg.header.frame_id = self._odom_frame
+        msg.child_frame_id = "base_link"
+        msg.pose.pose.position.x, msg.pose.pose.position.y, msg.pose.pose.position.z = pos
+        (msg.pose.pose.orientation.x, msg.pose.pose.orientation.y,
+         msg.pose.pose.orientation.z, msg.pose.pose.orientation.w) = quat
+        if pose.covariance is not None:
+            msg.pose.covariance = list(np.asarray(pose.covariance).reshape(-1))
+        self._odom_pub.publish(msg)
+
+        tf = TransformStamped()
+        tf.header = msg.header
+        tf.child_frame_id = "base_link"
+        tf.transform.translation.x, tf.transform.translation.y, tf.transform.translation.z = pos
+        (tf.transform.rotation.x, tf.transform.rotation.y,
+         tf.transform.rotation.z, tf.transform.rotation.w) = quat
+        self._tf.sendTransform(tf)
+
+    def publish_rgbd(self, index: int, frame: RGBDFrame) -> None:
+        """nvblox feed: /camera_{i}/{rgb,depth}/{image_raw,camera_info}."""
+        if index not in self._rgbd_pubs:
+            base = f"/camera_{index}"
+            self._rgbd_pubs[index] = (
+                self._node.create_publisher(Image, f"{base}/rgb/image_raw", 5),
+                self._node.create_publisher(CameraInfo, f"{base}/rgb/camera_info", 5),
+                self._node.create_publisher(Image, f"{base}/depth/image_raw", 5),
+                self._node.create_publisher(CameraInfo, f"{base}/depth/camera_info", 5),
+            )
+        rgb_pub, rgb_info_pub, depth_pub, depth_info_pub = self._rgbd_pubs[index]
+        stamp = _ros_time(frame.timestamp)
+        frame_id = f"camera_{index}_optical"
+
+        rgb = Image()
+        rgb.header.stamp = stamp
+        rgb.header.frame_id = frame_id
+        rgb.height, rgb.width = frame.rgb.shape[:2]
+        if frame.rgb.ndim == 2:
+            rgb.encoding = "mono8"
+            rgb.step = rgb.width
+        else:
+            rgb.encoding = "rgb8"
+            rgb.step = rgb.width * 3
+        rgb.data = frame.rgb.tobytes()
+        rgb_pub.publish(rgb)
+
+        depth = Image()
+        depth.header = rgb.header
+        depth.height, depth.width = frame.depth_mm.shape
+        depth.encoding = "16UC1"  # millimeters (reference run_pipeline.py:247-252)
+        depth.step = depth.width * 2
+        depth.data = frame.depth_mm.tobytes()
+        depth_pub.publish(depth)
+
+        info = CameraInfo()
+        info.header = rgb.header
+        info.width = frame.intrinsics.width
+        info.height = frame.intrinsics.height
+        info.k = list(frame.intrinsics.matrix.reshape(-1))
+        info.distortion_model = "plumb_bob"
+        info.d = list(np.asarray(frame.intrinsics.coeffs).reshape(-1)[:5])
+        p = np.zeros((3, 4))
+        p[:3, :3] = frame.intrinsics.matrix
+        info.p = list(p.reshape(-1))
+        rgb_info_pub.publish(info)
+        depth_info_pub.publish(info)
+
+    def spin_once(self, timeout_sec: float = 0.0) -> None:
+        rclpy.spin_once(self._node, timeout_sec=timeout_sec)
+
+    def shutdown(self) -> None:
+        self._node.destroy_node()

@@ -1,0 +1,140 @@
+"""Runtime configuration: the YAML schema the reference's operators use.
+
+Field-compatible with the reference's config/slam_config.yaml (per-camera
+ip/stereo/resolution/sensor_type/enable_rgbd/rgb resolutions; global fps/
+display/urdf_path/imu_report_rate/queue sizes; nvblox_cameras list —
+reference scripts/run_slam.py:53-114 and scripts/run_pipeline.py:85-159),
+plus a ``backend`` section for TPU-engine options and a ``synthetic``
+section so every app runs hardware-free.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any
+
+import yaml
+
+
+@dataclass
+class CameraEntry:
+    """One camera source in the rig."""
+
+    ip: str
+    stereo: bool = True
+    resolution: tuple[int, int] = (640, 400)
+    sensor_type: str = "MONO"
+    output_resolution: tuple[int, int] | None = None
+    enable_rgbd: bool = False
+    rgb_sensor_resolution: tuple[int, int] | None = None
+    rgb_output_resolution: tuple[int, int] | None = None
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "CameraEntry":
+        def tup(key):
+            v = d.get(key)
+            return tuple(v) if v is not None else None
+
+        return cls(
+            ip=d["ip"],
+            stereo=bool(d.get("stereo", True)),
+            resolution=tuple(d.get("resolution", (640, 400))),
+            sensor_type=str(d.get("sensor_type", "MONO")),
+            output_resolution=tup("output_resolution"),
+            enable_rgbd=bool(d.get("enable_rgbd", False)),
+            rgb_sensor_resolution=tup("rgb_sensor_resolution"),
+            rgb_output_resolution=tup("rgb_output_resolution"),
+        )
+
+
+@dataclass
+class BackendConfig:
+    """TPU engine options (our extension; absent keys keep defaults)."""
+
+    max_keypoints: int = 512
+    enable_ba: bool = False
+    enable_loop_closure: bool = True
+    use_imu: bool = True
+    tracker: dict[str, Any] = field(default_factory=dict)
+
+
+@dataclass
+class SyntheticConfig:
+    """Hardware-free operation (our extension)."""
+
+    enabled: bool = False
+    num_cameras: int = 4
+    resolution: tuple[int, int] = (640, 400)
+    baseline_m: float = 0.075
+    trajectory_radius: float = 1.8
+    room_half_extents: tuple[float, float, float] = (5.0, 5.0, 2.5)
+
+
+@dataclass
+class RunConfig:
+    """Everything an app needs to bring the system up."""
+
+    cameras: list[CameraEntry] = field(default_factory=list)
+    fps: float = 30.0
+    display: bool = False
+    urdf_path: str = ""
+    imu_report_rate: int = 400
+    queue_size: int = 8
+    rig_queue_size: int = 10
+    nvblox_cameras: list[str] = field(default_factory=list)
+    backend: BackendConfig = field(default_factory=BackendConfig)
+    synthetic: SyntheticConfig = field(default_factory=SyntheticConfig)
+
+    @property
+    def num_cameras(self) -> int:
+        """Total imagers: 2 per stereo source, 1 per mono (reference
+        run_slam.py:112-114)."""
+        return sum(2 if c.stereo else 1 for c in self.cameras)
+
+    def rgbd_camera_ips(self) -> list[str]:
+        """Cameras feeding the RGB-D product: the explicit nvblox list, else
+        every camera flagged enable_rgbd (reference run_pipeline.py:99-159)."""
+        if self.nvblox_cameras:
+            return list(self.nvblox_cameras)
+        return [c.ip for c in self.cameras if c.enable_rgbd]
+
+    @classmethod
+    def from_dict(cls, d: dict[str, Any]) -> "RunConfig":
+        cams = [CameraEntry.from_dict(c) for c in d.get("cameras", [])]
+        backend_d = d.get("backend", {}) or {}
+        backend = BackendConfig(
+            max_keypoints=int(backend_d.get("max_keypoints", 512)),
+            enable_ba=bool(backend_d.get("enable_ba", False)),
+            enable_loop_closure=bool(backend_d.get("enable_loop_closure", True)),
+            use_imu=bool(backend_d.get("use_imu", True)),
+            tracker=dict(backend_d.get("tracker", {})),
+        )
+        syn_d = d.get("synthetic", {}) or {}
+        synthetic = SyntheticConfig(
+            enabled=bool(syn_d.get("enabled", False)),
+            num_cameras=int(syn_d.get("num_cameras", 4)),
+            resolution=tuple(syn_d.get("resolution", (640, 400))),
+            baseline_m=float(syn_d.get("baseline_m", 0.075)),
+            trajectory_radius=float(syn_d.get("trajectory_radius", 1.8)),
+            room_half_extents=tuple(syn_d.get("room_half_extents", (5.0, 5.0, 2.5))),
+        )
+        return cls(
+            cameras=cams,
+            fps=float(d.get("fps", 30.0)),
+            display=bool(d.get("display", False)),
+            urdf_path=str(d.get("urdf_path", "") or ""),
+            imu_report_rate=int(d.get("imu_report_rate", 400)),
+            queue_size=int(d.get("queue_size", 8)),
+            rig_queue_size=int(d.get("rig_queue_size", 10)),
+            nvblox_cameras=[str(x) for x in d.get("nvblox_cameras", []) or []],
+            backend=backend,
+            synthetic=synthetic,
+        )
+
+
+def load_config(path: str | Path) -> RunConfig:
+    """Load a RunConfig from a YAML file."""
+    with open(path) as f:
+        data = yaml.safe_load(f) or {}
+    return RunConfig.from_dict(data)
