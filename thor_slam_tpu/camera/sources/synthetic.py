@@ -348,11 +348,11 @@ class SyntheticCameraSource(CameraSource):
     def _jitter(self, n: int) -> float:
         if self._jitter_std <= 0.0:
             return 0.0
-        h = _hash01(
-            np.int32(n), np.int32(len(self._name)), np.int32(17), seed=self._spec.seed
-        )
+        # Distinct per-camera stream: fold the source name into the lattice.
+        name_key = np.int32(sum(ord(c) * (i + 1) for i, c in enumerate(self._name)) & 0x7FFFFFFF)
+        h = _hash01(np.int32(n), name_key, np.int32(17), seed=self._spec.seed)
         # Map uniform [0,1) to roughly normal via sum of two uniforms - 1.
-        h2 = _hash01(np.int32(n * 7 + 3), np.int32(5), np.int32(23), seed=self._spec.seed)
+        h2 = _hash01(np.int32(n * 7 + 3), name_key, np.int32(23), seed=self._spec.seed)
         return float((h + h2) - 1.0) * self._jitter_std * 1.732
 
     def frame_time(self, n: int) -> float:
