@@ -47,13 +47,14 @@ class TrackerParams:
     stereo_max_dy: float = 1.5
     max_disparity_px: float = 100.0
     klt_radius: int = 4
-    klt_iters: int = 8
+    klt_iters: int = 3
+    klt_levels: int = 2
     klt_max_residual: float = 0.08
     persist_radius_px: float = 2.0  # keypoint inherits a landmark within this
     min_disparity: float = 0.25
     max_depth_m: float = 40.0
-    ransac_hypotheses: int = 24
-    ransac_sample_size: int = 8
+    ransac_hypotheses: int = 16
+    ransac_sample_size: int = 6
     inlier_threshold_px: float = 3.0  # pixels; normalized per-camera by fx
     keyframe_min_inliers: int = 50
     keyframe_max_translation: float = 0.12
@@ -251,12 +252,12 @@ def track_step(
         init_body_t_world = _se3_inv(pose_prediction)
     klt_body_t_world = _se3_inv(klt_prediction)
 
-    fe = run_frontend(params, setup, state, images, klt_body_t_world)
+    hot = run_hot_frontend(params, setup, state, images, klt_body_t_world)
 
     c, n = p.num_cams, p.max_keypoints
     flat_pts = state.lm_pos_w.reshape(c * n, 3)
-    flat_obs = fe.obs_norm.reshape(c * n, 2)
-    flat_valid = fe.corr_valid.reshape(c * n)
+    flat_obs = hot.obs_norm.reshape(c * n, 2)
+    flat_valid = hot.corr_valid.reshape(c * n)
     flat_rot = jnp.repeat(setup.cam_r_body, n, axis=0)  # (C*N, 3, 3)
     flat_trans = jnp.repeat(setup.cam_t_body, n, axis=0)
 
@@ -279,7 +280,7 @@ def track_step(
     )
 
     return _finish_step(
-        params, setup, state, fe,
+        params, setup, state, hot, images,
         body_t_world=result.body_t_world,
         num_inliers=result.num_inliers,
         inliers_cn=result.inliers.reshape(c, n),
@@ -289,14 +290,11 @@ def track_step(
     )
 
 
-class FrontendProducts(NamedTuple):
-    """Everything the pose back-end and keyframe logic need, per camera.
+class HotProducts(NamedTuple):
+    """Per-frame products: pyramids + KLT tracks (the every-tick path).
 
     Attributes:
-        left/cur_pyr1/cur_pyr2: Rectified left pyramid (C, H/2^l, W/2^l).
-        kp_xy/kp_valid: Current detections (C, N, 2)/(C, N).
-        desc_bits: Left descriptors (C, N, 8) uint32.
-        pts_cam/tri_valid: Stereo triangulation in raw-left camera frames.
+        left/cur_pyr1/cur_pyr2: Left-image pyramid (C, H/2^l, W/2^l).
         tracks_xy/tracks_valid: KLT-tracked landmark positions (C, N, 2).
         obs_norm: Normalized tracked observations (C, N, 2).
         corr_valid: 2D-3D correspondence mask (C, N).
@@ -305,35 +303,111 @@ class FrontendProducts(NamedTuple):
     left: jnp.ndarray
     cur_pyr1: jnp.ndarray
     cur_pyr2: jnp.ndarray
-    kp_xy: jnp.ndarray
-    kp_valid: jnp.ndarray
-    desc_bits: jnp.ndarray
-    pts_cam: jnp.ndarray
-    tri_valid: jnp.ndarray
-    right_obs_px: jnp.ndarray
     tracks_xy: jnp.ndarray
     tracks_valid: jnp.ndarray
     obs_norm: jnp.ndarray
     corr_valid: jnp.ndarray
 
 
-def run_frontend(
+class KeyframeProducts(NamedTuple):
+    """Keyframe-only products: detections, descriptors, stereo geometry.
+
+    Attributes:
+        kp_xy/kp_valid: Fresh detections (C, N, 2)/(C, N).
+        desc_bits: Left descriptors (C, N, 8) uint32.
+        pts_cam/tri_valid: Stereo triangulation in raw-left camera frames.
+        right_obs_px: Matched right-image observations (C, N, 2).
+    """
+
+    kp_xy: jnp.ndarray
+    kp_valid: jnp.ndarray
+    desc_bits: jnp.ndarray
+    pts_cam: jnp.ndarray
+    tri_valid: jnp.ndarray
+    right_obs_px: jnp.ndarray
+
+
+def run_hot_frontend(
     params: TrackerParams,
     setup: CameraSetup,
     state: TrackerState,
     images: jnp.ndarray,
     klt_body_t_world: jnp.ndarray,
-) -> FrontendProducts:
-    """The per-camera image pipeline: rectify -> detect -> describe ->
-    stereo triangulate -> KLT-track landmarks.
+) -> HotProducts:
+    """The every-tick path: pyramids + KLT landmark tracking.
+
+    Detection/description/stereo association live in
+    :func:`run_keyframe_frontend` and execute only on keyframe ticks (a
+    ``lax.cond`` branch): their products are consumed exclusively by the
+    landmark-refresh logic, so ~80% of ticks skip them entirely.
 
     Embarrassingly parallel over the camera axis — this is the unit that
     shards across chips (each device runs its cameras; only the 6-DoF pose
     solve needs cross-device reduction). See parallel/mesh.py.
     """
     p = params
+    left = images[:, 0]
 
-    # Raw images straight through — no remap (see CameraSetup docstring).
+    # Temporal association by pyramidal KLT: each landmark's patch (anchored
+    # at its position in the previous left frame) is aligned into the
+    # current frame, initialized at the pose-predicted reprojection. Local
+    # photometric alignment is precise and unambiguous where descriptor
+    # matching is not (repetitive texture), and the residual verifies it.
+    pred_cam_t_world_r = jnp.einsum(
+        "cij,jk->cik", setup.cam_r_body, klt_body_t_world[:3, :3]
+    )  # (C,3,3)
+    pred_cam_t_world_t = (
+        jnp.einsum("cij,j->ci", setup.cam_r_body, klt_body_t_world[:3, 3])
+        + setup.cam_t_body
+    )  # (C,3)
+    lm_cam = (
+        jnp.einsum("cij,cnj->cni", pred_cam_t_world_r, state.lm_pos_w)
+        + pred_cam_t_world_t[:, None, :]
+    )  # (C,N,3)
+    uv_pred, in_front = jax.vmap(calib.cam_points_to_raw_pixels)(
+        lm_cam, setup.k_left, setup.dist_left
+    )
+
+    cur_pyr1 = jax.vmap(downsample2)(left)
+    cur_pyr2 = jax.vmap(downsample2)(cur_pyr1)
+    tracks = jax.vmap(
+        lambda p0, p1, p2, c0, c1, c2, pts, init, v: klt.track_points(
+            (p0, p1, p2), (c0, c1, c2), pts, init, v,
+            num_levels=p.klt_levels, radius=p.klt_radius, iters=p.klt_iters,
+            max_residual=p.klt_max_residual,
+        )
+    )(
+        state.prev_left0, state.prev_left1, state.prev_left2,
+        left, cur_pyr1, cur_pyr2,
+        state.lm_px, uv_pred,
+        state.lm_valid & in_front,
+    )
+
+    # Per-landmark 2D-3D correspondences: undistorted normalized coords in
+    # the raw left camera frame.
+    obs_norm = jax.vmap(calib.raw_pixels_to_normalized)(
+        tracks.xy, setup.k_left, setup.dist_left
+    )  # (C, N, 2)
+    corr_valid = tracks.valid & state.lm_valid  # (C, N)
+
+    return HotProducts(
+        left=left,
+        cur_pyr1=cur_pyr1,
+        cur_pyr2=cur_pyr2,
+        tracks_xy=tracks.xy,
+        tracks_valid=tracks.valid,
+        obs_norm=obs_norm,
+        corr_valid=corr_valid,
+    )
+
+
+def run_keyframe_frontend(
+    params: TrackerParams,
+    setup: CameraSetup,
+    images: jnp.ndarray,
+) -> KeyframeProducts:
+    """Keyframe work: detect -> describe -> stereo associate -> triangulate."""
+    p = params
     left = images[:, 0]
     right = images[:, 1]
     left_sm = jax.vmap(lambda im: gaussian_blur(im, 2.0, radius=4))(left)
@@ -403,62 +477,13 @@ def run_frontend(
     right_y = jnp.take_along_axis(kp_r.xy[..., 1], stereo_m.idx, axis=1)
     right_obs_px = jnp.stack([kp_l.xy[..., 0] - disp_raw_ref, right_y], axis=-1)
 
-    # Temporal association by pyramidal KLT: each landmark's patch (anchored
-    # at its position in the previous left frame) is aligned into the
-    # current frame, initialized at the pose-predicted reprojection. Local
-    # photometric alignment is precise and unambiguous where descriptor
-    # matching is not (repetitive texture), and the residual verifies it.
-    pred_cam_t_world_r = jnp.einsum(
-        "cij,jk->cik", setup.cam_r_body, klt_body_t_world[:3, :3]
-    )  # (C,3,3)
-    pred_cam_t_world_t = (
-        jnp.einsum("cij,j->ci", setup.cam_r_body, klt_body_t_world[:3, 3])
-        + setup.cam_t_body
-    )  # (C,3)
-    lm_cam = (
-        jnp.einsum("cij,cnj->cni", pred_cam_t_world_r, state.lm_pos_w)
-        + pred_cam_t_world_t[:, None, :]
-    )  # (C,N,3)
-    uv_pred, in_front = jax.vmap(calib.cam_points_to_raw_pixels)(
-        lm_cam, setup.k_left, setup.dist_left
-    )
-
-    cur_pyr1 = jax.vmap(downsample2)(left)
-    cur_pyr2 = jax.vmap(downsample2)(cur_pyr1)
-    tracks = jax.vmap(
-        lambda p0, p1, p2, c0, c1, c2, pts, init, v: klt.track_points(
-            (p0, p1, p2), (c0, c1, c2), pts, init, v,
-            num_levels=3, radius=p.klt_radius, iters=p.klt_iters,
-            max_residual=p.klt_max_residual,
-        )
-    )(
-        state.prev_left0, state.prev_left1, state.prev_left2,
-        left, cur_pyr1, cur_pyr2,
-        state.lm_px, uv_pred,
-        state.lm_valid & in_front,
-    )
-
-    # Per-landmark 2D-3D correspondences: undistorted normalized coords in
-    # the raw left camera frame.
-    obs_norm = jax.vmap(calib.raw_pixels_to_normalized)(
-        tracks.xy, setup.k_left, setup.dist_left
-    )  # (C, N, 2)
-    corr_valid = tracks.valid & state.lm_valid  # (C, N)
-
-    return FrontendProducts(
-        left=left,
-        cur_pyr1=cur_pyr1,
-        cur_pyr2=cur_pyr2,
+    return KeyframeProducts(
         kp_xy=kp_l.xy,
         kp_valid=kp_l.valid,
         desc_bits=desc_l.bits,
         pts_cam=pts_cam,
         tri_valid=tri_valid,
         right_obs_px=right_obs_px,
-        tracks_xy=tracks.xy,
-        tracks_valid=tracks.valid,
-        obs_norm=obs_norm,
-        corr_valid=corr_valid,
     )
 
 
@@ -466,7 +491,8 @@ def _finish_step(
     params: TrackerParams,
     setup: CameraSetup,
     state: TrackerState,
-    fe: FrontendProducts,
+    hot: HotProducts,
+    images: jnp.ndarray,
     body_t_world: jnp.ndarray,
     num_inliers: jnp.ndarray,
     inliers_cn: jnp.ndarray,
@@ -474,7 +500,11 @@ def _finish_step(
     init_body_t_world: jnp.ndarray,
     key: jax.Array,
 ) -> tuple[TrackerState, TrackOutput]:
-    """Shared back half of a tick: acceptance, keyframing, state update."""
+    """Shared back half of a tick: acceptance, keyframing, state update.
+
+    The keyframe front-end (detection/description/stereo) runs inside the
+    ``lax.cond`` refresh branch — non-keyframe ticks skip it entirely.
+    """
     p = params
 
     # Accept the solve only with enough support; otherwise hold prediction.
@@ -482,11 +512,10 @@ def _finish_step(
     body_t_world = jnp.where(tracked, body_t_world, init_body_t_world)
     world_t_body = _se3_inv(body_t_world)
     untracked_streak = jnp.where(tracked, 0, state.untracked_streak + 1)
-    # Keyframe policy + landmark refresh (branch-free selection).
-    # Landmarks are only re-anchored from a pose we actually trust: a
-    # tracked solve (normal keyframing) — or a forced restart after a long
-    # untracked streak (VO re-bootstrap from the predicted pose; relative
-    # tracking resumes, absolute drift is accepted).
+    # Keyframe policy. Landmarks are only re-anchored from a pose we
+    # actually trust: a tracked solve (normal keyframing) — or a forced
+    # restart after a long untracked streak (VO re-bootstrap from the
+    # predicted pose; relative tracking resumes, drift is accepted).
     rel = _se3_inv(state.kf_world_t_body) @ world_t_body
     trans_dist = jnp.linalg.norm(rel[:3, 3])
     rot_angle = jnp.arccos(jnp.clip(0.5 * (jnp.trace(rel[:3, :3]) - 1.0), -1.0, 1.0))
@@ -499,47 +528,61 @@ def _finish_step(
     refresh = (state.frame_idx == 0) | (tracked & want_kf) | restart
     untracked_streak = jnp.where(restart, 0, untracked_streak)
 
-    # New landmarks: triangulated points lifted to world with the new pose —
-    # EXCEPT persistent ones. A freshly detected keypoint that lands on an
-    # inlier-tracked landmark's current position inherits that landmark's
-    # world coordinates: persistent landmarks anchor the world frame across
-    # keyframes and cut re-anchoring drift dramatically.
-    world_t_cam = jnp.einsum("ij,cjk->cik", world_t_body, setup.body_t_cam)  # (C,4,4)
-    pts_w = (
-        jnp.einsum("cij,cnj->cni", world_t_cam[:, :3, :3], fe.pts_cam)
-        + world_t_cam[:, None, :3, 3]
-    )
-    anchor_ok = fe.corr_valid & inliers_cn  # (C, N) landmarks w/ trusted tracks
-    # Distance from each new keypoint to each tracked landmark position.
-    d2 = jnp.sum(
-        (fe.kp_xy[:, :, None, :] - fe.tracks_xy[:, None, :, :]) ** 2, axis=-1
-    )  # (C, N_kp, N_lm)
-    d2 = jnp.where(anchor_ok[:, None, :], d2, jnp.inf)
-    nearest = jnp.argmin(d2, axis=-1)  # (C, N_kp)
-    near_d2 = jnp.min(d2, axis=-1)
-    inherits = near_d2 <= p.persist_radius_px**2
-    inherited_pos = jnp.take_along_axis(state.lm_pos_w, nearest[..., None], axis=1)
-    kf_pos = jnp.where(inherits[..., None], inherited_pos, pts_w)
-    kf_valid = fe.tri_valid | (inherits & fe.kp_valid)
-
-    # Persistent landmark identities: inherited slots keep their id; fresh
-    # triangulations get new ids from the running counter (the BA backend
-    # joins observations across keyframes by these).
     c_, n_ = p.num_cams, p.max_keypoints
-    inherited_id = jnp.take_along_axis(state.lm_id, nearest, axis=1)
-    fresh_ids = (
-        state.lm_id_counter
-        + jnp.arange(c_ * n_, dtype=jnp.int32).reshape(c_, n_)
-    )
-    kf_id = jnp.where(inherits, inherited_id, fresh_ids)
-    # BA observation: inherited landmarks keep their subpixel tracked
-    # position (consistent with their 3D point); fresh ones the detection.
-    inherited_track = jnp.take_along_axis(fe.tracks_xy, nearest[..., None], axis=1)
-    kf_obs_px = jnp.where(inherits[..., None], inherited_track, fe.kp_xy)
-    # Right-camera observation, shifted by the same (sub-pixel) offset the
-    # left observation moved by relative to the detection.
-    kf_robs_px = fe.right_obs_px + (kf_obs_px - fe.kp_xy)
-    kf_robs_valid = fe.tri_valid & kf_valid
+
+    def keyframe_branch(_):
+        """Mint a new landmark bank: detect/describe/triangulate + persist.
+
+        New landmarks are triangulated points lifted to world with the new
+        pose — EXCEPT persistent ones: a freshly detected keypoint that
+        lands on an inlier-tracked landmark's current position inherits
+        that landmark's world coordinates (and id), anchoring the world
+        frame across keyframes.
+        """
+        kf = run_keyframe_frontend(p, setup, images)
+        world_t_cam = jnp.einsum("ij,cjk->cik", world_t_body, setup.body_t_cam)
+        pts_w = (
+            jnp.einsum("cij,cnj->cni", world_t_cam[:, :3, :3], kf.pts_cam)
+            + world_t_cam[:, None, :3, 3]
+        )
+        anchor_ok = hot.corr_valid & inliers_cn  # trusted tracks
+        d2 = jnp.sum(
+            (kf.kp_xy[:, :, None, :] - hot.tracks_xy[:, None, :, :]) ** 2, axis=-1
+        )  # (C, N_kp, N_lm)
+        d2 = jnp.where(anchor_ok[:, None, :], d2, jnp.inf)
+        nearest = jnp.argmin(d2, axis=-1)
+        near_d2 = jnp.min(d2, axis=-1)
+        inherits = near_d2 <= p.persist_radius_px**2
+        inherited_pos = jnp.take_along_axis(state.lm_pos_w, nearest[..., None], axis=1)
+        lm_pos = jnp.where(inherits[..., None], inherited_pos, pts_w)
+        lm_valid = kf.tri_valid | (inherits & kf.kp_valid)
+
+        inherited_id = jnp.take_along_axis(state.lm_id, nearest, axis=1)
+        fresh_ids = state.lm_id_counter + jnp.arange(c_ * n_, dtype=jnp.int32).reshape(c_, n_)
+        lm_id = jnp.where(inherits, inherited_id, fresh_ids)
+        # BA observation: inherited landmarks keep their subpixel tracked
+        # position (consistent with their 3D point); fresh ones the detection.
+        inherited_track = jnp.take_along_axis(hot.tracks_xy, nearest[..., None], axis=1)
+        lm_obs = jnp.where(inherits[..., None], inherited_track, kf.kp_xy)
+        lm_robs = kf.right_obs_px + (lm_obs - kf.kp_xy)
+        lm_robs_valid = kf.tri_valid & lm_valid
+        return (
+            lm_pos, kf.desc_bits, lm_valid, kf.kp_xy, lm_obs,
+            lm_robs, lm_robs_valid, lm_id,
+        )
+
+    def continue_branch(_):
+        """Non-keyframe tick: landmarks persist, anchors advance with KLT."""
+        return (
+            state.lm_pos_w, state.lm_desc, hot.corr_valid, hot.tracks_xy,
+            hot.tracks_xy, state.lm_robs_px, state.lm_robs_valid, state.lm_id,
+        )
+
+    (
+        lm_pos_w, lm_desc, lm_valid, lm_px, lm_obs_px,
+        lm_robs_px, lm_robs_valid, lm_id,
+    ) = jax.lax.cond(refresh, keyframe_branch, continue_branch, None)
+
     new_counter = jnp.where(
         refresh, state.lm_id_counter + c_ * n_, state.lm_id_counter
     ).astype(jnp.int32)
@@ -548,19 +591,19 @@ def _finish_step(
         world_t_body=world_t_body,
         prev_world_t_body=state.world_t_body,
         velocity_w=state.velocity_w,  # updated by the host layer (knows dt)
-        lm_pos_w=jnp.where(refresh, kf_pos, state.lm_pos_w),
-        lm_desc=jnp.where(refresh, fe.desc_bits, state.lm_desc),
-        lm_valid=jnp.where(refresh, kf_valid, fe.corr_valid),
-        lm_px=jnp.where(refresh, fe.kp_xy, fe.tracks_xy),
-        lm_obs_px=jnp.where(refresh, kf_obs_px, fe.tracks_xy),
-        lm_robs_px=jnp.where(refresh, kf_robs_px, state.lm_robs_px),
-        lm_robs_valid=jnp.where(refresh, kf_robs_valid, state.lm_robs_valid),
-        lm_id=jnp.where(refresh, kf_id, state.lm_id),
+        lm_pos_w=lm_pos_w,
+        lm_desc=lm_desc,
+        lm_valid=lm_valid,
+        lm_px=lm_px,
+        lm_obs_px=lm_obs_px,
+        lm_robs_px=lm_robs_px,
+        lm_robs_valid=lm_robs_valid,
+        lm_id=lm_id,
         lm_id_counter=new_counter,
         kf_world_t_body=jnp.where(refresh, world_t_body, state.kf_world_t_body),
-        prev_left0=fe.left,
-        prev_left1=fe.cur_pyr1,
-        prev_left2=fe.cur_pyr2,
+        prev_left0=hot.left,
+        prev_left1=hot.cur_pyr1,
+        prev_left2=hot.cur_pyr2,
         frame_idx=state.frame_idx + 1,
         untracked_streak=untracked_streak,
         key=key,
@@ -568,7 +611,7 @@ def _finish_step(
     output = TrackOutput(
         world_t_body=world_t_body,
         num_inliers=num_inliers,
-        num_matches=jnp.sum(fe.corr_valid),
+        num_matches=jnp.sum(hot.corr_valid),
         num_landmarks=jnp.sum(new_state.lm_valid),
         rms_error=rms_error,
         refreshed=refresh,

@@ -152,12 +152,12 @@ def make_sharded_track_step(params: trk.TrackerParams, setup: trk.CameraSetup, m
         init_body_t_world = trk._se3_inv(state.world_t_body)
         klt_body_t_world = trk._se3_inv(klt_prediction)
 
-        fe = trk.run_frontend(p, setup_c, state, images_c, klt_body_t_world)
+        hot = trk.run_hot_frontend(p, setup_c, state, images_c, klt_body_t_world)
 
         c, n = p.num_cams, p.max_keypoints
         flat_pts = state.lm_pos_w.reshape(c * n, 3)
-        flat_obs = fe.obs_norm.reshape(c * n, 2)
-        flat_valid = fe.corr_valid.reshape(c * n)
+        flat_obs = hot.obs_norm.reshape(c * n, 2)
+        flat_valid = hot.corr_valid.reshape(c * n)
         flat_rot = jnp.repeat(setup_c.cam_r_body, n, axis=0)
         flat_trans = jnp.repeat(setup_c.cam_t_body, n, axis=0)
 
@@ -171,7 +171,7 @@ def make_sharded_track_step(params: trk.TrackerParams, setup: trk.CameraSetup, m
 
         key, _ = jax.random.split(state.key)
         new_state, out = trk._finish_step(
-            p, setup_c, state, fe,
+            p, setup_c, state, hot, images_c,
             body_t_world=body_t_world,
             num_inliers=num_inliers,
             inliers_cn=inliers.reshape(c, n),
