@@ -37,7 +37,7 @@ def main() -> None:
     from thor_slam_tpu.utils.flagship import flagship_rig, render_sequence
 
     params, setup, _, sources, _, _ = flagship_rig(
-        num_cams=num_cams, width=width, height=height, max_keypoints=384
+        num_cams=num_cams, width=width, height=height, max_keypoints=256
     )
     step = trk.make_track_step(params, setup)
     state = trk.init_state(params)

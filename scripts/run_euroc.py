@@ -1,0 +1,101 @@
+"""EuRoC sequence evaluation: replay -> track -> ATE against ground truth.
+
+The accuracy-benchmark path (BASELINE.md: EuRoC ATE-RMSE target). Expects
+the standard ASL layout; if ``mav0/state_groundtruth_estimate0/data.csv``
+exists, reports ATE-RMSE/RPE against it.
+
+Usage: python -m scripts.run_euroc --sequence /data/euroc/MH_01_easy \
+           [--frames 500] [--out traj.csv]
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def load_groundtruth(seq_root: Path):
+    gt_csv = seq_root / "mav0" / "state_groundtruth_estimate0" / "data.csv"
+    if not gt_csv.exists():
+        return None
+    ts, pos = [], []
+    with open(gt_csv) as f:
+        for row in csv.reader(f):
+            if not row or row[0].startswith("#"):
+                continue
+            vals = [float(v) for v in row]
+            ts.append(vals[0] * 1e-9)
+            pos.append(vals[1:4])
+    return np.asarray(ts), np.asarray(pos)
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--sequence", required=True)
+    parser.add_argument("--frames", type=int, default=None)
+    parser.add_argument("--out", default=None, help="Write trajectory CSV")
+    parser.add_argument("--no-imu", action="store_true")
+    args = parser.parse_args()
+
+    from thor_slam_tpu.camera.rig import CameraRig
+    from thor_slam_tpu.camera.sources.dataset import EurocCameraSource
+    from thor_slam_tpu.engine.tpu_engine import TpuSlamEngine
+    from thor_slam_tpu.utils.evaluation import ate_rmse
+    from thor_slam_tpu.utils.platform import enable_compilation_cache
+
+    enable_compilation_cache()
+    seq = Path(args.sequence)
+    src = EurocCameraSource(seq, read_imu=not args.no_imu, max_frames=args.frames)
+    engine = TpuSlamEngine(use_imu=not args.no_imu)
+
+    est_ts, est_pos = [], []
+    t0 = time.monotonic()
+    with CameraRig([src], imu_source=src.name if src.has_sensor_data else None) as rig:
+        engine.initialize(rig.calibration)
+        n = 0
+        while not src.exhausted:
+            sync = rig.get_synchronized_frames()
+            if sync is None:
+                break
+            pose = engine.process_frames(sync)
+            n += 1
+            if pose is not None:
+                est_ts.append(sync.timestamp)
+                est_pos.append(pose.position.copy())
+            if n % 100 == 0:
+                print(f"{n} frames, {n / (time.monotonic() - t0):.1f} fps, "
+                      f"state={engine.get_tracking_state().name}", flush=True)
+    elapsed = time.monotonic() - t0
+    est_ts = np.asarray(est_ts)
+    est_pos = np.asarray(est_pos)
+    print(f"Tracked {len(est_pos)} frames in {elapsed:.1f}s ({len(est_pos) / elapsed:.1f} fps)")
+
+    if args.out:
+        with open(args.out, "w") as f:
+            w = csv.writer(f)
+            w.writerow(["#timestamp_s", "x", "y", "z"])
+            for t, p in zip(est_ts, est_pos):
+                w.writerow([f"{t:.9f}", *[f"{v:.6f}" for v in p]])
+        print(f"Trajectory written to {args.out}")
+
+    gt = load_groundtruth(seq)
+    if gt is None:
+        print("No ground truth in sequence; ATE not computed.")
+        return 0
+    gt_ts, gt_pos = gt
+    # Associate by nearest timestamp.
+    idx = np.searchsorted(gt_ts, est_ts)
+    idx = np.clip(idx, 0, len(gt_ts) - 1)
+    matched_gt = gt_pos[idx]
+    ate = ate_rmse(est_pos, matched_gt)
+    print(f"ATE-RMSE: {ate * 100:.2f} cm over {len(est_pos)} poses")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

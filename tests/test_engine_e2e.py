@@ -146,3 +146,31 @@ class TestEngineContract:
         engine.initialize(rig.calibration)
         assert engine.relocalize()
         assert engine.get_tracking_state() == TrackingState.RELOCALIZING
+
+
+@pytest.mark.slow
+def test_save_load_state_roundtrip(tmp_path):
+    """Full-state checkpoint/resume (SURVEY §5.4: real, unlike the reference)."""
+    from thor_slam_tpu.camera.sources.synthetic import SyntheticRigSpec, make_synthetic_rig
+
+    spec = SyntheticRigSpec(num_sources=1, stereo=True, width=96, height=64)
+    sources, rig_ext, _, _ = make_synthetic_rig(spec)
+    engine = TpuSlamEngine(params=dict(max_keypoints=64))
+    with CameraRig(sources, rig_extrinsics=rig_ext) as rig:
+        engine.initialize(rig.calibration)
+        for _ in range(4):
+            sync = rig.get_synchronized_frames()
+            engine.process_frames(sync)
+        path = str(tmp_path / "state")
+        assert engine.save_state(path)
+        before = np.asarray(engine._tracker_state.lm_pos_w).copy()
+        pose_before = np.asarray(engine._tracker_state.world_t_body).copy()
+        engine.reset()
+        assert engine.load_state(path)
+        np.testing.assert_array_equal(np.asarray(engine._tracker_state.lm_pos_w), before)
+        np.testing.assert_array_equal(np.asarray(engine._tracker_state.world_t_body), pose_before)
+        # Engine keeps tracking after resume.
+        sync = rig.get_synchronized_frames()
+        # rig was stopped by reset? no - rig still running inside context
+        pose = engine.process_frames(sync)
+        assert pose is not None

@@ -635,6 +635,35 @@ class TpuSlamEngine(SlamEngine):
         ]
         return True
 
+    def save_state(self, path: str) -> bool:
+        """Checkpoint the FULL tracker state (poses, landmark banks,
+        pyramids, PRNG) — resume-capable, unlike save_map's map-only export.
+        """
+        if self._tracker_state is None:
+            return False
+        arrays = {f: np.asarray(v) for f, v in self._tracker_state._asdict().items()}
+        try:
+            np.savez_compressed(path, **arrays)
+            return True
+        except OSError:
+            logger.exception("Failed to save engine state to %s", path)
+            return False
+
+    def load_state(self, path: str) -> bool:
+        """Restore a checkpoint saved by :meth:`save_state`."""
+        if self._tracker_state is None:
+            return False
+        if not str(path).endswith(".npz"):
+            path = f"{path}.npz"
+        try:
+            data = np.load(path)
+        except OSError:
+            logger.exception("Failed to load engine state from %s", path)
+            return False
+        fields = {f: jnp.asarray(data[f]) for f in trk.TrackerState._fields}
+        self._tracker_state = trk.TrackerState(**fields)
+        return True
+
     def relocalize(self) -> bool:
         """Match the current frame's features against the loaded landmarks.
 

@@ -22,7 +22,7 @@ to any rig size that fits cameras on chips.
 
 from __future__ import annotations
 
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp

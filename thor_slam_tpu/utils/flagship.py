@@ -26,7 +26,7 @@ def flagship_rig(
     num_cams: int = 4,
     width: int = 1280,
     height: int = 720,
-    max_keypoints: int = 384,
+    max_keypoints: int = 256,
 ):
     """Build (params, setup, calibration, sources, world, trajectory)."""
     spec = SyntheticRigSpec(
