@@ -100,6 +100,21 @@ def build_hardware_sources(cfg):
     return sources, rig_ext, imu_ext
 
 
+def _display_frames(sync) -> None:
+    """Per-camera OpenCV windows (reference run_slam.py:331-347); no-op on
+    headless hosts."""
+    try:
+        import cv2
+    except ImportError:
+        return
+    try:
+        for name, fs in sync.frame_sets.items():
+            cv2.imshow(name, fs.frames[0].image)
+        cv2.waitKey(1)
+    except cv2.error:  # headless build / no display
+        pass
+
+
 def run(cfg, max_frames: int | None = None, save_map_path: str | None = None) -> int:
     from thor_slam_tpu.camera.rig import CameraRig
     from thor_slam_tpu.engine.tpu_engine import TpuSlamEngine
@@ -152,6 +167,9 @@ def run(cfg, max_frames: int | None = None, save_map_path: str | None = None) ->
             stats.num_inliers = engine.last_diagnostics.get("num_inliers", 0)
             if pose is not None:
                 pose_topic.publish(pose)
+
+            if cfg.display:
+                _display_frames(sync)
 
             now = time.monotonic()
             if now - last_status >= 2.0:  # reference cadence (run_slam.py:349)

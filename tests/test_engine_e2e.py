@@ -174,3 +174,52 @@ def test_save_load_state_roundtrip(tmp_path):
         # rig was stopped by reset? no - rig still running inside context
         pose = engine.process_frames(sync)
         assert pose is not None
+
+
+@pytest.mark.slow
+def test_relocalize_against_loaded_map(tmp_path):
+    """save_map -> new engine -> load_map -> relocalize -> track in the
+    original map frame (the capability the reference stubs out,
+    reference interface.py:250-256)."""
+    spec = SyntheticRigSpec(
+        num_sources=2, stereo=True, width=160, height=120, fps=30.0, baseline_m=0.12
+    )
+    world = SyntheticWorld(half_extents=(4.0, 4.0, 2.0))
+    traj = OrbitTrajectory(radius=1.5, angular_rate=0.5)
+
+    # Session 1: build + save a map.
+    sources, rig_ext, _, _ = make_synthetic_rig(spec, world=world, trajectory=traj)
+    eng1 = TpuSlamEngine(params=dict(max_keypoints=256, keyframe_min_inliers=40), loop_min_votes=50)
+    gt0 = None
+    with CameraRig(sources, rig_extrinsics=rig_ext) as rig:
+        eng1.initialize(rig.calibration)
+        for _ in range(60):
+            sync = rig.get_synchronized_frames()
+            eng1.process_frames(sync)
+            if gt0 is None:
+                gt0 = traj.pose(sync.timestamp)
+    map_path = str(tmp_path / "map")
+    assert eng1.save_map(map_path)
+    assert len(eng1._loop_db) >= 3
+
+    # Session 2: fresh engine, rig starting 1 s later ON the old trajectory.
+    sources2, rig_ext2, _, _ = make_synthetic_rig(
+        spec, world=world, trajectory=traj, clock_offsets=(1.0, 1.0)
+    )
+    eng2 = TpuSlamEngine(params=dict(max_keypoints=256, keyframe_min_inliers=40), loop_min_votes=50)
+    with CameraRig(sources2, rig_extrinsics=rig_ext2) as rig2:
+        eng2.initialize(rig2.calibration)
+        assert eng2.load_map(map_path)
+        assert eng2.relocalize()
+        assert eng2.get_tracking_state() == TrackingState.RELOCALIZING
+        errs = []
+        for _ in range(10):
+            sync = rig2.get_synchronized_frames()
+            pose = eng2.process_frames(sync)
+            g_map = np.linalg.inv(gt0) @ traj.pose(sync.timestamp)
+            if pose is not None:
+                errs.append(np.linalg.norm(pose.position - g_map[:3, 3]))
+        assert not eng2._want_reloc  # relocalization succeeded
+        assert eng2.get_tracking_state() == TrackingState.TRACKING
+        # Pose is expressed in the ORIGINAL map's frame, within a few cm.
+        assert np.median(errs) < 0.05

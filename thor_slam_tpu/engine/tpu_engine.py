@@ -96,6 +96,7 @@ class TpuSlamEngine(SlamEngine):
         self._loop_min_correction = loop_min_correction_m
         self._loop_cooldown = 0
         self._loops_closed = 0
+        self._want_reloc = False
         #: Per-frame tracking diagnostics (updated by process_frames).
         self.last_diagnostics: dict = {}
         self._state_enum = TrackingState.NOT_INITIALIZED
@@ -160,6 +161,9 @@ class TpuSlamEngine(SlamEngine):
             raise RuntimeError("initialize() must be called before process_frames()")
 
         images = self._stage_images(frame_set)
+
+        if self._want_reloc and self._attempt_relocalization(frame_set):
+            self._want_reloc = False
 
         pose_prediction = None
         if self._use_imu and frame_set.sensor_data is not None:
@@ -600,6 +604,17 @@ class TpuSlamEngine(SlamEngine):
         try:
             kf = np.stack([p.to_4x4_matrix() for p in self._keyframe_poses]) if self._keyframe_poses else np.zeros((0, 4, 4))
             kf_ts = np.asarray([p.timestamp for p in self._keyframe_poses])
+            extra = {}
+            if self._loop_db:
+                # The place-recognition database travels with the map — it
+                # is what makes relocalize() work after load_map().
+                extra = {
+                    "db_desc": np.stack([e["desc"] for e in self._loop_db]),
+                    "db_valid": np.stack([e["valid"] for e in self._loop_db]),
+                    "db_lm_w": np.stack([e["lm_w"] for e in self._loop_db]),
+                    "db_poses": np.stack([e["world_t_body"] for e in self._loop_db]),
+                    "db_ts": np.asarray([e["ts"] for e in self._loop_db]),
+                }
             np.savez_compressed(
                 path,
                 lm_pos_w=np.asarray(self._tracker_state.lm_pos_w),
@@ -608,6 +623,7 @@ class TpuSlamEngine(SlamEngine):
                 world_t_body=np.asarray(self._tracker_state.world_t_body),
                 keyframes=kf,
                 keyframe_ts=kf_ts,
+                **extra,
             )
             return True
         except OSError:
@@ -633,6 +649,18 @@ class TpuSlamEngine(SlamEngine):
             SlamPose.from_4x4_matrix(m, timestamp=float(t))
             for m, t in zip(data["keyframes"], data["keyframe_ts"])
         ]
+        if "db_desc" in data:
+            self._loop_db = [
+                {
+                    "desc": data["db_desc"][i],
+                    "valid": data["db_valid"][i],
+                    "lm_w": data["db_lm_w"][i],
+                    "obs_px": np.zeros_like(data["db_lm_w"][i][:, :2]),
+                    "world_t_body": data["db_poses"][i],
+                    "ts": float(data["db_ts"][i]),
+                }
+                for i in range(data["db_desc"].shape[0])
+            ]
         return True
 
     def save_state(self, path: str) -> bool:
@@ -665,15 +693,97 @@ class TpuSlamEngine(SlamEngine):
         return True
 
     def relocalize(self) -> bool:
-        """Match the current frame's features against the loaded landmarks.
+        """Arm relocalization against the loaded map's place database.
 
-        The tracker does this continuously (landmarks persist until a
-        keyframe refresh), so relocalization here means: flag the state
-        machine and let the next process_frames() attempt the match.
+        On each subsequent process_frames() (until success), the current
+        frame's camera-0 features are matched against the keyframe database
+        (MXU place recognition, engine/loop.py); a geometrically verified
+        match re-anchors the tracker at the recovered pose in the MAP's
+        world frame and restarts landmark tracking there.
+
+        The reference declares this capability but never implements it
+        (reference interface.py:250-256).
         """
         if self._tracker_state is None:
             return False
+        self._want_reloc = True
         self._state_enum = TrackingState.RELOCALIZING
+        return True
+
+    def _attempt_relocalization(self, frame_set: SynchronizedFrameSet) -> bool:
+        """One relocalization attempt against the loop DB. True on success."""
+        if not self._loop_db:
+            return False
+        name = self._source_order[0]
+        frames = frame_set.get_frames_for_source(name)
+        if not frames:
+            return False
+        img = frames[0].image
+        img = jnp.asarray(
+            img.astype(np.float32) / 255.0 if img.dtype == np.uint8 else img
+        )
+        from thor_slam_tpu.ops import brief, fast
+        from thor_slam_tpu.ops.image import gaussian_blur
+
+        p = self._params
+        kp = fast.detect_keypoints(
+            img, threshold=p.fast_threshold, max_keypoints=p.max_keypoints,
+            cell_size=p.cell_size, per_cell=p.per_cell, border_margin=p.border_margin,
+        )
+        desc = brief.compute_descriptors(
+            gaussian_blur(img, 2.0, radius=4), kp.xy, kp.valid,
+            oriented=p.oriented_descriptors,
+        )
+
+        db_desc = np.stack([e["desc"] for e in self._loop_db])
+        db_valid = np.stack([e["valid"] for e in self._loop_db])
+        cand = loop.find_candidate(
+            desc.bits, desc.valid, jnp.asarray(db_desc), jnp.asarray(db_valid),
+            jnp.ones(len(self._loop_db)),
+        )
+        if int(cand.votes) < self._loop_min_votes:
+            return False
+        ci = int(cand.keyframe)
+        cand_e = self._loop_db[ci]
+
+        k0 = np.asarray(self._setup.k_left[0])
+        d0 = np.asarray(self._setup.dist_left[0])
+        xy = np.asarray(kp.xy)
+        xn = np.stack([(xy[:, 0] - k0[2]) / k0[0], (xy[:, 1] - k0[3]) / k0[1]], -1)
+        obs_norm = rectify.undistort_normalized(xn, d0).astype(np.float32)
+        ver = loop.verify_candidate(
+            jax.random.PRNGKey(self._frame_count),
+            jnp.asarray(cand_e["lm_w"], jnp.float32),
+            jnp.asarray(cand_e["valid"]),
+            jnp.asarray(cand_e["desc"]),
+            jnp.asarray(obs_norm),
+            desc.bits,
+            desc.valid,
+            jnp.asarray(self._setup.cam_r_body[0]),
+            jnp.asarray(self._setup.cam_t_body[0]),
+            jnp.asarray(np.linalg.inv(cand_e["world_t_body"]), jnp.float32),
+            min_inliers=self._loop_min_inliers,
+        )
+        if not bool(ver.accepted):
+            return False
+
+        pose = np.linalg.inv(np.asarray(ver.body_t_candidate, np.float64))
+        st = self._tracker_state
+        self._tracker_state = st._replace(
+            world_t_body=jnp.asarray(pose, jnp.float32),
+            prev_world_t_body=jnp.asarray(pose, jnp.float32),
+            kf_world_t_body=jnp.asarray(pose, jnp.float32),
+            # Invalidate the bank + trip the restart path: the next tick
+            # re-mints landmarks anchored at the recovered pose.
+            lm_valid=jnp.zeros_like(st.lm_valid),
+            untracked_streak=jnp.asarray(
+                self._params.restart_after_untracked, jnp.int32
+            ),
+        )
+        logger.info(
+            "Relocalized against keyframe %d (votes=%d inliers=%d)",
+            ci, int(cand.votes), int(ver.num_inliers),
+        )
         return True
 
     # ------------------------------------------------------------ lifecycle
@@ -685,6 +795,7 @@ class TpuSlamEngine(SlamEngine):
         self._kf_snapshots = []
         self._loop_db = []
         self._loops_closed = 0
+        self._want_reloc = False
         self._imu_ts, self._imu_gyro, self._imu_accel = [], [], []
         self._low_inlier_streak = 0
         self._last_timestamp = None
