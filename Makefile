@@ -27,6 +27,29 @@ pipeline-run: ## Run SLAM + RGB-D product streams
 odom-tf: ## Broadcast map->odom TF (requires rclpy)
 	$(PY) -m scripts.publish_odom_tf
 
+.PHONY: euroc-run
+euroc-run: ## Evaluate ATE on a EuRoC sequence: make euroc-run EUROC=/path/MH_01_easy
+	$(PY) -m scripts.run_euroc --sequence $(EUROC)
+
+# ------------------------- ROS 2 interop -------------------------
+# (reference Makefile isaac-ros-launch / nvblox-launch / rviz targets)
+
+.PHONY: slam-launch
+slam-launch: ## ROS 2: SLAM bridge + map->odom TF (requires ros2/rclpy)
+	ros2 launch launch/thor_slam_tpu.launch.py config:=$(CONFIG)
+
+.PHONY: nvblox-launch
+nvblox-launch: ## ROS 2: nvblox fed by our RGB-D topics (requires nvblox_ros)
+	ros2 launch launch/thor_nvblox.launch.py
+
+.PHONY: rviz
+rviz: ## RViz2 with the visual-SLAM layout
+	rviz2 -d config/visual_slam.rviz
+
+.PHONY: rviz-nvblox
+rviz-nvblox: ## RViz2 with the nvblox layout
+	rviz2 -d config/nvblox.rviz
+
 # --------------------------- hardware ---------------------------
 
 .PHONY: find-cameras

@@ -26,7 +26,9 @@ from scripts.run_slam import _handle_signal, build_hardware_sources, build_synth
 logger = logging.getLogger("run_pipeline")
 
 
-def run(cfg, max_frames: int | None = None, rgbd_every: int = 5) -> int:
+def run(
+    cfg, max_frames: int | None = None, rgbd_every: int = 5, use_ros: bool = False
+) -> int:
     import scripts.run_slam as rs
     from thor_slam_tpu.camera.rig import CameraRig
     from thor_slam_tpu.engine.tpu_engine import TpuSlamEngine
@@ -44,6 +46,15 @@ def run(cfg, max_frames: int | None = None, rgbd_every: int = 5) -> int:
     bus = MessageBus()
     pose_topic = bus.topic("/slam/pose", queue_size=30)
     stats = PipelineStats()
+
+    ros_bridge = None
+    if use_ros:
+        from thor_slam_tpu.slam.adapters.ros_bridge import HAVE_ROS, RosBridge
+
+        if not HAVE_ROS:
+            logger.error("--ros requested but rclpy is not installed")
+            return 2
+        ros_bridge = RosBridge()
 
     engine = TpuSlamEngine(
         params=dict(max_keypoints=cfg.backend.max_keypoints, **cfg.backend.tracker),
@@ -103,16 +114,20 @@ def run(cfg, max_frames: int | None = None, rgbd_every: int = 5) -> int:
             stats.num_inliers = engine.last_diagnostics.get("num_inliers", 0)
             if pose is not None:
                 pose_topic.publish(pose)
+                if ros_bridge is not None:
+                    ros_bridge.publish_pose(pose)
 
             if frame_count % rgbd_every == 0:
                 with stats.stage("rgbd").time():
-                    for proc in processors:
+                    for idx, proc in enumerate(processors):
                         frame = proc.process(sync)
                         if frame is not None:
                             rgb_t, depth_t = rgbd_topics[proc.camera_name]
                             rgb_t.publish(frame)
                             depth_t.publish(frame)
                             rgbd_fps[proc.camera_name].tick()
+                            if ros_bridge is not None:
+                                ros_bridge.publish_rgbd(idx, frame)
 
             now = time.monotonic()
             if now - last_status >= 2.0:
@@ -130,6 +145,8 @@ def run(cfg, max_frames: int | None = None, rgbd_every: int = 5) -> int:
             flush=True,
         )
         engine.shutdown()
+        if ros_bridge is not None:
+            ros_bridge.shutdown()
     return 0
 
 
@@ -142,6 +159,10 @@ def main() -> int:
     parser.add_argument("--synthetic", action="store_true", help="Force the synthetic rig")
     parser.add_argument("--frames", type=int, default=None, help="Stop after N frames")
     parser.add_argument("--rgbd-every", type=int, default=5, help="RGB-D cadence (ticks)")
+    parser.add_argument(
+        "--ros", action="store_true",
+        help="Publish odometry/TF + nvblox RGB-D topics to ROS 2 (requires rclpy)",
+    )
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO, format="%(name)s: %(message)s")
@@ -152,7 +173,7 @@ def main() -> int:
 
     signal.signal(signal.SIGINT, _handle_signal)
     signal.signal(signal.SIGTERM, _handle_signal)
-    return run(cfg, max_frames=args.frames, rgbd_every=args.rgbd_every)
+    return run(cfg, max_frames=args.frames, rgbd_every=args.rgbd_every, use_ros=args.ros)
 
 
 if __name__ == "__main__":

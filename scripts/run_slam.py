@@ -115,7 +115,12 @@ def _display_frames(sync) -> None:
         pass
 
 
-def run(cfg, max_frames: int | None = None, save_map_path: str | None = None) -> int:
+def run(
+    cfg,
+    max_frames: int | None = None,
+    save_map_path: str | None = None,
+    use_ros: bool = False,
+) -> int:
     from thor_slam_tpu.camera.rig import CameraRig
     from thor_slam_tpu.engine.tpu_engine import TpuSlamEngine
     from thor_slam_tpu.pipeline.bus import MessageBus
@@ -131,6 +136,15 @@ def run(cfg, max_frames: int | None = None, save_map_path: str | None = None) ->
     bus = MessageBus()
     pose_topic = bus.topic("/slam/pose", queue_size=30)
     stats = PipelineStats()
+
+    ros_bridge = None
+    if use_ros:
+        from thor_slam_tpu.slam.adapters.ros_bridge import HAVE_ROS, RosBridge
+
+        if not HAVE_ROS:
+            logger.error("--ros requested but rclpy is not installed")
+            return 2
+        ros_bridge = RosBridge()
 
     engine = TpuSlamEngine(
         params=dict(max_keypoints=cfg.backend.max_keypoints, **cfg.backend.tracker),
@@ -167,6 +181,8 @@ def run(cfg, max_frames: int | None = None, save_map_path: str | None = None) ->
             stats.num_inliers = engine.last_diagnostics.get("num_inliers", 0)
             if pose is not None:
                 pose_topic.publish(pose)
+                if ros_bridge is not None:
+                    ros_bridge.publish_pose(pose)
 
             if cfg.display:
                 _display_frames(sync)
@@ -187,6 +203,8 @@ def run(cfg, max_frames: int | None = None, save_map_path: str | None = None) ->
             flush=True,
         )
         engine.shutdown()
+        if ros_bridge is not None:
+            ros_bridge.shutdown()
     return 0
 
 
@@ -198,6 +216,10 @@ def main() -> int:
     parser.add_argument("--synthetic", action="store_true", help="Force the synthetic rig")
     parser.add_argument("--frames", type=int, default=None, help="Stop after N frames")
     parser.add_argument("--save-map", default=None, help="Save the map on exit (npz)")
+    parser.add_argument(
+        "--ros", action="store_true",
+        help="Publish odometry/TF to ROS 2 (requires rclpy; reference topics)",
+    )
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO, format="%(name)s: %(message)s")
@@ -211,7 +233,7 @@ def main() -> int:
 
     signal.signal(signal.SIGINT, _handle_signal)
     signal.signal(signal.SIGTERM, _handle_signal)
-    return run(cfg, max_frames=args.frames, save_map_path=args.save_map)
+    return run(cfg, max_frames=args.frames, save_map_path=args.save_map, use_ros=args.ros)
 
 
 if __name__ == "__main__":

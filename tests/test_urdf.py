@@ -98,3 +98,40 @@ class TestLoadRigExtrinsics:
     def test_missing_file_raises(self, tmp_path):
         with pytest.raises(FileNotFoundError):
             load_rig_extrinsics_from_urdf(tmp_path / "nope.urdf", {})
+
+
+class TestPromptForResolution:
+    """Interactive resolution menu (reference camera/utils.py:55-96)."""
+
+    CHOICES = [(640, 400), (1280, 720), (1920, 1080)]
+
+    def _prompt(self, answers):
+        from thor_slam_tpu.camera.utils import prompt_for_resolution
+
+        it = iter(answers)
+        return prompt_for_resolution(self.CHOICES, input_fn=lambda _: next(it))
+
+    def test_picks_by_index(self):
+        assert self._prompt(["1"]) == (1280, 720)
+
+    def test_rejects_garbage_then_accepts(self):
+        assert self._prompt(["abc", "99", "0"]) == (640, 400)
+
+    def test_quit_returns_none(self):
+        assert self._prompt(["q"]) is None
+
+    def test_empty_input_aborts(self):
+        assert self._prompt([""]) is None
+
+    def test_eof_returns_none(self):
+        from thor_slam_tpu.camera.utils import prompt_for_resolution
+
+        def raise_eof(_):
+            raise EOFError
+
+        assert prompt_for_resolution(self.CHOICES, input_fn=raise_eof) is None
+
+    def test_empty_choices(self):
+        from thor_slam_tpu.camera.utils import prompt_for_resolution
+
+        assert prompt_for_resolution([], input_fn=lambda _: "0") is None

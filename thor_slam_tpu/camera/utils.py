@@ -138,3 +138,37 @@ def get_luxonis_camera_valid_modes(device, socket) -> list:  # pragma: no cover
             return list(feature.supportedTypes)
     logger.warning("No valid modes found for device %s with socket %s", device.getMxId(), socket)
     return []
+
+
+def prompt_for_resolution(
+    choices: list[tuple[int, int]],
+    prompt: str = "Select a resolution",
+    input_fn=input,
+) -> tuple[int, int] | None:
+    """Interactively pick one of ``choices`` (reference camera/utils.py:55-96).
+
+    Prints a numbered menu and reads an index; returns the chosen
+    (width, height), or None on empty choices / EOF / explicit quit ("q").
+    ``input_fn`` is injectable so the menu is unit-testable without a TTY.
+    """
+    if not choices:
+        logger.warning("No resolutions to choose from")
+        return None
+    print(prompt + ":")
+    for i, (w, h) in enumerate(choices):
+        print(f"  [{i}] {w}x{h}")
+    while True:
+        try:
+            raw = input_fn(f"choice [0-{len(choices) - 1}] (q to abort): ").strip()
+        except EOFError:
+            return None
+        if raw.lower() in ("q", "quit", ""):
+            return None
+        try:
+            idx = int(raw)
+        except ValueError:
+            print(f"not a number: {raw!r}")
+            continue
+        if 0 <= idx < len(choices):
+            return choices[idx]
+        print(f"out of range: {idx}")

@@ -9,9 +9,13 @@ normal equations. The multi-chip design follows directly:
   rectification maps, landmark banks, pyramids) is sharded on its leading
   camera axis, poses and scalars are replicated;
 * the front-end runs unchanged inside ``shard_map`` — zero communication;
-* the pose solve is a distributed Huber-IRLS Gauss-Newton: each device
-  reduces its local correspondences to (J^T W J, J^T W r) — 6x6 + 6 floats
-  — and one ``psum`` per iteration rides the ICI. The update is computed
+* the pose solve is distributed RANSAC + Gauss-Newton: each device solves
+  hypotheses from its *local* correspondences (zero communication), the
+  hypothesis poses are ``all_gather``'d (16 floats each), scored against
+  local correspondences with one ``psum`` of the inlier counts, and the
+  globally best hypothesis seeds a Huber-IRLS polish where each device
+  reduces its correspondences to (J^T W J, J^T W r) — 6x6 + 6 floats —
+  and one ``psum`` per iteration rides the ICI. Every update is computed
   identically on every device, keeping poses replicated by construction.
 * keyframe decisions use psum'd global inlier counts, so all devices
   refresh their local landmark banks on the same frames.
@@ -80,16 +84,20 @@ def _distributed_robust_pnp(
     iters: int = 10,
     huber_delta: float = 0.01,
     damping: float = 1e-6,
+    weights: jnp.ndarray | None = None,
 ):
     """Huber-IRLS Gauss-Newton with cross-device psum of the normal equations.
 
     Runs inside shard_map: ``points_w``/``obs``/... hold only this device's
     correspondences; every device computes the identical pose update from
-    the psum'd 6x6 system.
+    the psum'd 6x6 system. ``weights`` (defaults to ``valid``) selects which
+    correspondences drive the solve; the final inlier census always gates on
+    ``valid`` so RANSAC-polish callers report over the full set.
     """
     from thor_slam_tpu.engine.pnp import _huber_weights, _residuals_and_jacobian
 
-    weights = valid.astype(jnp.float32)
+    if weights is None:
+        weights = valid.astype(jnp.float32)
 
     def step(_, x):
         r, j, behind = _residuals_and_jacobian(x, points_w, obs, cam_rot, cam_trans)
@@ -112,6 +120,70 @@ def _distributed_robust_pnp(
     sq = jnp.sum(jnp.where(inliers, r_norm**2, 0.0))
     rms = jnp.sqrt(jax.lax.psum(sq, axis_name) / jnp.maximum(num_inliers, 1))
     return x, inliers, num_inliers, rms
+
+
+def _distributed_ransac_pnp(
+    key: jax.Array,
+    points_w: jnp.ndarray,
+    obs: jnp.ndarray,
+    valid: jnp.ndarray,
+    cam_rot: jnp.ndarray,
+    cam_trans: jnp.ndarray,
+    init_body_t_world: jnp.ndarray,
+    inlier_threshold: jnp.ndarray,
+    axis_name: str,
+    hyp_per_device: int = 4,
+    sample_size: int = 6,
+    hyp_iters: int = 5,
+    refine_iters: int = 6,
+):
+    """Cross-device RANSAC PnP (the SPMD twin of ``pnp.ransac_pnp``).
+
+    Hypothesis generation is communication-free: each device draws
+    ``hyp_per_device`` minimal subsets from its own correspondences and
+    solves them locally (a subset drawn from one camera still fully
+    constrains the 6-DoF body pose). The global consensus step moves only
+    poses and counts: one ``all_gather`` of (hyp_per_device, 4, 4) floats
+    and one ``psum`` of the per-hypothesis inlier counts. The winning pose
+    then seeds the psum'd Huber-IRLS polish over the global inlier set.
+    """
+    from thor_slam_tpu.engine.pnp import gauss_newton_pnp, project_points
+
+    n = points_w.shape[0]
+    # Replicated state key -> decorrelate the per-device hypothesis draws.
+    key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
+    gumbel = -jnp.log(-jnp.log(jax.random.uniform(key, (hyp_per_device, n)) + 1e-12) + 1e-12)
+    scores = jnp.where(valid[None, :], gumbel, -jnp.inf)
+    _, subset_idx = jax.lax.top_k(scores, sample_size)  # (Hl, S)
+
+    sub_pts = points_w[subset_idx]
+    sub_obs = obs[subset_idx]
+    sub_rot = cam_rot[subset_idx]
+    sub_tr = cam_trans[subset_idx]
+    sub_w = valid[subset_idx].astype(jnp.float32)
+
+    def solve_one(pts, ob, w, rot, tr):
+        x, _ = gauss_newton_pnp(pts, ob, w, rot, tr, init_body_t_world, iters=hyp_iters)
+        return x
+
+    hyp_local = jax.vmap(solve_one)(sub_pts, sub_obs, sub_w, sub_rot, sub_tr)
+    # (n_dev * Hl, 4, 4), identical on every device.
+    hyps = jax.lax.all_gather(hyp_local, axis_name).reshape(-1, 4, 4)
+
+    def count_local(x):
+        _, _, uv = project_points(x, points_w, cam_rot, cam_trans)
+        err = jnp.linalg.norm(uv - obs, axis=-1)
+        return jnp.sum((err <= inlier_threshold) & valid)
+
+    counts = jax.lax.psum(jax.vmap(count_local)(hyps), axis_name)  # (H,) global
+    best_pose = hyps[jnp.argmax(counts)]
+
+    _, _, uv = project_points(best_pose, points_w, cam_rot, cam_trans)
+    best_inl = (jnp.linalg.norm(uv - obs, axis=-1) <= inlier_threshold) & valid
+    return _distributed_robust_pnp(
+        points_w, obs, valid, cam_rot, cam_trans, best_pose, inlier_threshold,
+        axis_name, iters=refine_iters, weights=best_inl.astype(jnp.float32),
+    )
 
 
 def make_sharded_track_step(params: trk.TrackerParams, setup: trk.CameraSetup, mesh: Mesh):
@@ -164,12 +236,13 @@ def make_sharded_track_step(params: trk.TrackerParams, setup: trk.CameraSetup, m
         inlier_threshold = p.inlier_threshold_px / jax.lax.pmax(
             jnp.max(setup_c.k_left[:, 0]), "cam"
         )
-        body_t_world, inliers, num_inliers, rms = _distributed_robust_pnp(
-            flat_pts, flat_obs, flat_valid, flat_rot, flat_trans,
+        key, subkey = jax.random.split(state.key)
+        body_t_world, inliers, num_inliers, rms = _distributed_ransac_pnp(
+            subkey, flat_pts, flat_obs, flat_valid, flat_rot, flat_trans,
             init_body_t_world, inlier_threshold, axis_name="cam",
+            hyp_per_device=max(1, params.ransac_hypotheses // n_dev),
+            sample_size=params.ransac_sample_size,
         )
-
-        key, _ = jax.random.split(state.key)
         new_state, out = trk._finish_step(
             p, setup_c, state, hot, images_c,
             body_t_world=body_t_world,
