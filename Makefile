@@ -29,6 +29,9 @@ odom-tf: ## Broadcast map->odom TF (requires rclpy)
 
 .PHONY: euroc-run
 euroc-run: ## Evaluate ATE on a EuRoC sequence: make euroc-run EUROC=/path/MH_01_easy
+ifndef EUROC
+	$(error Set EUROC to a EuRoC sequence directory, e.g. make euroc-run EUROC=/data/euroc/MH_01_easy)
+endif
 	$(PY) -m scripts.run_euroc --sequence $(EUROC)
 
 # ------------------------- ROS 2 interop -------------------------

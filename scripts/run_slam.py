@@ -131,7 +131,11 @@ def run(
     if cfg.synthetic.enabled or not cfg.cameras:
         sources, rig_ext = build_synthetic_sources(cfg)
     else:
-        sources, rig_ext, imu_ext = build_hardware_sources(cfg)
+        try:
+            sources, rig_ext, imu_ext = build_hardware_sources(cfg)
+        except ImportError as e:  # depthai absent: say so, don't traceback
+            logger.error("%s", e)
+            return 2
 
     bus = MessageBus()
     pose_topic = bus.topic("/slam/pose", queue_size=30)
@@ -223,13 +227,27 @@ def main() -> int:
     args = parser.parse_args()
 
     logging.basicConfig(level=logging.INFO, format="%(name)s: %(message)s")
+
+    # Fail fast on operator mistakes before the (slow) JAX bring-up.
+    if args.ros:
+        from thor_slam_tpu.slam.adapters.ros_bridge import HAVE_ROS
+
+        if not HAVE_ROS:
+            logger.error("--ros requested but rclpy is not installed")
+            return 2
+    from thor_slam_tpu.utils.config import ConfigError
+
+    try:
+        cfg = load_config(args.config) if args.config else RunConfig()
+    except (ConfigError, FileNotFoundError) as e:
+        logger.error("%s", e)
+        return 2
+    if args.synthetic:
+        cfg.synthetic.enabled = True
+
     from thor_slam_tpu.utils.platform import enable_compilation_cache
 
     enable_compilation_cache()
-
-    cfg = load_config(args.config) if args.config else RunConfig()
-    if args.synthetic:
-        cfg.synthetic.enabled = True
 
     signal.signal(signal.SIGINT, _handle_signal)
     signal.signal(signal.SIGTERM, _handle_signal)

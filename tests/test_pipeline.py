@@ -234,3 +234,47 @@ class TestProfiling:
         assert "track=" in line and "FPS" in line
         snap = stats.snapshot(5)
         assert snap["frame"] == 5 and "track" in snap["stages_ms"]
+
+
+class TestConfigErrors:
+    """Operator typos produce ConfigError with the file and field named."""
+
+    def _write(self, tmp_path, text):
+        p = tmp_path / "cfg.yaml"
+        p.write_text(text)
+        return p
+
+    def test_invalid_ip(self, tmp_path):
+        from thor_slam_tpu.utils.config import ConfigError
+
+        p = self._write(tmp_path, "cameras: [{ip: notanip}]\n")
+        with pytest.raises(ConfigError, match="invalid ip 'notanip'"):
+            load_config(p)
+
+    def test_missing_ip(self, tmp_path):
+        from thor_slam_tpu.utils.config import ConfigError
+
+        p = self._write(tmp_path, "cameras: [{stereo: true}]\n")
+        with pytest.raises(ConfigError, match="missing required key 'ip'"):
+            load_config(p)
+
+    def test_bad_scalar(self, tmp_path):
+        from thor_slam_tpu.utils.config import ConfigError
+
+        p = self._write(tmp_path, 'fps: "fast"\n')
+        with pytest.raises(ConfigError, match="fast"):
+            load_config(p)
+
+    def test_not_yaml(self, tmp_path):
+        from thor_slam_tpu.utils.config import ConfigError
+
+        p = self._write(tmp_path, "cameras: [unclosed\n")
+        with pytest.raises(ConfigError, match="not valid YAML"):
+            load_config(p)
+
+    def test_non_mapping_top_level(self, tmp_path):
+        from thor_slam_tpu.utils.config import ConfigError
+
+        p = self._write(tmp_path, "- just\n- a\n- list\n")
+        with pytest.raises(ConfigError, match="must be a mapping"):
+            load_config(p)

@@ -17,6 +17,10 @@ from typing import Any
 import yaml
 
 
+class ConfigError(ValueError):
+    """A config file is malformed; the message says which field and why."""
+
+
 @dataclass
 class CameraEntry:
     """One camera source in the rig."""
@@ -36,8 +40,17 @@ class CameraEntry:
             v = d.get(key)
             return tuple(v) if v is not None else None
 
+        if "ip" not in d:
+            raise ConfigError(f"camera entry missing required key 'ip': {d!r}")
+        ip = str(d["ip"])
+        from thor_slam_tpu.camera.types import IPv4
+
+        try:
+            IPv4(ip)
+        except ValueError as e:
+            raise ConfigError(f"camera entry has invalid ip {ip!r}: {e}") from e
         return cls(
-            ip=d["ip"],
+            ip=ip,
             stereo=bool(d.get("stereo", True)),
             resolution=tuple(d.get("resolution", (640, 400))),
             sensor_type=str(d.get("sensor_type", "MONO")),
@@ -134,7 +147,23 @@ class RunConfig:
 
 
 def load_config(path: str | Path) -> RunConfig:
-    """Load a RunConfig from a YAML file."""
-    with open(path) as f:
-        data = yaml.safe_load(f) or {}
-    return RunConfig.from_dict(data)
+    """Load a RunConfig from a YAML file.
+
+    Raises:
+        ConfigError: On malformed YAML or invalid field values, with the
+            offending file and field in the message (no raw tracebacks for
+            operator typos).
+    """
+    try:
+        with open(path) as f:
+            data = yaml.safe_load(f) or {}
+    except yaml.YAMLError as e:
+        raise ConfigError(f"{path}: not valid YAML: {e}") from e
+    if not isinstance(data, dict):
+        raise ConfigError(f"{path}: top level must be a mapping, got {type(data).__name__}")
+    try:
+        return RunConfig.from_dict(data)
+    except ConfigError as e:
+        raise ConfigError(f"{path}: {e}") from e
+    except (KeyError, ValueError, TypeError) as e:
+        raise ConfigError(f"{path}: invalid config value: {e}") from e
