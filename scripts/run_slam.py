@@ -154,6 +154,7 @@ def run(
         params=dict(max_keypoints=cfg.backend.max_keypoints, **cfg.backend.tracker),
         enable_ba=cfg.backend.enable_ba,
         use_imu=cfg.backend.use_imu,
+        prewarm_degraded=cfg.watchdog_timeout_s is not None,
     )
     rig = CameraRig(
         sources,
@@ -161,6 +162,7 @@ def run(
         rig_extrinsics=rig_ext,
         imu_extrinsics=imu_ext,
         imu_source=sources[0].name if sources[0].has_sensor_data else None,
+        watchdog_timeout_s=cfg.watchdog_timeout_s,
     )
 
     frame_count = 0

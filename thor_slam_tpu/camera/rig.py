@@ -15,6 +15,7 @@ quality metric) while fixing its known quirks:
 from __future__ import annotations
 
 import logging
+import time
 from collections import deque
 from dataclasses import dataclass, field
 from threading import Lock
@@ -89,6 +90,7 @@ class CameraRig:
         imu_extrinsics: IMUExtrinsics | None = None,
         imu_source: str | None = None,
         poll_blocking: bool = False,
+        watchdog_timeout_s: float | None = None,
     ) -> None:
         """Create the rig.
 
@@ -100,6 +102,13 @@ class CameraRig:
             imu_source: Name of the source whose IMU stream to use.
             poll_blocking: If True, block on each source for a fresh frame per
                 poll (the reference's behavior); default polls non-blocking.
+            watchdog_timeout_s: If set, a source that produces no frames for
+                this many wall-clock seconds is marked stale: it stops
+                gating synchronization (the rig no longer waits for the
+                slowest camera when the slowest camera is dead) and is
+                reported in ``SynchronizedFrameSet.stale_sources`` so the
+                engine can mask it. The reference has no such watchdog — a
+                dead camera freezes its sync loop forever (SURVEY.md §5.3).
         """
         self.sources: dict[str, CameraSource] = {s.name: s for s in sources}
         if len(self.sources) != len(sources):
@@ -113,6 +122,8 @@ class CameraRig:
         self._lock = Lock()
         self._running = False
         self._imu_source = imu_source
+        self._watchdog_timeout_s = watchdog_timeout_s
+        self._last_frame_wall: dict[str, float] = {}
 
         if imu_source is not None:
             if imu_source not in self.sources:
@@ -156,6 +167,8 @@ class CameraRig:
             return
         for source in self.sources.values():
             source.start()
+        now = time.monotonic()
+        self._last_frame_wall = {name: now for name in self.sources}
         self._running = True
 
     def stop(self) -> None:
@@ -230,6 +243,7 @@ class CameraRig:
                 fs = FrameSet.from_frames(frames, source_name=name)
                 with self._lock:
                     self._frame_queues[name].append(fs)
+                self._last_frame_wall[name] = time.monotonic()
 
     @staticmethod
     def _find_closest_frame_set(queue: deque[FrameSet], target_timestamp: float) -> FrameSet | None:
@@ -248,19 +262,48 @@ class CameraRig:
         ts, data = min(queue, key=lambda item: abs(item[0] - target_timestamp))
         return ts, data
 
-    def _get_reference_timestamp(self) -> float | None:
+    def _stale_sources(self) -> frozenset[str]:
+        """Sources the watchdog considers dead (no frames within the timeout).
+
+        Empty when the watchdog is disabled. Never marks *every* source stale
+        — with no live camera there is nothing to synchronize against and the
+        caller should see None from get_synchronized_frames instead.
+        """
+        if self._watchdog_timeout_s is None:
+            return frozenset()
+        now = time.monotonic()
+        stale = frozenset(
+            name
+            for name, last in self._last_frame_wall.items()
+            if now - last > self._watchdog_timeout_s
+        )
+        if len(stale) == len(self.sources):
+            return frozenset()
+        return stale
+
+    def get_source_health(self) -> dict[str, float]:
+        """Seconds since each source last produced a frame (watchdog view)."""
+        now = time.monotonic()
+        return {name: now - self._last_frame_wall.get(name, now) for name in self.sources}
+
+    def _get_reference_timestamp(self, exclude: frozenset[str] = frozenset()) -> float | None:
         """min over sources of each queue's newest timestamp (slowest camera).
 
-        None when any queue is still empty — synchronization is impossible
-        until every source has produced at least one frame set.
+        None when any non-excluded queue is still empty — synchronization is
+        impossible until every live source has produced at least one frame
+        set. ``exclude`` removes watchdog-stale sources from the gate so a
+        dead camera cannot freeze the rig (the reference's behavior without
+        a watchdog, reference rig.py:336-356).
         """
         with self._lock:
             newest: list[float] = []
-            for queue in self._frame_queues.values():
+            for name, queue in self._frame_queues.items():
+                if name in exclude:
+                    continue
                 if not queue:
                     return None
                 newest.append(queue[-1].timestamp)
-        return min(newest)
+        return min(newest) if newest else None
 
     def get_synchronized_frames(self, max_wait_ms: float = 100.0) -> SynchronizedFrameSet | None:
         """Poll all sources and assemble a synchronized frame set.
@@ -284,10 +327,13 @@ class CameraRig:
 
         self._poll_cameras()
 
-        reference_timestamp = self._get_reference_timestamp()
+        stale = self._stale_sources()
+        reference_timestamp = self._get_reference_timestamp(exclude=stale)
         if reference_timestamp is None:
             logger.debug("Not all cameras have frames yet; cannot synchronize")
             return None
+        if stale:
+            logger.warning("Watchdog: stale sources excluded from sync: %s", sorted(stale))
 
         picked: dict[str, FrameSet] = {}
         max_time_delta = 0.0
@@ -295,9 +341,14 @@ class CameraRig:
             for name, queue in self._frame_queues.items():
                 closest = self._find_closest_frame_set(queue, reference_timestamp)
                 if closest is None:
+                    if name in stale:
+                        continue  # dead before its first frame: omit entirely
                     return None
                 picked[name] = closest
-                max_time_delta = max(max_time_delta, abs(closest.timestamp - reference_timestamp))
+                if name not in stale:  # stale deltas would swamp the signal
+                    max_time_delta = max(
+                        max_time_delta, abs(closest.timestamp - reference_timestamp)
+                    )
 
             sensor_data: dict | None = None
             sensor_timestamp: float | None = None
@@ -312,6 +363,7 @@ class CameraRig:
             max_time_delta=max_time_delta,
             sensor_data=sensor_data,
             sensor_timestamp=sensor_timestamp,
+            stale_sources=stale,
         )
 
     def get_latest_frames(self) -> SynchronizedFrameSet | None:

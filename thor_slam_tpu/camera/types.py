@@ -272,13 +272,22 @@ class FrameSet:
 
 @dataclass
 class SynchronizedFrameSet:
-    """Frame sets from every source, matched to one reference timestamp."""
+    """Frame sets from every source, matched to one reference timestamp.
+
+    ``stale_sources`` names sources the rig's watchdog marked as no longer
+    producing frames (their entries in ``frame_sets``, when present, are the
+    last data seen before the stall). Empty unless the rig was created with
+    ``watchdog_timeout_s`` — the reference has no failure detection at all
+    (SURVEY.md §5.3), so downstream code treating this as always-empty
+    matches reference behavior.
+    """
 
     timestamp: float
     frame_sets: dict[str, FrameSet]
     max_time_delta: float
     sensor_data: dict | None = None
     sensor_timestamp: float | None = None
+    stale_sources: frozenset[str] = frozenset()
 
     def get_all_frames(self) -> list[CameraFrame]:
         """Every frame from every source, flattened."""

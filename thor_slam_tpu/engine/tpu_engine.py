@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from thor_slam_tpu.camera.rig import RigCalibration, stack_synchronized_images
+from thor_slam_tpu.camera.rig import RigCalibration
 from thor_slam_tpu.camera.types import SynchronizedFrameSet
 from thor_slam_tpu.engine import ba, loop, posegraph
 from thor_slam_tpu.engine import tracker as trk
@@ -74,8 +74,10 @@ class TpuSlamEngine(SlamEngine):
         loop_exclude_recent: int = 12,
         loop_cooldown_kfs: int = 20,
         loop_min_correction_m: float = 0.05,
+        prewarm_degraded: bool = False,
     ) -> None:
         self._param_overrides = dict(params or {})
+        self._prewarm_degraded = prewarm_degraded
         self._lost_after = lost_after
         self._enable_ba = enable_ba
         self._ba_window = ba_window
@@ -144,10 +146,26 @@ class TpuSlamEngine(SlamEngine):
         dummy = jnp.zeros(
             (self._params.num_cams, 2, height, width), jnp.float32
         )
-        warm_state, _ = self._step(self._tracker_state, dummy)
+        # Each warm-up call mirrors a runtime (pose_prediction, cam_active)
+        # pattern EXACTLY, including arity: jax.jit caches per call signature,
+        # so step(s, i) and step(s, i, None, None) are two separate traces —
+        # warming one does not warm the other (measured: a silent full
+        # recompile on the first real frame). process_frames always uses the
+        # 4-argument form; so must every warm-up.
+        warm_state, _ = self._step(self._tracker_state, dummy, None, None)
         if self._use_imu:  # also compile the explicit-prediction variant
-            warm_state2, _ = self._step(self._tracker_state, dummy, jnp.eye(4))
+            warm_state2, _ = self._step(self._tracker_state, dummy, jnp.eye(4), None)
             jax.block_until_ready(warm_state2.world_t_body)
+        if self._prewarm_degraded:
+            # Compile the cam_active variant now so a camera dying at runtime
+            # costs one masked tick, not a mid-flight jit compile (set this
+            # when the rig has a watchdog).
+            ones = jnp.ones(self._params.num_cams, bool)
+            warm_state3, _ = self._step(self._tracker_state, dummy, None, ones)
+            if self._use_imu:  # masked + IMU-predicted variant
+                warm_state4, _ = self._step(self._tracker_state, dummy, jnp.eye(4), ones)
+                jax.block_until_ready(warm_state4.world_t_body)
+            jax.block_until_ready(warm_state3.world_t_body)
         jax.block_until_ready(warm_state.world_t_body)
         logger.info(
             "TpuSlamEngine initialized: %d cams @ %dx%d (warm-up %.1fs)",
@@ -170,7 +188,17 @@ class TpuSlamEngine(SlamEngine):
             self._ingest_imu(frame_set.sensor_data, frame_set.sensor_timestamp)
             pose_prediction = self._imu_pose_prediction(frame_set.timestamp)
 
-        self._tracker_state, out = self._step(self._tracker_state, images, pose_prediction)
+        # Watchdog: mask dead cameras out of the solve (their frozen frames
+        # would otherwise feed zero-motion KLT tracks into PnP).
+        cam_active = None
+        if frame_set.stale_sources:
+            cam_active = jnp.asarray(
+                [name not in frame_set.stale_sources for name in self._source_order]
+            )
+
+        self._tracker_state, out = self._step(
+            self._tracker_state, images, pose_prediction, cam_active
+        )
         # ONE host transfer for all per-frame outputs: scalar-by-scalar
         # fetches each pay a device round trip (expensive on remote TPUs).
         world_t_body, num_inliers, refreshed, rms, n_lm = jax.device_get(
@@ -184,6 +212,7 @@ class TpuSlamEngine(SlamEngine):
             "num_landmarks": int(n_lm),
             "rms_error": float(rms),
             "refreshed": refreshed,
+            "stale_sources": sorted(frame_set.stale_sources),
         }
 
         # Velocity estimate for the constant-velocity model.
@@ -242,20 +271,27 @@ class TpuSlamEngine(SlamEngine):
 
         Uses the native fused stack+normalize when built (4x faster than
         numpy for the 8-image tick); single device transfer either way.
+        A watchdog-stale source that died before producing any frame has no
+        entry in ``frame_sets`` — it is zero-filled here (and masked out of
+        the solve via ``cam_active``).
         """
         from thor_slam_tpu import native
 
-        flat = [
-            f.image
-            for name in self._source_order
-            for f in frame_set.frame_sets[name].frames
-        ]
+        h, w = self._params.height, self._params.width
+        flat: list[np.ndarray] = []
+        for name in self._source_order:
+            fs = frame_set.frame_sets.get(name)
+            if fs is None:
+                flat.extend([np.zeros((h, w), np.uint8)] * 2)
+            else:
+                flat.extend(f.image for f in fs.frames)
         if native.AVAILABLE and all(im.dtype == np.uint8 for im in flat):
             c = len(self._source_order)
             staged = native.stage_frames(flat)
             arr = staged.reshape(c, len(flat) // c, *flat[0].shape)
         else:
-            arr = stack_synchronized_images(frame_set, self._source_order)
+            c = len(self._source_order)
+            arr = np.stack(flat).reshape(c, len(flat) // c, *flat[0].shape)
             if arr.dtype == np.uint8:
                 arr = arr.astype(np.float32) / 255.0
         return jnp.asarray(arr)

@@ -215,6 +215,7 @@ def track_step(
     state: TrackerState,
     images: jnp.ndarray,
     pose_prediction: jnp.ndarray | None = None,
+    cam_active: jnp.ndarray | None = None,
 ) -> tuple[TrackerState, TrackOutput]:
     """One VO tick. Call under jit with ``params`` static.
 
@@ -225,6 +226,12 @@ def track_step(
         images: (C, 2, H, W) float32 frames in [0, 1] (left, right).
         pose_prediction: Optional (4, 4) world_T_body prediction (e.g. from
             IMU preintegration); defaults to a constant-velocity model.
+        cam_active: Optional (C,) bool — cameras the rig watchdog considers
+            live. A dead camera's image is stale/frozen, so its KLT tracks
+            would be plausible-looking zero-motion observations that bias
+            PnP toward "no movement"; masking here removes them from the
+            solve and from landmark refreshes. None means all active (and
+            traces a mask-free graph — the common case pays nothing).
 
     Returns:
         (new_state, output).
@@ -253,6 +260,11 @@ def track_step(
     klt_body_t_world = _se3_inv(klt_prediction)
 
     hot = run_hot_frontend(params, setup, state, images, klt_body_t_world)
+    if cam_active is not None:
+        hot = hot._replace(
+            corr_valid=hot.corr_valid & cam_active[:, None],
+            tracks_valid=hot.tracks_valid & cam_active[:, None],
+        )
 
     c, n = p.num_cams, p.max_keypoints
     flat_pts = state.lm_pos_w.reshape(c * n, 3)
@@ -287,6 +299,7 @@ def track_step(
         rms_error=result.rms_error,
         init_body_t_world=init_body_t_world,
         key=key,
+        cam_active=cam_active,
     )
 
 
@@ -499,11 +512,17 @@ def _finish_step(
     rms_error: jnp.ndarray,
     init_body_t_world: jnp.ndarray,
     key: jax.Array,
+    cam_active: jnp.ndarray | None = None,
 ) -> tuple[TrackerState, TrackOutput]:
     """Shared back half of a tick: acceptance, keyframing, state update.
 
     The keyframe front-end (detection/description/stereo) runs inside the
     ``lax.cond`` refresh branch — non-keyframe ticks skip it entirely.
+    ``cam_active`` (see :func:`track_step`) additionally empties inactive
+    cameras' landmark banks at refreshes: their detections come from a
+    frozen frame, so minting landmarks from them would re-anchor the world
+    on dead data. When the camera revives, the next keyframe re-mints its
+    bank from live frames.
     """
     p = params
 
@@ -566,6 +585,9 @@ def _finish_step(
         lm_obs = jnp.where(inherits[..., None], inherited_track, kf.kp_xy)
         lm_robs = kf.right_obs_px + (lm_obs - kf.kp_xy)
         lm_robs_valid = kf.tri_valid & lm_valid
+        if cam_active is not None:  # dead cameras mint no landmarks
+            lm_valid = lm_valid & cam_active[:, None]
+            lm_robs_valid = lm_robs_valid & cam_active[:, None]
         return (
             lm_pos, kf.desc_bits, lm_valid, kf.kp_xy, lm_obs,
             lm_robs, lm_robs_valid, lm_id,
@@ -628,7 +650,7 @@ def make_track_step(params: TrackerParams, setup: CameraSetup):
     setup_dev = jax.tree.map(jnp.asarray, setup)
 
     @jax.jit
-    def step(state: TrackerState, images: jnp.ndarray, pose_prediction=None):
-        return track_step(params, setup_dev, state, images, pose_prediction)
+    def step(state: TrackerState, images: jnp.ndarray, pose_prediction=None, cam_active=None):
+        return track_step(params, setup_dev, state, images, pose_prediction, cam_active)
 
     return step

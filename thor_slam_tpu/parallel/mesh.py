@@ -213,7 +213,7 @@ def make_sharded_track_step(params: trk.TrackerParams, setup: trk.CameraSetup, m
         **{**params.__dict__, "num_cams": params.num_cams // n_dev}
     )
 
-    def spmd_step(setup_c, state, images_c):
+    def spmd_step(setup_c, state, images_c, cam_active_c):
         p = local_params
         # Pose prediction (identical on all devices — replicated inputs).
         delta = state.world_t_body @ trk._se3_inv(state.prev_world_t_body)
@@ -225,6 +225,10 @@ def make_sharded_track_step(params: trk.TrackerParams, setup: trk.CameraSetup, m
         klt_body_t_world = trk._se3_inv(klt_prediction)
 
         hot = trk.run_hot_frontend(p, setup_c, state, images_c, klt_body_t_world)
+        hot = hot._replace(
+            corr_valid=hot.corr_valid & cam_active_c[:, None],
+            tracks_valid=hot.tracks_valid & cam_active_c[:, None],
+        )
 
         c, n = p.num_cams, p.max_keypoints
         flat_pts = state.lm_pos_w.reshape(c * n, 3)
@@ -251,6 +255,7 @@ def make_sharded_track_step(params: trk.TrackerParams, setup: trk.CameraSetup, m
             rms_error=rms,
             init_body_t_world=init_body_t_world,
             key=key,
+            cam_active=cam_active_c,
         )
         out = out._replace(
             num_matches=jax.lax.psum(out.num_matches, "cam"),
@@ -261,13 +266,15 @@ def make_sharded_track_step(params: trk.TrackerParams, setup: trk.CameraSetup, m
     sharded = jax.shard_map(
         spmd_step,
         mesh=mesh,
-        in_specs=(setup_specs, cam_specs, P("cam")),
+        in_specs=(setup_specs, cam_specs, P("cam"), P("cam")),
         out_specs=(cam_specs, out_specs_out),
         check_vma=False,
     )
 
     @jax.jit
-    def step(state: trk.TrackerState, images: jnp.ndarray):
-        return sharded(setup_sharded, state, images)
+    def step(state: trk.TrackerState, images: jnp.ndarray, cam_active=None):
+        if cam_active is None:  # resolved at trace time: all-live mask
+            cam_active = jnp.ones(params.num_cams, bool)
+        return sharded(setup_sharded, state, images, cam_active)
 
     return step

@@ -95,6 +95,7 @@ class RunConfig:
     imu_report_rate: int = 400
     queue_size: int = 8
     rig_queue_size: int = 10
+    watchdog_timeout_s: float | None = None
     nvblox_cameras: list[str] = field(default_factory=list)
     backend: BackendConfig = field(default_factory=BackendConfig)
     synthetic: SyntheticConfig = field(default_factory=SyntheticConfig)
@@ -140,6 +141,11 @@ class RunConfig:
             imu_report_rate=int(d.get("imu_report_rate", 400)),
             queue_size=int(d.get("queue_size", 8)),
             rig_queue_size=int(d.get("rig_queue_size", 10)),
+            watchdog_timeout_s=(
+                float(d["watchdog_timeout_s"])
+                if d.get("watchdog_timeout_s") is not None
+                else None
+            ),
             nvblox_cameras=[str(x) for x in d.get("nvblox_cameras", []) or []],
             backend=backend,
             synthetic=synthetic,
