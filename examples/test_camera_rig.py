@@ -4,6 +4,7 @@ Runs hardware-free on the synthetic rig by default; pass --euroc <dir> to
 replay a dataset. Reports per-camera FPS and sync-delta statistics.
 
 Usage: python -m examples.test_camera_rig [--cameras 4] [--frames 60]
+       python -m examples.test_camera_rig --interactive   # pick a resolution
 """
 
 from __future__ import annotations
@@ -20,9 +21,30 @@ def main() -> int:
     parser.add_argument("--frames", type=int, default=60)
     parser.add_argument("--jitter-ms", type=float, default=3.0)
     parser.add_argument("--euroc", default=None, help="EuRoC sequence dir")
+    parser.add_argument(
+        "--interactive", action="store_true",
+        help="Prompt for a stream resolution (the reference's negotiation UX)",
+    )
     args = parser.parse_args()
 
     from thor_slam_tpu.camera.rig import CameraRig
+
+    # Resolution negotiation: the reference probes each camera's supported
+    # configs and prompts for a common choice (reference
+    # examples/test_camera_rig.py:182-245). The synthetic rig supports any
+    # size; offer the OAK-typical menu.
+    width, height = 320, 200
+    if args.interactive:
+        from thor_slam_tpu.camera.utils import prompt_for_resolution
+
+        choice = prompt_for_resolution(
+            [(640, 400), (1280, 720), (1280, 800), (320, 200)],
+            prompt="Common resolutions supported by every source",
+        )
+        if choice is None:
+            print("aborted")
+            return 1
+        width, height = choice
 
     if args.euroc:
         from thor_slam_tpu.camera.sources.dataset import EurocCameraSource
@@ -32,7 +54,7 @@ def main() -> int:
     else:
         from thor_slam_tpu.camera.sources.synthetic import SyntheticRigSpec, make_synthetic_rig
 
-        spec = SyntheticRigSpec(num_sources=args.cameras, width=320, height=200)
+        spec = SyntheticRigSpec(num_sources=args.cameras, width=width, height=height)
         sources, rig_ext, _, _ = make_synthetic_rig(
             spec,
             clock_offsets=tuple(0.002 * i for i in range(args.cameras)),

@@ -35,16 +35,21 @@ GRAVITY_W = np.array([0.0, 0.0, -9.81])  # world gravity, z-up world frame
 # ---------------------------------------------------------------------------
 
 def _hash01(ix, iy, iz, seed: int, xp=np):
-    """Integer lattice hash -> [0, 1) floats. Deterministic across platforms."""
-    h = (
-        ix.astype(xp.uint32) * xp.uint32(73856093)
-        ^ iy.astype(xp.uint32) * xp.uint32(19349663)
-        ^ iz.astype(xp.uint32) * xp.uint32(83492791)
-        ^ xp.uint32(seed * 2654435761 & 0xFFFFFFFF)
-    )
-    h = h ^ (h >> xp.uint32(13))
-    h = h * xp.uint32(0x5BD1E995)
-    h = h ^ (h >> xp.uint32(15))
+    """Integer lattice hash -> [0, 1) floats. Deterministic across platforms.
+
+    uint32 wraparound is the hash — silence numpy's overflow warning (it
+    fires on 0-d/scalar operands only; array ops wrap silently).
+    """
+    with np.errstate(over="ignore"):
+        h = (
+            ix.astype(xp.uint32) * xp.uint32(73856093)
+            ^ iy.astype(xp.uint32) * xp.uint32(19349663)
+            ^ iz.astype(xp.uint32) * xp.uint32(83492791)
+            ^ xp.uint32(seed * 2654435761 & 0xFFFFFFFF)
+        )
+        h = h ^ (h >> xp.uint32(13))
+        h = h * xp.uint32(0x5BD1E995)
+        h = h ^ (h >> xp.uint32(15))
     return h.astype(xp.float32) * xp.float32(1.0 / 4294967296.0)
 
 
