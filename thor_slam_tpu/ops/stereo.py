@@ -116,8 +116,12 @@ def _sgm_scan_one_direction(
         seq = seq[::-1]
 
     steps, d, cross = seq.shape
-    p1 = jnp.float32(p1)
-    p2 = jnp.float32(p2)
+    # Penalties/sentinel follow the cost dtype so the scan carry stays in it
+    # (bf16 aggregation halves the dominant HBM traffic; see sgm_disparity).
+    dt = cost_dhw.dtype
+    p1 = jnp.asarray(p1, dt)
+    p2 = jnp.asarray(p2, dt)
+    big = jnp.asarray(_BIG, dt)
 
     nb = -(-steps // block)
     pad_back = nb * block - steps
@@ -135,10 +139,10 @@ def _sgm_scan_one_direction(
     def step(prev_l, c):
         # prev_l: (nb, D, cross) running costs for every block in parallel.
         prev_min = jnp.min(prev_l, axis=1, keepdims=True)
-        up = jnp.concatenate([prev_l[:, 1:], jnp.full_like(prev_l[:, :1], _BIG)], axis=1)
-        down = jnp.concatenate([jnp.full_like(prev_l[:, :1], _BIG), prev_l[:, :-1]], axis=1)
+        up = jnp.concatenate([prev_l[:, 1:], jnp.full_like(prev_l[:, :1], big)], axis=1)
+        down = jnp.concatenate([jnp.full_like(prev_l[:, :1], big), prev_l[:, :-1]], axis=1)
         best = jnp.minimum(jnp.minimum(prev_l, jnp.minimum(up, down) + p1), prev_min + p2)
-        l = c + best - prev_min
+        l = (c + best - prev_min).astype(dt)
         return l, l
 
     _, out = jax.lax.scan(step, blocked[0], blocked[1:])
@@ -185,11 +189,22 @@ def sgm_disparity(
     cr = census_transform(right)
     cost = census_cost_volume(cl, cr, num_disparities)  # (D, H, W)
 
-    agg = _sgm_scan_one_direction(cost, p1, p2, axis=2, reverse=False)
-    agg = agg + _sgm_scan_one_direction(cost, p1, p2, axis=2, reverse=True)
+    # Path aggregation runs in bfloat16: census costs are integers <= 24 and
+    # the per-path running cost is bounded by max(cost) + p2 (~120), well
+    # inside bf16's exact-integer range (256) — so for integral penalties the
+    # bf16 scans are EXACT, at half the HBM traffic of f32 (the dominant cost
+    # at 720p: measured 69 -> 43 ms at D=96). Only the 4-direction sum can
+    # exceed 256, so directions accumulate in f32.
+    cost16 = cost.astype(jnp.bfloat16)
+    agg = _sgm_scan_one_direction(cost16, p1, p2, axis=2, reverse=False).astype(jnp.float32)
+    agg = agg + _sgm_scan_one_direction(cost16, p1, p2, axis=2, reverse=True).astype(jnp.float32)
     if num_paths >= 4:
-        agg = agg + _sgm_scan_one_direction(cost, p1, p2, axis=1, reverse=False)
-        agg = agg + _sgm_scan_one_direction(cost, p1, p2, axis=1, reverse=True)
+        agg = agg + _sgm_scan_one_direction(cost16, p1, p2, axis=1, reverse=False).astype(
+            jnp.float32
+        )
+        agg = agg + _sgm_scan_one_direction(cost16, p1, p2, axis=1, reverse=True).astype(
+            jnp.float32
+        )
 
     d_best = jnp.argmin(agg, axis=0)  # (H, W)
     h, w = left.shape
