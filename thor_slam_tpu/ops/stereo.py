@@ -158,7 +158,7 @@ def _sgm_scan_one_direction(
     return jnp.moveaxis(out, 0, 1)
 
 
-@partial(jax.jit, static_argnames=("num_disparities", "num_paths"))
+@partial(jax.jit, static_argnames=("num_disparities", "num_paths", "p1", "p2"))
 def sgm_disparity(
     left: jnp.ndarray,
     right: jnp.ndarray,
@@ -194,8 +194,12 @@ def sgm_disparity(
     # inside bf16's exact-integer range (256) — so for integral penalties the
     # bf16 scans are EXACT, at half the HBM traffic of f32 (the dominant cost
     # at 720p: measured 69 -> 43 ms at D=96). Only the 4-direction sum can
-    # exceed 256, so directions accumulate in f32.
-    cost16 = cost.astype(jnp.bfloat16)
+    # exceed 256, so directions accumulate in f32. Exactness needs integral
+    # penalties and the running-cost bound inside 256; otherwise (custom
+    # penalties) stay in f32 — p1/p2 are trace-time constants, so this
+    # branch costs nothing.
+    exact_in_bf16 = p1 == int(p1) and p2 == int(p2) and 24 + p2 < 250
+    cost16 = cost.astype(jnp.bfloat16) if exact_in_bf16 else cost
     agg = _sgm_scan_one_direction(cost16, p1, p2, axis=2, reverse=False).astype(jnp.float32)
     agg = agg + _sgm_scan_one_direction(cost16, p1, p2, axis=2, reverse=True).astype(jnp.float32)
     if num_paths >= 4:
