@@ -50,7 +50,11 @@ def main() -> int:
 
     enable_compilation_cache()
     seq = Path(args.sequence)
-    src = EurocCameraSource(seq, read_imu=not args.no_imu, max_frames=args.frames)
+    try:
+        src = EurocCameraSource(seq, read_imu=not args.no_imu, max_frames=args.frames)
+    except FileNotFoundError as e:
+        print(f"run_euroc: {e}", file=sys.stderr)
+        return 2
     engine = TpuSlamEngine(use_imu=not args.no_imu)
 
     est_ts, est_pos = [], []

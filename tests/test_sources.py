@@ -164,3 +164,51 @@ class TestLuxonisHelpers:
 
         with pytest.raises(ImportError, match="depthai"):
             LuxonisCameraSource(LuxonisCameraConfig(ip=IPv4("192.168.2.21")))
+
+
+class TestSyntheticEurocSequence:
+    """scripts.make_euroc_synthetic output loads like a real ASL sequence."""
+
+    @pytest.fixture(scope="class")
+    def generated(self, tmp_path_factory):
+        import subprocess
+        import sys
+
+        out = tmp_path_factory.mktemp("seq") / "synseq"
+        res = subprocess.run(
+            [sys.executable, "-m", "scripts.make_euroc_synthetic",
+             "--out", str(out), "--frames", "4", "--width", "64", "--height", "48"],
+            capture_output=True, text=True,
+        )
+        assert res.returncode == 0, res.stderr
+        return out
+
+    def test_layout_and_replay(self, generated):
+        src = EurocCameraSource(generated)
+        assert len(src) == 4
+        src.start()
+        frames = src.get_latest_frames()
+        assert frames[0].image.shape == (48, 64)
+        assert len(frames) == 2  # stereo
+
+    def test_calibration_npz_overrides_defaults(self, generated):
+        src = EurocCameraSource(generated)
+        intr = src.get_intrinsics()
+        # Synthetic pinhole: zero distortion, centered pp — NOT the standard
+        # EuRoC VI-sensor values the loader falls back to.
+        assert np.allclose(intr[0].coeffs, 0.0)
+        assert intr[0].width == 64
+        np.testing.assert_allclose(intr[0].matrix[0, 2], 32.0)
+        # Baseline from calibration.npz (0.11 m along +x).
+        ext = src.get_extrinsics()
+        np.testing.assert_allclose(ext[1].translation[0], 0.11, atol=1e-9)
+
+    def test_groundtruth_present(self, generated):
+        gt = generated / "mav0" / "state_groundtruth_estimate0" / "data.csv"
+        rows = [r for r in gt.read_text().splitlines() if not r.startswith("#")]
+        assert len(rows) == 4
+
+    def test_real_sequences_keep_standard_calibration(self, euroc_dir):
+        # The fixture writes no calibration.npz -> standard EuRoC values.
+        src = EurocCameraSource(euroc_dir)
+        assert src.get_intrinsics()[0].matrix[0, 0] == pytest.approx(458.654)

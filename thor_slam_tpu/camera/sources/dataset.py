@@ -113,8 +113,22 @@ class EurocCameraSource(CameraSource):
                         (vals[0] * 1e-9, np.asarray(vals[1:4]), np.asarray(vals[4:7]))
                     )
 
+        # Calibration precedence: explicit override > mav0/calibration.npz
+        # (our extension — written by scripts.make_euroc_synthetic so
+        # generated sequences carry their exact calibration; absent in real
+        # ASL datasets) > the standard EuRoC VI-sensor values.
+        calib_npz = mav / "calibration.npz"
+        c0_t_c1 = self._EUROC_C0_T_C1
         if intrinsics is not None:
             self._intr = intrinsics
+        elif calib_npz.exists():
+            z = np.load(calib_npz)
+            w, h = int(z["width"]), int(z["height"])
+            self._intr = [
+                Intrinsics(width=w, height=h, matrix=z["k0"], coeffs=z["d0"]),
+                Intrinsics(width=w, height=h, matrix=z["k1"], coeffs=z["d1"]),
+            ]
+            c0_t_c1 = z["c0_t_c1"]
         else:
             sample = _load_image(self._left[0][1])
             h, w = sample.shape[:2]
@@ -124,7 +138,7 @@ class EurocCameraSource(CameraSource):
             ]
         self._ext = [
             Extrinsics.identity(),
-            Extrinsics.from_4x4_matrix(self._EUROC_C0_T_C1),
+            Extrinsics.from_4x4_matrix(c0_t_c1),
         ]
 
     @property
