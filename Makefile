@@ -34,6 +34,11 @@ ifndef EUROC
 endif
 	$(PY) -m scripts.run_euroc --sequence $(EUROC)
 
+.PHONY: euroc-selftest
+euroc-selftest: ## Generate a synthetic ASL-layout sequence and evaluate ATE on it
+	$(PY) -m scripts.make_euroc_synthetic --out /tmp/thor_synseq --frames 50
+	$(PY) -m scripts.run_euroc --sequence /tmp/thor_synseq --frames 50
+
 # ------------------------- ROS 2 interop -------------------------
 # (reference Makefile isaac-ros-launch / nvblox-launch / rviz targets)
 
