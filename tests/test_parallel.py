@@ -68,6 +68,28 @@ class TestShardedTracking:
         with pytest.raises(ValueError, match="divisible"):
             make_sharded_track_step(bad, setup, mesh)
 
+    def test_landmark_ids_unique_across_shards(self, rig8):
+        """Keyframe refreshes must mint globally unique lm_ids per shard.
+
+        Regression: the replicated lm_id_counter used to mint identical id
+        ranges on every device, merging distinct physical landmarks under
+        one BA/loop join key.
+        """
+        params, setup, _, sources, *_ = rig8
+        mesh = make_camera_mesh(8)
+        step = make_sharded_track_step(params, setup, mesh)
+        state = shard_state(trk.init_state(params), mesh)
+        seq = np.asarray(render_sequence(sources, 3))
+        for i in range(3):
+            state, out = step(state, jnp.asarray(seq[i]))
+        lm_id = np.asarray(state.lm_id)
+        lm_valid = np.asarray(state.lm_valid)
+        per_cam = [set(lm_id[c][lm_valid[c]].tolist()) for c in range(params.num_cams)]
+        total = sum(len(s) for s in per_cam)
+        assert len(set().union(*per_cam)) == total
+        # Counter advanced by the GLOBAL mint count at the bootstrap refresh.
+        assert int(np.asarray(state.lm_id_counter)) >= params.num_cams * params.max_keypoints
+
     def test_two_device_mesh(self, rig8):
         params, setup, _, sources, *_ = rig8
         mesh = make_camera_mesh(2)

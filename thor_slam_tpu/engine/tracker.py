@@ -513,6 +513,8 @@ def _finish_step(
     init_body_t_world: jnp.ndarray,
     key: jax.Array,
     cam_active: jnp.ndarray | None = None,
+    fresh_id_base: jnp.ndarray | None = None,
+    id_advance: int | None = None,
 ) -> tuple[TrackerState, TrackOutput]:
     """Shared back half of a tick: acceptance, keyframing, state update.
 
@@ -523,6 +525,15 @@ def _finish_step(
     frozen frame, so minting landmarks from them would re-anchor the world
     on dead data. When the camera revives, the next keyframe re-mints its
     bank from live frames.
+
+    ``fresh_id_base``/``id_advance`` keep landmark ids globally unique
+    under SPMD: inside ``shard_map`` this function sees only the device's
+    local camera shard while ``lm_id_counter`` is replicated, so every
+    device would otherwise mint the same id range for different physical
+    cameras. The sharded caller passes a per-device base offset
+    (``counter + axis_index * local_cams * N``) and the *global* advance
+    (``num_cams_global * N``); single-chip callers leave both None
+    (base = counter, advance = C * N).
     """
     p = params
 
@@ -577,7 +588,8 @@ def _finish_step(
         lm_valid = kf.tri_valid | (inherits & kf.kp_valid)
 
         inherited_id = jnp.take_along_axis(state.lm_id, nearest, axis=1)
-        fresh_ids = state.lm_id_counter + jnp.arange(c_ * n_, dtype=jnp.int32).reshape(c_, n_)
+        base = state.lm_id_counter if fresh_id_base is None else fresh_id_base
+        fresh_ids = base + jnp.arange(c_ * n_, dtype=jnp.int32).reshape(c_, n_)
         lm_id = jnp.where(inherits, inherited_id, fresh_ids)
         # BA observation: inherited landmarks keep their subpixel tracked
         # position (consistent with their 3D point); fresh ones the detection.
@@ -605,8 +617,9 @@ def _finish_step(
         lm_robs_px, lm_robs_valid, lm_id,
     ) = jax.lax.cond(refresh, keyframe_branch, continue_branch, None)
 
+    advance = c_ * n_ if id_advance is None else id_advance
     new_counter = jnp.where(
-        refresh, state.lm_id_counter + c_ * n_, state.lm_id_counter
+        refresh, state.lm_id_counter + advance, state.lm_id_counter
     ).astype(jnp.int32)
 
     new_state = TrackerState(

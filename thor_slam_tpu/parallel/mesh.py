@@ -256,6 +256,12 @@ def make_sharded_track_step(params: trk.TrackerParams, setup: trk.CameraSetup, m
             init_body_t_world=init_body_t_world,
             key=key,
             cam_active=cam_active_c,
+            # lm_id is the global BA/loop join key: offset each device's
+            # fresh-id range by its camera shard and advance the replicated
+            # counter by the GLOBAL mint count so ids never collide.
+            fresh_id_base=state.lm_id_counter
+            + jax.lax.axis_index("cam") * jnp.asarray(c * n, jnp.int32),
+            id_advance=params.num_cams * n,
         )
         out = out._replace(
             num_matches=jax.lax.psum(out.num_matches, "cam"),
