@@ -92,9 +92,12 @@ def main() -> int:
         print("No ground truth in sequence; ATE not computed.")
         return 0
     gt_ts, gt_pos = gt
-    # Associate by nearest timestamp.
-    idx = np.searchsorted(gt_ts, est_ts)
-    idx = np.clip(idx, 0, len(gt_ts) - 1)
+    # Associate by TRUE nearest timestamp: searchsorted alone returns the
+    # first GT entry at-or-after each estimate, pairing every pose with GT
+    # up to one sample late (~5 ms at 200 Hz) and biasing ATE with velocity.
+    hi = np.clip(np.searchsorted(gt_ts, est_ts), 0, len(gt_ts) - 1)
+    lo = np.clip(hi - 1, 0, len(gt_ts) - 1)
+    idx = np.where(np.abs(gt_ts[lo] - est_ts) <= np.abs(gt_ts[hi] - est_ts), lo, hi)
     matched_gt = gt_pos[idx]
     ate = ate_rmse(est_pos, matched_gt)
     print(f"ATE-RMSE: {ate * 100:.2f} cm over {len(est_pos)} poses")

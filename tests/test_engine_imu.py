@@ -104,3 +104,61 @@ class TestPackWindow:
         a = np.zeros((100, 3))
         gy, ac, d, m = imu.pack_imu_window(ts, g, a, 0.0, 0.2, capacity=16)
         assert m.sum() == 16
+
+
+class TestIngestRobustness:
+    """_ingest_imu must reject malformed payloads instead of buffering garbage.
+
+    Regression: np.asarray(None) is an object array (never None), so the
+    old guards could not trigger — a sensor_data dict lacking accelerometer/
+    gyroscope buffered garbage that crashed pack_imu_window ticks later, and
+    a batched payload without 'timestamps' raised IndexError.
+    """
+
+    def _engine(self):
+        from thor_slam_tpu.engine.tpu_engine import TpuSlamEngine
+
+        return TpuSlamEngine()
+
+    def test_missing_accelerometer_ignored(self):
+        eng = self._engine()
+        eng._ingest_imu({"gyroscope": np.zeros(3)}, 1.0)
+        assert eng._imu_ts == []
+
+    def test_missing_gyroscope_ignored(self):
+        eng = self._engine()
+        eng._ingest_imu({"accelerometer": np.zeros(3)}, 1.0)
+        assert eng._imu_ts == []
+
+    def test_batched_without_timestamps_uses_sensor_ts(self):
+        eng = self._engine()
+        eng._ingest_imu(
+            {"accelerometer": np.zeros((3, 3)), "gyroscope": np.zeros((3, 3))}, 2.5
+        )
+        # All samples collapse onto sensor_ts; strictly-increasing filter
+        # keeps exactly one — but no IndexError.
+        assert eng._imu_ts == [2.5]
+
+    def test_batched_with_short_timestamps_rejected(self):
+        eng = self._engine()
+        eng._ingest_imu(
+            {
+                "accelerometer": np.zeros((4, 3)),
+                "gyroscope": np.zeros((4, 3)),
+                "timestamps": np.asarray([0.1, 0.2]),
+            },
+            1.0,
+        )
+        assert eng._imu_ts == []
+
+    def test_wellformed_batch_survives(self):
+        eng = self._engine()
+        eng._ingest_imu(
+            {
+                "accelerometer": np.ones((3, 3)),
+                "gyroscope": np.ones((3, 3)),
+                "timestamps": np.asarray([0.1, 0.2, 0.3]),
+            },
+            0.3,
+        )
+        assert eng._imu_ts == [0.1, 0.2, 0.3]

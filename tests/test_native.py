@@ -73,3 +73,14 @@ class TestSyncSearch:
         for t, i in zip(ts, idx):
             expect = int(np.argmin(np.abs(t - target)))
             assert abs(t[i] - target) == pytest.approx(abs(t[expect] - target))
+
+
+def test_stage_frames_shape_mismatch_raises():
+    """A renegotiated (smaller) frame must raise, not read out of bounds."""
+    import pytest
+
+    from thor_slam_tpu import native as nat
+
+    imgs = [np.zeros((8, 8), np.uint8), np.zeros((4, 8), np.uint8)]
+    with pytest.raises(ValueError, match="same-shape"):
+        nat.stage_frames(imgs)

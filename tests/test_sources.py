@@ -72,6 +72,28 @@ class TestEuroc:
         assert src.try_get_latest_frames() is None
         assert src.get_latest_frames() == []
 
+    def test_imu_covers_frame_about_to_be_delivered(self, euroc_dir):
+        """IMU polled BEFORE frames (rig order) must cover the frame's window.
+
+        Regression: delivering samples only up to the previously delivered
+        frame made every engine preintegration window (t_{n-1}, t_n] arrive
+        one tick late — i.e. empty — silently disabling IMU fusion.
+        """
+        src = EurocCameraSource(euroc_dir)
+        src.start()
+        # Tick 0: IMU first (as CameraRig._poll_cameras does), then frames.
+        data0, _ = src.get_timestamped_sensor_data()
+        f0 = src.get_latest_frames()
+        t0 = f0[0].timestamp
+        assert data0 is not None and data0["timestamps"][-1] <= t0
+        # Tick 1: the IMU poll must already contain samples in (t0, t1].
+        data1, _ = src.get_timestamped_sensor_data()
+        f1 = src.get_latest_frames()
+        t1 = f1[0].timestamp
+        assert data1 is not None
+        in_window = (data1["timestamps"] > t0) & (data1["timestamps"] <= t1)
+        assert in_window.sum() > 0, "IMU window for the delivered frame is empty"
+
     def test_works_in_rig(self, euroc_dir):
         src = EurocCameraSource(euroc_dir)
         with CameraRig([src], imu_source=src.name) as rig:

@@ -186,10 +186,15 @@ class EurocCameraSource(CameraSource):
         return Extrinsics.identity() if self._imu else None
 
     def get_timestamped_sensor_data(self) -> tuple[dict | None, float | None]:
-        if not self._imu or self._idx == 0:
+        if not self._imu:
             return None, None
-        # All IMU samples up to the current frame timestamp.
-        t_now = self._left[min(self._idx, len(self._left)) - 1][0]
+        # All IMU samples up to the frame this tick will DELIVER (index
+        # self._idx), not the previously delivered one: the rig polls IMU
+        # before frames (rig._poll_cameras), so cutting at the previous
+        # frame's timestamp makes every preintegration window (t_{n-1},
+        # t_n] arrive one tick late — i.e. always empty when the engine
+        # packs it, silently disabling IMU fusion on the benchmark path.
+        t_now = self._left[min(self._idx, len(self._left) - 1)][0]
         start = self._imu_idx
         while self._imu_idx < len(self._imu) and self._imu[self._imu_idx][0] <= t_now:
             self._imu_idx += 1

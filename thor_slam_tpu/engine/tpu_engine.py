@@ -101,6 +101,9 @@ class TpuSlamEngine(SlamEngine):
         self._want_reloc = False
         #: Per-frame tracking diagnostics (updated by process_frames).
         self.last_diagnostics: dict = {}
+        #: Count of IMU preintegration windows that contained no samples
+        #: (nonzero growth while use_imu=True means the IMU path is dead).
+        self.imu_empty_windows = 0
         self._state_enum = TrackingState.NOT_INITIALIZED
         self._config = SlamConfig()
         self._step = None
@@ -300,12 +303,20 @@ class TpuSlamEngine(SlamEngine):
 
     def _ingest_imu(self, sensor_data: dict, sensor_ts: float | None) -> None:
         """Buffer IMU samples (single dict or driver-batched arrays)."""
-        acc = np.asarray(sensor_data.get("accelerometer"))
-        gyr = np.asarray(sensor_data.get("gyroscope"))
-        if acc is None or gyr is None:
+        # Guard the RAW dict values: np.asarray(None) is an object array
+        # (never None), so converting first would let a malformed payload
+        # through to crash pack_imu_window ticks later.
+        raw_acc = sensor_data.get("accelerometer")
+        raw_gyr = sensor_data.get("gyroscope")
+        if raw_acc is None or raw_gyr is None:
             return
+        acc = np.asarray(raw_acc, np.float64)
+        gyr = np.asarray(raw_gyr, np.float64)
         if acc.ndim == 2:  # batched packet (synthetic source / DepthAI batching)
-            ts = np.asarray(sensor_data.get("timestamps"))
+            raw_ts = sensor_data.get("timestamps")
+            ts = None if raw_ts is None else np.asarray(raw_ts, np.float64)
+            if ts is not None and len(ts) < acc.shape[0]:
+                return  # malformed batch: fewer timestamps than samples
             for i in range(acc.shape[0]):
                 t = float(ts[i]) if ts is not None else (sensor_ts or 0.0)
                 if not self._imu_ts or t > self._imu_ts[-1]:
@@ -341,6 +352,16 @@ class TpuSlamEngine(SlamEngine):
             t_start=self._last_timestamp, t_end=ts, capacity=64,
         )
         if m.sum() < 1:
+            # A dead IMU path must be VISIBLE: with use_imu=True the engine
+            # silently degrades to constant-velocity when every window is
+            # empty (e.g. a source delivering samples one tick late).
+            self.imu_empty_windows += 1
+            if self.imu_empty_windows in (10, 100) or self.imu_empty_windows % 1000 == 0:
+                logger.warning(
+                    "IMU enabled but %d preintegration windows were empty — "
+                    "samples may be arriving late or not at all",
+                    self.imu_empty_windows,
+                )
             return None
         pre = imu_mod.preintegrate_np(g, a, d, m)  # host: no device round trip
         # IMU-frame rotation increment -> body frame.
@@ -833,6 +854,7 @@ class TpuSlamEngine(SlamEngine):
         self._loops_closed = 0
         self._want_reloc = False
         self._imu_ts, self._imu_gyro, self._imu_accel = [], [], []
+        self.imu_empty_windows = 0
         self._low_inlier_streak = 0
         self._last_timestamp = None
         self._frame_count = 0

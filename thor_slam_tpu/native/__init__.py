@@ -65,6 +65,13 @@ def stage_frames(images: list[np.ndarray], num_threads: int = 4) -> np.ndarray:
     lib = _load()
     n = len(images)
     h, w = images[0].shape
+    # The C loop reads h*w bytes from every raw pointer; a smaller frame
+    # (e.g. a driver renegotiating resolution mid-run) would be a silent
+    # out-of-bounds read where np.stack raises. Enforce the same contract.
+    if any(im.shape != (h, w) for im in images):
+        raise ValueError(
+            f"stage_frames requires same-shape images; got {[im.shape for im in images]}"
+        )
     if lib is None:
         return np.stack(images).astype(np.float32) / 255.0
     out = np.empty((n, h, w), np.float32)
