@@ -223,3 +223,46 @@ def test_relocalize_against_loaded_map(tmp_path):
         assert eng2.get_tracking_state() == TrackingState.TRACKING
         # Pose is expressed in the ORIGINAL map's frame, within a few cm.
         assert np.median(errs) < 0.05
+
+
+@pytest.mark.slow
+class TestPipelinedMode:
+    """pipelined=True: identical poses, shifted by exactly one tick."""
+
+    def _run(self, pipelined: bool):
+        spec = SyntheticRigSpec(
+            num_sources=2, stereo=True, width=128, height=96, fps=30.0, baseline_m=0.12
+        )
+        world = SyntheticWorld(half_extents=(4.0, 4.0, 2.0))
+        traj = OrbitTrajectory(radius=1.5, angular_rate=0.5)
+        sources, rig_ext, _, _ = make_synthetic_rig(spec, world=world, trajectory=traj)
+        engine = TpuSlamEngine(
+            params=dict(max_keypoints=128, keyframe_min_inliers=40),
+            pipelined=pipelined,
+        )
+        poses = []
+        with CameraRig(sources, rig_extrinsics=rig_ext) as rig:
+            engine.initialize(rig.calibration, SlamConfig(num_cameras=4))
+            for _ in range(12):
+                sync = rig.get_synchronized_frames()
+                pose = engine.process_frames(sync)
+                poses.append(pose)
+            tail = engine.flush()
+            if tail is not None:
+                poses.append(tail)
+        engine.shutdown()
+        return [p for p in poses if p is not None]
+
+    def test_matches_synchronous_shifted(self):
+        sync_poses = self._run(pipelined=False)
+        pipe_poses = self._run(pipelined=True)
+        # First pipelined call returns None; flush() yields the final tick —
+        # the surviving pose sequences are identical.
+        assert len(sync_poses) == len(pipe_poses)
+        for a, b in zip(sync_poses, pipe_poses):
+            np.testing.assert_allclose(a.position, b.position, atol=1e-6)
+            assert a.timestamp == b.timestamp
+
+    def test_flush_idempotent(self):
+        engine = TpuSlamEngine(pipelined=True)
+        assert engine.flush() is None

@@ -84,10 +84,14 @@ class TestUploader:
         np.testing.assert_array_equal(out, a)
         up.close()
 
-    def test_uint8_normalized(self):
+    def test_uint8_ships_unconverted(self):
+        # uint8 must arrive on device AS uint8: the jitted consumer
+        # normalizes on device (4x smaller host->device transfer).
         up = DoubleBufferedUploader(stage_fn=lambda x: x)
         up.submit(np.full((2, 2), 255, np.uint8))
-        np.testing.assert_allclose(np.asarray(up.get()), 1.0)
+        out = up.get()
+        assert out.dtype == np.uint8
+        np.testing.assert_array_equal(np.asarray(out), 255)
         up.close()
 
     def test_pipelining_order(self):

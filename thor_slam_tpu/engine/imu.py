@@ -17,10 +17,13 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from thor_slam_tpu.ops import lie
 
-GRAVITY_W = jnp.asarray([0.0, 0.0, -9.81])
+# numpy, NOT jnp: module-level device arrays captured in executables
+# poison h2d throughput on hosted TPUs (see ops/match.py).
+GRAVITY_W = np.asarray([0.0, 0.0, -9.81])
 
 #: Default noise parameters: the reference's measured OAK-D Pro values
 #: (reference launch/thor_visual_slam.launch.py:82-104).

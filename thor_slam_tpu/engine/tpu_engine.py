@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import logging
 import time
+from collections import deque
 
 import jax
 import jax.numpy as jnp
@@ -57,6 +58,21 @@ class TpuSlamEngine(SlamEngine):
             structural outliers). Enable for long drift-heavy trajectories.
         ba_window: Keyframes per BA window (static shape K).
         ba_landmarks: Landmark slots per BA window (static shape L).
+        pipelined: Overlap host staging/upload with device compute via a
+            one-slot pipeline (:class:`DoubleBufferedUploader`): each
+            ``process_frames(k)`` returns the pose of tick ``k-1`` (None on
+            the first tick) while tick ``k`` is staged, uploaded and
+            dispatched. This matches the reference's async-pose semantics —
+            its ``process_frames`` also returns a cached earlier pose set
+            asynchronously by the odometry callback (reference
+            isaac_ros.py:308-325). Call :meth:`flush` at stream end for the
+            final pose. Default off: synchronous same-tick pose.
+        pipeline_depth: Number of in-flight ticks when ``pipelined`` (pose
+            latency = depth ticks). Depth > 1 is throughput mode for
+            remote/tunneled TPUs where every host sync costs a network
+            RTT: output fetches are batched across ready ticks
+            (:meth:`_finalize_ready`). Pure VO streaming only — requires
+            ``enable_ba=False, use_imu=False`` and forces loop closure off.
     """
 
     def __init__(
@@ -75,9 +91,26 @@ class TpuSlamEngine(SlamEngine):
         loop_cooldown_kfs: int = 20,
         loop_min_correction_m: float = 0.05,
         prewarm_degraded: bool = False,
+        pipelined: bool = False,
+        pipeline_depth: int = 1,
     ) -> None:
         self._param_overrides = dict(params or {})
         self._prewarm_degraded = prewarm_degraded
+        self._pipelined = pipelined
+        if pipeline_depth < 1:
+            raise ValueError("pipeline_depth must be >= 1")
+        if pipeline_depth > 1:
+            # Deep pipelining defers the host's view of the tracker by up
+            # to `depth` ticks; host subsystems that read tracker state at
+            # the tick they finalize (IMU prediction, BA snapshots) would
+            # silently read the wrong tick — reject instead.
+            if enable_ba:
+                raise ValueError("pipeline_depth > 1 is incompatible with enable_ba")
+            if use_imu:
+                raise ValueError("pipeline_depth > 1 is incompatible with use_imu")
+        self._pipeline_depth = pipeline_depth
+        self._uploader = None
+        self._pending_q: deque[dict] = deque()
         self._lost_after = lost_after
         self._enable_ba = enable_ba
         self._ba_window = ba_window
@@ -121,6 +154,17 @@ class TpuSlamEngine(SlamEngine):
     def initialize(self, calibration: RigCalibration, config: SlamConfig | None = None) -> None:
         if config is not None:
             self._config = config
+        if self._pipeline_depth > 1 and self._config.enable_loop_closure:
+            # Loop closure rewrites the live tracker state at the finalized
+            # tick; with a deep pipeline that state is ticks ahead. Disable
+            # rather than corrupt (throughput mode is pure VO streaming).
+            logger.warning(
+                "pipeline_depth=%d: disabling loop closure (incompatible "
+                "with deep pipelining)", self._pipeline_depth,
+            )
+            import dataclasses
+
+            self._config = dataclasses.replace(self._config, enable_loop_closure=False)
 
         setup, self._source_order, height, width = build_camera_setup(calibration)
         self._setup = setup
@@ -137,6 +181,13 @@ class TpuSlamEngine(SlamEngine):
         )
         self._step = trk.make_track_step(self._params, setup)
         self._tracker_state = trk.init_state(self._params)
+        self._pending_q.clear()
+        if self._pipelined:
+            from thor_slam_tpu.pipeline.transfer import DoubleBufferedUploader
+
+            if self._uploader is not None:
+                self._uploader.close()
+            self._uploader = DoubleBufferedUploader(stage_fn=self._stage_array)
         self._keyframe_poses = []
         self._kf_snapshots = []
         self._low_inlier_streak = 0
@@ -145,9 +196,12 @@ class TpuSlamEngine(SlamEngine):
         self._state_enum = TrackingState.INITIALIZING
 
         # jit warm-up so the first real tick doesn't pay compilation.
+        # uint8 is the runtime dtype (camera drivers and dataset replay all
+        # produce uint8; the step normalizes on device) — float frames are
+        # the rare case and pay one compile on their first tick.
         t0 = time.monotonic()
         dummy = jnp.zeros(
-            (self._params.num_cams, 2, height, width), jnp.float32
+            (self._params.num_cams, 2, height, width), jnp.uint8
         )
         # Each warm-up call mirrors a runtime (pose_prediction, cam_active)
         # pattern EXACTLY, including arity: jax.jit caches per call signature,
@@ -181,8 +235,34 @@ class TpuSlamEngine(SlamEngine):
         if self._step is None:
             raise RuntimeError("initialize() must be called before process_frames()")
 
-        images = self._stage_images(frame_set)
+        if not self._pipelined:
+            images = jnp.asarray(self._stage_array(frame_set))
+            return self._finalize_tick(self._dispatch_tick(images, frame_set))
 
+        # Pipelined: stage/upload tick k on the uploader thread while the
+        # device still computes earlier ticks and the host finalizes them.
+        # `pipeline_depth` ticks of pose latency (see class docstring).
+        self._uploader.submit(frame_set)
+        pose = None
+        if len(self._pending_q) >= self._pipeline_depth:
+            pose = self._finalize_ready()
+        images = self._uploader.get()
+        self._pending_q.append(self._dispatch_tick(images, frame_set))
+        return pose
+
+    def flush(self) -> SlamPose | None:
+        """Finalize all in-flight ticks (pipelined mode; no-op otherwise)."""
+        pose = None
+        while self._pending_q:
+            pose = self._finalize_ready()
+        return pose
+
+    def _dispatch_tick(self, images: jnp.ndarray, frame_set: SynchronizedFrameSet) -> dict:
+        """Front half of a tick: IMU ingest/prediction + async step dispatch.
+
+        Returns the pending record for :meth:`_finalize_tick`; the device
+        computes while the host goes on (JAX dispatch is asynchronous).
+        """
         if self._want_reloc and self._attempt_relocalization(frame_set):
             self._want_reloc = False
 
@@ -202,11 +282,47 @@ class TpuSlamEngine(SlamEngine):
         self._tracker_state, out = self._step(
             self._tracker_state, images, pose_prediction, cam_active
         )
-        # ONE host transfer for all per-frame outputs: scalar-by-scalar
-        # fetches each pay a device round trip (expensive on remote TPUs).
-        world_t_body, num_inliers, refreshed, rms, n_lm = jax.device_get(
-            (out.world_t_body, out.num_inliers, out.refreshed, out.rms_error, out.num_landmarks)
-        )
+        return {
+            "out": out,
+            "ts": frame_set.timestamp,
+            "stale_sources": frame_set.stale_sources,
+        }
+
+    @staticmethod
+    def _output_tuple(pending: dict) -> tuple:
+        out = pending["out"]
+        return (out.world_t_body, out.num_inliers, out.refreshed, out.rms_error, out.num_landmarks)
+
+    def _finalize_tick(self, pending: dict) -> SlamPose | None:
+        """Back half of a tick: fetch outputs, run the host state machine.
+
+        ONE host transfer for all per-frame outputs: scalar-by-scalar
+        fetches each pay a device round trip (expensive on remote TPUs).
+        """
+        return self._finalize_values(pending, jax.device_get(self._output_tuple(pending)))
+
+    def _finalize_ready(self) -> SlamPose | None:
+        """Finalize the oldest pending tick — and, in the SAME device
+        round trip, every newer tick whose outputs are already computed.
+
+        On a remote/tunneled TPU a host sync costs a full network RTT
+        (measured ~27 ms here); batching the fetches amortizes that across
+        `pipeline_depth` ticks instead of paying it per tick.
+        """
+        q = self._pending_q
+        take = 1
+        while take < len(q) and q[take]["out"].world_t_body.is_ready():
+            take += 1
+        records = [q.popleft() for _ in range(take)]
+        values = jax.device_get(tuple(self._output_tuple(r) for r in records))
+        pose = None
+        for rec, vals in zip(records, values):
+            pose = self._finalize_values(rec, vals)
+        return pose
+
+    def _finalize_values(self, pending: dict, vals: tuple) -> SlamPose | None:
+        """Host state machine for one tick, given fetched output values."""
+        world_t_body, num_inliers, refreshed, rms, n_lm = vals
         num_inliers = int(num_inliers)
         refreshed = bool(refreshed)
         world_t_body = np.asarray(world_t_body, np.float64)
@@ -215,12 +331,19 @@ class TpuSlamEngine(SlamEngine):
             "num_landmarks": int(n_lm),
             "rms_error": float(rms),
             "refreshed": refreshed,
-            "stale_sources": sorted(frame_set.stale_sources),
+            "stale_sources": sorted(pending["stale_sources"]),
         }
 
-        # Velocity estimate for the constant-velocity model.
-        ts = frame_set.timestamp
-        if self._last_timestamp is not None and ts > self._last_timestamp:
+        # Velocity estimate for the constant-velocity model. Depth-1 only:
+        # with a deeper pipeline the live tracker state is ahead of the
+        # tick being finalized, so differencing against it mixes ticks
+        # (and reading its arrays would sync on in-flight compute).
+        ts = pending["ts"]
+        if (
+            self._pipeline_depth == 1
+            and self._last_timestamp is not None
+            and ts > self._last_timestamp
+        ):
             dt = ts - self._last_timestamp
             vel = (world_t_body[:3, 3] - np.asarray(self._tracker_state.prev_world_t_body)[:3, 3]) / dt
             self._tracker_state = self._tracker_state._replace(
@@ -269,17 +392,17 @@ class TpuSlamEngine(SlamEngine):
     def get_tracking_state(self) -> TrackingState:
         return self._state_enum
 
-    def _stage_images(self, frame_set: SynchronizedFrameSet) -> jnp.ndarray:
-        """Stage the tick into one (C, 2, H, W) float32 device array.
+    def _stage_array(self, frame_set: SynchronizedFrameSet) -> np.ndarray:
+        """Stage the tick into one (C, 2, H, W) host array.
 
-        Uses the native fused stack+normalize when built (4x faster than
-        numpy for the 8-image tick); single device transfer either way.
+        uint8 frames stay uint8 — the device normalizes inside the jitted
+        step (tracker.track_step), so the host→device transfer ships 1/4
+        the bytes and the host never runs a multi-megabyte float conversion
+        (which measured 300-600 ms/tick at 4x720p on a weak host CPU).
         A watchdog-stale source that died before producing any frame has no
         entry in ``frame_sets`` — it is zero-filled here (and masked out of
         the solve via ``cam_active``).
         """
-        from thor_slam_tpu import native
-
         h, w = self._params.height, self._params.width
         flat: list[np.ndarray] = []
         for name in self._source_order:
@@ -288,16 +411,11 @@ class TpuSlamEngine(SlamEngine):
                 flat.extend([np.zeros((h, w), np.uint8)] * 2)
             else:
                 flat.extend(f.image for f in fs.frames)
-        if native.AVAILABLE and all(im.dtype == np.uint8 for im in flat):
-            c = len(self._source_order)
-            staged = native.stage_frames(flat)
-            arr = staged.reshape(c, len(flat) // c, *flat[0].shape)
-        else:
-            c = len(self._source_order)
-            arr = np.stack(flat).reshape(c, len(flat) // c, *flat[0].shape)
-            if arr.dtype == np.uint8:
-                arr = arr.astype(np.float32) / 255.0
-        return jnp.asarray(arr)
+        c = len(self._source_order)
+        arr = np.stack(flat).reshape(c, len(flat) // c, *flat[0].shape)
+        if arr.dtype not in (np.uint8, np.float32):
+            arr = arr.astype(np.float32)
+        return arr
 
     # ----------------------------------------------------- IMU fusion
 
@@ -848,6 +966,7 @@ class TpuSlamEngine(SlamEngine):
     def reset(self) -> None:
         if self._params is not None:
             self._tracker_state = trk.init_state(self._params)
+        self._pending_q.clear()  # drop any in-flight pipelined ticks
         self._keyframe_poses = []
         self._kf_snapshots = []
         self._loop_db = []
@@ -862,6 +981,10 @@ class TpuSlamEngine(SlamEngine):
             self._state_enum = TrackingState.INITIALIZING
 
     def shutdown(self) -> None:
+        if self._uploader is not None:
+            self._uploader.close()
+            self._uploader = None
+        self._pending_q.clear()
         self._step = None
         self._tracker_state = None
         self._state_enum = TrackingState.NOT_INITIALIZED

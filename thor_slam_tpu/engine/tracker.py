@@ -237,6 +237,11 @@ def track_step(
         (new_state, output).
     """
     p = params
+    # uint8 frames normalize ON DEVICE: the host ships 1/4 the bytes and
+    # skips a large float conversion (measured 300-600 ms/tick at 4x720p on
+    # a weak host CPU; the conversion is one fused elementwise op here).
+    if images.dtype == jnp.uint8:
+        images = images.astype(jnp.float32) * (1.0 / 255.0)
 
     # ------------------------------------------------------------------ 6
     # Pose prediction. Two distinct uses with different failure modes:
@@ -657,13 +662,20 @@ def _finish_step(
 def make_track_step(params: TrackerParams, setup: CameraSetup):
     """Bind params/setup and return a jitted ``(state, images) -> (state, out)``.
 
-    The camera setup is closed over (becomes jit constants: rectification
-    maps live on device once, not re-transferred per tick).
+    The camera setup is closed over as HOST (numpy) arrays, so it traces
+    into the executable as compile-time literals — on-device once, never
+    re-transferred per tick. Do NOT capture *device* arrays here: on
+    hosted/tunneled TPU clients an executable holding captured device
+    buffers degrades every subsequent host->device transfer in the process
+    from ~1.6 GB/s to ~65 MB/s (measured; the engine's whole end-to-end
+    path rides on this).
     """
-    setup_dev = jax.tree.map(jnp.asarray, setup)
+    import numpy as np
+
+    setup_host = jax.tree.map(np.asarray, setup)
 
     @jax.jit
     def step(state: TrackerState, images: jnp.ndarray, pose_prediction=None, cam_active=None):
-        return track_step(params, setup_dev, state, images, pose_prediction, cam_active)
+        return track_step(params, setup_host, state, images, pose_prediction, cam_active)
 
     return step

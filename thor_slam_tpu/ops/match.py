@@ -22,7 +22,11 @@ import jax.numpy as jnp
 
 from thor_slam_tpu.ops.brief import NUM_BITS
 
-_INF = jnp.float32(1e9)
+# Python scalar on purpose: a module-level jnp scalar is a DEVICE array,
+# and executables capturing device arrays permanently degrade h2d
+# transfer throughput on hosted/tunneled TPU clients (measured 1.6 GB/s
+# -> 65 MB/s; see tracker.make_track_step).
+_INF = 1e9
 
 
 class Matches(NamedTuple):

@@ -28,7 +28,9 @@ import jax.numpy as jnp
 
 from thor_slam_tpu.ops.match import popcount_u32
 
-_BIG = jnp.float32(1e9)
+# Python scalar, NOT jnp.float32: module-level device arrays captured in
+# executables poison h2d throughput on hosted TPUs (see ops/match.py).
+_BIG = 1e9
 
 
 def census_transform(image: jnp.ndarray, window: int = 5) -> jnp.ndarray:
