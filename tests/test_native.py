@@ -46,35 +46,6 @@ class TestStaging:
         np.testing.assert_allclose(out[0], view.astype(np.float32) / 255.0)
 
 
-class TestSyncSearch:
-    def test_reference_timestamp(self, built_extension):
-        nat = built_extension
-        ts = [np.array([0.1, 0.2, 0.35]), np.array([0.12, 0.3])]
-        assert nat.reference_timestamp(ts) == pytest.approx(0.3)
-
-    def test_reference_none_when_empty(self, built_extension):
-        nat = built_extension
-        assert nat.reference_timestamp([np.array([0.1]), np.array([])]) is None
-
-    def test_closest_indices(self, built_extension):
-        nat = built_extension
-        ts = [np.array([0.0, 0.1, 0.2, 0.3]), np.array([0.05, 0.25])]
-        idx, max_dt = nat.closest_indices(ts, 0.21)
-        assert idx.tolist() == [2, 1]
-        assert max_dt == pytest.approx(0.04, abs=1e-9)
-
-    def test_matches_rig_semantics(self, built_extension):
-        """Native search must agree with the rig's min-|dt| semantics."""
-        nat = built_extension
-        rng = np.random.default_rng(2)
-        ts = [np.sort(rng.uniform(0, 1, rng.integers(1, 20))) for _ in range(6)]
-        target = 0.5
-        idx, _ = nat.closest_indices(ts, target)
-        for t, i in zip(ts, idx):
-            expect = int(np.argmin(np.abs(t - target)))
-            assert abs(t[i] - target) == pytest.approx(abs(t[expect] - target))
-
-
 def test_stage_frames_shape_mismatch_raises():
     """A renegotiated (smaller) frame must raise, not read out of bounds."""
     import pytest

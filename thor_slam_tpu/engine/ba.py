@@ -133,6 +133,13 @@ def bundle_adjust(
     Returns:
         A :class:`BAResult`.
     """
+    with jax.default_matmul_precision("float32"):
+        return _bundle_adjust_f32(problem, iters, huber_delta, damping, landmark_damping)
+
+
+def _bundle_adjust_f32(problem, iters, huber_delta, damping, landmark_damping):
+    # Full-f32 matmuls: bf16 operands quantize meter-scale coordinates to
+    # ~8 mm inside the residual/Jacobian einsums (see tracker.track_step).
     k, c, l = problem.obs_mask.shape
 
     def rms_of(poses, landmarks):

@@ -51,13 +51,20 @@ class TpuSlamEngine(SlamEngine):
             :class:`~thor_slam_tpu.engine.tracker.TrackerParams` fields;
             num_cams/height/width are derived from calibration).
         lost_after: Consecutive low-inlier frames before LOST.
-        enable_ba: Run sliding-window bundle adjustment at every keyframe.
-            Default off: on short, feature-rich sequences the landmark-
-            persistent VO is already at ~0.3% drift and window BA measured
-            net-neutral (landmark-id hops across keyframe refreshes inject
-            structural outliers). Enable for long drift-heavy trajectories.
-        ba_window: Keyframes per BA window (static shape K).
+        enable_ba: Run track-level sliding-window bundle adjustment at
+            every keyframe (default ON). Observations are the tracker's
+            per-tick KLT positions joined across ticks by the persistent
+            ``lm_id`` — immune to the keyframe-boundary id hops that made
+            the earlier keyframe-snapshot backend net-neutral; measured
+            -28% ATE on the synthetic orbit benchmark
+            (tests/test_engine_ba_e2e.py). Incompatible with
+            pipeline_depth > 1 / defer_sync (throughput modes).
+        ba_window: Ticks per BA window (static pose count K).
         ba_landmarks: Landmark slots per BA window (static shape L).
+        ba_tick_stride: Collect every Nth tick into the window (keyframe
+            ticks always collected — they carry the stereo measurement).
+        ba_max_correction_m: Reject a BA pose correction larger than this
+            (junk guard).
         pipelined: Overlap host staging/upload with device compute via a
             one-slot pipeline (:class:`DoubleBufferedUploader`): each
             ``process_frames(k)`` returns the pose of tick ``k-1`` (None on
@@ -73,15 +80,25 @@ class TpuSlamEngine(SlamEngine):
             RTT: output fetches are batched across ready ticks
             (:meth:`_finalize_ready`). Pure VO streaming only — requires
             ``enable_ba=False, use_imu=False`` and forces loop closure off.
+        defer_sync: Offline/batch evaluation mode (dataset replay): no
+            device sync happens until :meth:`flush`, which fetches every
+            tick's outputs in one transfer and replays the host state
+            machine. process_frames always returns None; collect poses
+            from flush()/get_map(). Same restrictions as depth > 1. This
+            is the fastest way through a recorded sequence — and on
+            hosted/tunneled TPUs the ONLY fast way, since repeated small
+            device_gets permanently degrade h2d throughput there.
     """
 
     def __init__(
         self,
         params: dict | None = None,
         lost_after: int = 5,
-        enable_ba: bool = False,
-        ba_window: int = 6,
+        enable_ba: bool = True,
+        ba_window: int = 10,
         ba_landmarks: int = 384,
+        ba_tick_stride: int = 2,
+        ba_max_correction_m: float = 0.08,
         use_imu: bool = True,
         imu_buffer_capacity: int = 256,
         loop_db_capacity: int = 256,
@@ -93,35 +110,45 @@ class TpuSlamEngine(SlamEngine):
         prewarm_degraded: bool = False,
         pipelined: bool = False,
         pipeline_depth: int = 1,
+        defer_sync: bool = False,
     ) -> None:
         self._param_overrides = dict(params or {})
         self._prewarm_degraded = prewarm_degraded
         self._pipelined = pipelined
         if pipeline_depth < 1:
             raise ValueError("pipeline_depth must be >= 1")
-        if pipeline_depth > 1:
+        if defer_sync and not pipelined:
+            raise ValueError("defer_sync requires pipelined=True")
+        if pipeline_depth > 1 or defer_sync:
             # Deep pipelining defers the host's view of the tracker by up
-            # to `depth` ticks; host subsystems that read tracker state at
-            # the tick they finalize (IMU prediction, BA snapshots) would
-            # silently read the wrong tick — reject instead.
+            # to `depth` ticks (or the whole stream with defer_sync); host
+            # subsystems that read tracker state at the tick they finalize
+            # (IMU prediction, BA snapshots) would silently read the wrong
+            # tick — reject instead.
+            mode = "defer_sync" if defer_sync else "pipeline_depth > 1"
             if enable_ba:
-                raise ValueError("pipeline_depth > 1 is incompatible with enable_ba")
+                raise ValueError(f"{mode} is incompatible with enable_ba")
             if use_imu:
-                raise ValueError("pipeline_depth > 1 is incompatible with use_imu")
+                raise ValueError(f"{mode} is incompatible with use_imu")
         self._pipeline_depth = pipeline_depth
+        self._defer_sync = defer_sync
         self._uploader = None
         self._pending_q: deque[dict] = deque()
         self._lost_after = lost_after
         self._enable_ba = enable_ba
         self._ba_window = ba_window
         self._ba_landmarks = ba_landmarks
+        self._ba_tick_stride = max(1, ba_tick_stride)
+        self._ba_max_correction_m = ba_max_correction_m
+        self._ba_ticks: deque[dict] = deque(maxlen=ba_window)
+        self._ba_cam_rot: np.ndarray | None = None
+        self._ba_cam_trans: np.ndarray | None = None
         self._use_imu = use_imu
         self._imu_capacity = imu_buffer_capacity
         self._imu_ts: list[float] = []
         self._imu_gyro: list[np.ndarray] = []
         self._imu_accel: list[np.ndarray] = []
         self._body_r_imu = np.eye(3)
-        self._kf_snapshots: list[dict] = []
         self._loop_db: list[dict] = []
         self._loop_db_capacity = loop_db_capacity
         self._loop_min_votes = loop_min_votes
@@ -137,10 +164,15 @@ class TpuSlamEngine(SlamEngine):
         #: Count of IMU preintegration windows that contained no samples
         #: (nonzero growth while use_imu=True means the IMU path is dead).
         self.imu_empty_windows = 0
+        #: Per-tick poses of the last defer_sync flush (same order as the
+        #: processed frames; None entries where tracking was LOST).
+        self.last_flush_poses: list[SlamPose | None] = []
         self._state_enum = TrackingState.NOT_INITIALIZED
         self._config = SlamConfig()
         self._step = None
         self._tracker_state = None
+        self._assemble = None
+        self._zero_img = None
         self._params: trk.TrackerParams | None = None
         self._setup: trk.CameraSetup | None = None
         self._source_order: list[str] = []
@@ -179,17 +211,38 @@ class TpuSlamEngine(SlamEngine):
             width=width,
             **self._param_overrides,
         )
-        self._step = trk.make_track_step(self._params, setup)
+        # donate: stream ticks reuse state buffers in place (per-tick churn
+        # of the ~50 MB state otherwise degrades hosted-TPU h2d throughput
+        # after ~60 ticks). pack: the host syncs on one fresh 84-byte
+        # vector, never on the raw output tuple. See make_track_step.
+        self._step = trk.make_track_step(
+            self._params, setup, donate=True,
+            pack="ba" if self._enable_ba else True,
+        )
         self._tracker_state = trk.init_state(self._params)
+        c_ = self._params.num_cams
+        self._zero_img = np.zeros((height, width), np.uint8)
+        #: Device-side batch assembly of the tick's 2C images (the host
+        #: never materializes the dense stack — see _stage_list).
+        self._assemble = jax.jit(
+            lambda flat: jnp.stack(flat).reshape(c_, 2, height, width)
+        )
+        # BA camera axis (2C: left imagers then right imagers).
+        self._ba_cam_rot = np.concatenate(
+            [np.asarray(setup.cam_r_body), np.asarray(setup.cam_r_body_right)]
+        )
+        self._ba_cam_trans = np.concatenate(
+            [np.asarray(setup.cam_t_body), np.asarray(setup.cam_t_body_right)]
+        )
         self._pending_q.clear()
         if self._pipelined:
             from thor_slam_tpu.pipeline.transfer import DoubleBufferedUploader
 
             if self._uploader is not None:
                 self._uploader.close()
-            self._uploader = DoubleBufferedUploader(stage_fn=self._stage_array)
+            self._uploader = DoubleBufferedUploader(stage_fn=self._stage_list)
         self._keyframe_poses = []
-        self._kf_snapshots = []
+        self._ba_ticks.clear()
         self._low_inlier_streak = 0
         self._last_timestamp = None
         self._frame_count = 0
@@ -200,30 +253,32 @@ class TpuSlamEngine(SlamEngine):
         # produce uint8; the step normalizes on device) — float frames are
         # the rare case and pay one compile on their first tick.
         t0 = time.monotonic()
-        dummy = jnp.zeros(
-            (self._params.num_cams, 2, height, width), jnp.uint8
-        )
+
+        def dummy():  # fresh per call: the step donates its images argument
+            return jnp.zeros((self._params.num_cams, 2, height, width), jnp.uint8)
         # Each warm-up call mirrors a runtime (pose_prediction, cam_active)
         # pattern EXACTLY, including arity: jax.jit caches per call signature,
         # so step(s, i) and step(s, i, None, None) are two separate traces —
         # warming one does not warm the other (measured: a silent full
         # recompile on the first real frame). process_frames always uses the
-        # 4-argument form; so must every warm-up.
-        warm_state, _ = self._step(self._tracker_state, dummy, None, None)
-        if self._use_imu:  # also compile the explicit-prediction variant
-            warm_state2, _ = self._step(self._tracker_state, dummy, jnp.eye(4), None)
-            jax.block_until_ready(warm_state2.world_t_body)
+        # 4-argument form; so must every warm-up. Every call gets a FRESH
+        # throwaway state: the step donates its state argument, so a state
+        # must never be passed twice.
+        warm_variants: list[tuple] = [(None, None)]
+        if self._use_imu:
+            warm_variants.append((jnp.eye(4), None))
         if self._prewarm_degraded:
             # Compile the cam_active variant now so a camera dying at runtime
             # costs one masked tick, not a mid-flight jit compile (set this
             # when the rig has a watchdog).
             ones = jnp.ones(self._params.num_cams, bool)
-            warm_state3, _ = self._step(self._tracker_state, dummy, None, ones)
-            if self._use_imu:  # masked + IMU-predicted variant
-                warm_state4, _ = self._step(self._tracker_state, dummy, jnp.eye(4), ones)
-                jax.block_until_ready(warm_state4.world_t_body)
-            jax.block_until_ready(warm_state3.world_t_body)
-        jax.block_until_ready(warm_state.world_t_body)
+            warm_variants.append((None, ones))
+            if self._use_imu:
+                warm_variants.append((jnp.eye(4), ones))
+        jax.block_until_ready(self._assemble([self._zero_img] * (2 * c_)))
+        for pred, mask in warm_variants:
+            outs = self._step(trk.init_state(self._params), dummy(), pred, mask)
+            jax.block_until_ready(outs[2])  # the packed vector
         logger.info(
             "TpuSlamEngine initialized: %d cams @ %dx%d (warm-up %.1fs)",
             self._params.num_cams, width, height, time.monotonic() - t0,
@@ -236,22 +291,41 @@ class TpuSlamEngine(SlamEngine):
             raise RuntimeError("initialize() must be called before process_frames()")
 
         if not self._pipelined:
-            images = jnp.asarray(self._stage_array(frame_set))
+            images = self._assemble(jax.device_put(self._stage_list(frame_set)))
             return self._finalize_tick(self._dispatch_tick(images, frame_set))
 
         # Pipelined: stage/upload tick k on the uploader thread while the
         # device still computes earlier ticks and the host finalizes them.
         # `pipeline_depth` ticks of pose latency (see class docstring).
+        # defer_sync: never sync mid-stream — on hosted/tunneled TPUs even
+        # small per-tick device_gets permanently degrade h2d throughput
+        # (measured); flush() fetches every tick's outputs in ONE transfer.
         self._uploader.submit(frame_set)
         pose = None
-        if len(self._pending_q) >= self._pipeline_depth:
+        if not self._defer_sync and len(self._pending_q) >= self._pipeline_depth:
             pose = self._finalize_ready()
-        images = self._uploader.get()
+        images = self._assemble(self._uploader.get())
         self._pending_q.append(self._dispatch_tick(images, frame_set))
         return pose
 
     def flush(self) -> SlamPose | None:
-        """Finalize all in-flight ticks (pipelined mode; no-op otherwise)."""
+        """Finalize all in-flight ticks (pipelined mode; no-op otherwise).
+
+        In ``defer_sync`` mode this is where the entire stream's outputs
+        come back: one batched device_get over every deferred tick, then
+        the host state machine replays them in order (poses land in
+        ``get_map().keyframe_poses`` / the caller's collected returns).
+        """
+        if self._defer_sync and self._pending_q:
+            records = list(self._pending_q)
+            self._pending_q.clear()
+            values = jax.device_get(tuple(r["packed"] for r in records))
+            pose = None
+            self.last_flush_poses = []
+            for rec, vals in zip(records, values):
+                pose = self._finalize_values(rec, vals)
+                self.last_flush_poses.append(pose)
+            return pose
         pose = None
         while self._pending_q:
             pose = self._finalize_ready()
@@ -279,27 +353,37 @@ class TpuSlamEngine(SlamEngine):
                 [name not in frame_set.stale_sources for name in self._source_order]
             )
 
-        self._tracker_state, out = self._step(
-            self._tracker_state, images, pose_prediction, cam_active
-        )
+        # The raw output tuple may alias donated state buffers (invalid
+        # after the NEXT dispatch) — only the packed vectors are retained.
+        if self._enable_ba:
+            self._tracker_state, _out, packed, ba_obs = self._step(
+                self._tracker_state, images, pose_prediction, cam_active
+            )
+        else:
+            self._tracker_state, _out, packed = self._step(
+                self._tracker_state, images, pose_prediction, cam_active
+            )
+            ba_obs = None
         return {
-            "out": out,
+            "packed": packed,
+            "ba_obs": ba_obs,
             "ts": frame_set.timestamp,
             "stale_sources": frame_set.stale_sources,
         }
 
-    @staticmethod
-    def _output_tuple(pending: dict) -> tuple:
-        out = pending["out"]
-        return (out.world_t_body, out.num_inliers, out.refreshed, out.rms_error, out.num_landmarks)
-
     def _finalize_tick(self, pending: dict) -> SlamPose | None:
         """Back half of a tick: fetch outputs, run the host state machine.
 
-        ONE host transfer for all per-frame outputs: scalar-by-scalar
-        fetches each pay a device round trip (expensive on remote TPUs).
+        ONE host transfer of one 84-byte packed vector: fetching any member
+        of the raw output tuple can materialize the full ~50 MB output
+        buffer set on remote TPUs (measured ~0.5 s/tick).
         """
-        return self._finalize_values(pending, jax.device_get(self._output_tuple(pending)))
+        fetch = (pending["packed"],)
+        if pending.get("ba_obs") is not None:
+            fetch = (pending["packed"], pending["ba_obs"])
+        vals = jax.device_get(fetch)
+        pending["ba_obs"] = vals[1] if len(vals) > 1 else None
+        return self._finalize_values(pending, vals[0])
 
     def _finalize_ready(self) -> SlamPose | None:
         """Finalize the oldest pending tick — and, in the SAME device
@@ -311,19 +395,29 @@ class TpuSlamEngine(SlamEngine):
         """
         q = self._pending_q
         take = 1
-        while take < len(q) and q[take]["out"].world_t_body.is_ready():
+        while take < len(q) and q[take]["packed"].is_ready():
             take += 1
         records = [q.popleft() for _ in range(take)]
-        values = jax.device_get(tuple(self._output_tuple(r) for r in records))
+        values = jax.device_get(
+            tuple(
+                (r["packed"], r["ba_obs"]) if r.get("ba_obs") is not None else (r["packed"],)
+                for r in records
+            )
+        )
         pose = None
         for rec, vals in zip(records, values):
-            pose = self._finalize_values(rec, vals)
+            rec["ba_obs"] = vals[1] if len(vals) > 1 else None
+            pose = self._finalize_values(rec, vals[0])
         return pose
 
-    def _finalize_values(self, pending: dict, vals: tuple) -> SlamPose | None:
-        """Host state machine for one tick, given fetched output values."""
-        world_t_body, num_inliers, refreshed, rms, n_lm = vals
-        num_inliers = int(num_inliers)
+    def _finalize_values(self, pending: dict, packed_vec) -> SlamPose | None:
+        """Host state machine for one tick, given the fetched packed vector."""
+        vals = trk.unpack_output(packed_vec)
+        world_t_body = vals["world_t_body"]
+        num_inliers = vals["num_inliers"]
+        refreshed = vals["refreshed"]
+        rms = vals["rms_error"]
+        n_lm = vals["num_landmarks"]
         refreshed = bool(refreshed)
         world_t_body = np.asarray(world_t_body, np.float64)
         self.last_diagnostics = {
@@ -366,15 +460,30 @@ class TpuSlamEngine(SlamEngine):
             elif self._low_inlier_streak >= self._lost_after:
                 self._state_enum = TrackingState.LOST
 
+        if self._enable_ba:
+            tracked_now = num_inliers >= min_inl and self._frame_count > 1
+            if tracked_now and (
+                refreshed or (self._frame_count % self._ba_tick_stride == 0)
+            ):
+                self._push_ba_tick(pending, world_t_body, ts, refreshed)
+            elif refreshed:
+                # A refresh while untracked is a VO restart: landmark ids
+                # are freshly minted and the old window cannot join.
+                self._ba_ticks.clear()
+
         if refreshed and self._state_enum == TrackingState.TRACKING:
             if self._enable_ba:
-                self._snapshot_keyframe(ts)
-                world_t_body = self._run_bundle_adjustment(world_t_body)
+                world_t_body = self._run_tracklevel_ba(world_t_body)
             self._keyframe_poses.append(
                 SlamPose.from_4x4_matrix(world_t_body, timestamp=ts)
             )
             if self._config.enable_loop_closure:
-                world_t_body = self._loop_closure_tick(world_t_body, ts)
+                corrected = self._loop_closure_tick(world_t_body, ts)
+                if corrected is not world_t_body:
+                    # Loop closure rewrote poses + landmarks; the window's
+                    # stored poses are now inconsistent with the map.
+                    self._ba_ticks.clear()
+                world_t_body = corrected
             if len(self._keyframe_poses) > 10000:
                 self._keyframe_poses = self._keyframe_poses[-10000:]
 
@@ -392,30 +501,31 @@ class TpuSlamEngine(SlamEngine):
     def get_tracking_state(self) -> TrackingState:
         return self._state_enum
 
-    def _stage_array(self, frame_set: SynchronizedFrameSet) -> np.ndarray:
-        """Stage the tick into one (C, 2, H, W) host array.
+    def _stage_list(self, frame_set: SynchronizedFrameSet) -> list[np.ndarray]:
+        """Stage the tick as a ZERO-COPY list of per-imager host arrays.
 
-        uint8 frames stay uint8 — the device normalizes inside the jitted
-        step (tracker.track_step), so the host→device transfer ships 1/4
-        the bytes and the host never runs a multi-megabyte float conversion
-        (which measured 300-600 ms/tick at 4x720p on a weak host CPU).
-        A watchdog-stale source that died before producing any frame has no
-        entry in ``frame_sets`` — it is zero-filled here (and masked out of
-        the solve via ``cam_active``).
+        No host-side stacking: a dense (C, 2, H, W) stack is a 7+ MB memcpy
+        per tick that dominates the loop on weak hosts (measured ~50 ms on
+        a 1-core box). Instead each image ships as its own (async)
+        device_put straight from the driver's buffer and the device
+        assembles the batch (:attr:`_assemble`) — per-put overhead is
+        ~0.3 ms against tens of ms saved.
+
+        uint8 frames stay uint8 (the jitted step normalizes on device: 1/4
+        the transfer bytes). A watchdog-stale source that died before
+        producing any frame has no entry in ``frame_sets`` — it is
+        zero-filled here (and masked out of the solve via ``cam_active``).
         """
-        h, w = self._params.height, self._params.width
         flat: list[np.ndarray] = []
         for name in self._source_order:
             fs = frame_set.frame_sets.get(name)
             if fs is None:
-                flat.extend([np.zeros((h, w), np.uint8)] * 2)
+                flat.extend([self._zero_img] * 2)
             else:
-                flat.extend(f.image for f in fs.frames)
-        c = len(self._source_order)
-        arr = np.stack(flat).reshape(c, len(flat) // c, *flat[0].shape)
-        if arr.dtype not in (np.uint8, np.float32):
-            arr = arr.astype(np.float32)
-        return arr
+                flat.extend(np.ascontiguousarray(f.image) for f in fs.frames)
+        if any(im.dtype != flat[0].dtype for im in flat):
+            flat = [np.asarray(im, np.float32) for im in flat]
+        return flat
 
     # ----------------------------------------------------- IMU fusion
 
@@ -617,68 +727,67 @@ class TpuSlamEngine(SlamEngine):
 
     # ----------------------------------------------------- BA backend
 
-    def _snapshot_keyframe(self, ts: float) -> None:
-        """Capture the fresh keyframe's landmark bank for the BA window."""
-        st = self._tracker_state
+    def _push_ba_tick(self, pending: dict, world_t_body: np.ndarray, ts: float, refreshed: bool) -> None:
+        """Append this tick's observations to the sliding BA window.
 
-        def normalize(px, k_all, dist_all):
-            out = np.empty_like(px)
-            for ci in range(px.shape[0]):
-                k = np.asarray(k_all[ci])
-                dist = np.asarray(dist_all[ci])
-                xn = np.stack(
-                    [(px[ci, :, 0] - k[2]) / k[0], (px[ci, :, 1] - k[3]) / k[1]], -1
-                )
-                out[ci] = rectify.undistort_normalized(xn, dist)
-            return out
-
-        self._kf_snapshots.append(
-            {
-                "ids": np.asarray(st.lm_id),
-                "valid": np.asarray(st.lm_valid),
-                "pos": np.asarray(st.lm_pos_w),
-                "obs": normalize(
-                    np.asarray(st.lm_obs_px), self._setup.k_left, self._setup.dist_left
-                ),
-                "robs": normalize(
-                    np.asarray(st.lm_robs_px), self._setup.k_right, self._setup.dist_right
-                ),
-                "robs_valid": np.asarray(st.lm_robs_valid),
-                "body_t_world": np.linalg.inv(np.asarray(st.world_t_body, np.float64)),
-                "ts": ts,
-            }
-        )
-        if len(self._kf_snapshots) > self._ba_window:
-            self._kf_snapshots = self._kf_snapshots[-self._ba_window :]
-
-    def _run_bundle_adjustment(self, world_t_body: np.ndarray) -> np.ndarray:
-        """Optimize the keyframe window; push corrections into the tracker.
-
-        Returns the (possibly corrected) current world_T_body.
+        The measurement stream is the tracker's own per-tick output
+        (``pack_ba_obs``): KLT positions at sub-keyframe rate joined across
+        ticks by the persistent ``lm_id`` — so keyframe-boundary id hops
+        can never poison a window (the id IS the join key, slots are not).
         """
-        snaps = self._kf_snapshots
-        if len(snaps) < 3:
+        ba = pending.get("ba_obs")
+        if ba is None:
+            return
+        rec = trk.unpack_ba_obs(ba)
+        rec["body_t_world"] = np.linalg.inv(np.asarray(world_t_body, np.float64))
+        rec["ts"] = ts
+        rec["refreshed"] = bool(refreshed)
+        self._ba_ticks.append(rec)
+
+    def _run_tracklevel_ba(self, world_t_body: np.ndarray) -> np.ndarray:
+        """Optimize the recent-tick window; push corrections into the tracker.
+
+        Variables: one pose per window tick + landmarks observed in >= 3
+        ticks (joined by ``lm_id``). Left observations attach at every
+        tick; the stereo right observation attaches only at the tick that
+        minted it (``refreshed`` ticks), anchoring scale. Returns the
+        (possibly corrected) current world_T_body; refined landmark
+        positions are written back into the live bank so the next PnP
+        solves against the improved map.
+        """
+        ticks = list(self._ba_ticks)
+        if len(ticks) < 4:
+            self.last_diagnostics["ba_skip"] = f"window={len(ticks)}"
             return world_t_body
         k_win = self._ba_window
+        ticks = ticks[-k_win:]
         c = self._params.num_cams
         l_cap = self._ba_landmarks
 
-        # Join landmark ids across snapshots; keep those seen in >= 2 kfs.
+        # Current landmark bank (write-back target): ids not alive in the
+        # bank cannot receive corrections, so only optimize those.
+        st = self._tracker_state
+        bank_ids = np.asarray(st.lm_id)
+        bank_valid = np.asarray(st.lm_valid)
+        bank_pos = np.array(st.lm_pos_w)
+        alive = set(bank_ids[bank_valid].tolist())
+
         counts: dict[int, int] = {}
-        for s in snaps:
-            for lid in np.unique(s["ids"][s["valid"]]):
-                counts[int(lid)] = counts.get(int(lid), 0) + 1
-        multi = [lid for lid, n in counts.items() if n >= 3 and lid >= 0]
+        for t in ticks:
+            for lid in np.unique(t["ids"][t["valid"]]):
+                ilid = int(lid)
+                if ilid >= 0 and ilid in alive:
+                    counts[ilid] = counts.get(ilid, 0) + 1
+        multi = [lid for lid, n in counts.items() if n >= 3]
         if len(multi) < 24:
+            self.last_diagnostics["ba_skip"] = f"joined_landmarks={len(multi)}"
             return world_t_body
         multi.sort(key=lambda lid: -counts[lid])
-        chosen = multi[:l_cap]
-        id_to_idx = {lid: i for i, lid in enumerate(chosen)}
+        chosen = np.sort(np.asarray(multi[:l_cap], np.int64))  # sorted: searchsorted joins
         l_n = len(chosen)
 
         # Camera axis of the BA problem is 2C: left imagers then right
-        # imagers — keeping the stereo constraint in the window (without it,
-        # landmark depth is only held by weak inter-keyframe parallax).
+        # imagers — the stereo constraint anchors scale inside the window.
         obs = np.zeros((k_win, 2 * c, l_cap, 2), np.float32)
         mask = np.zeros((k_win, 2 * c, l_cap), np.float32)
         poses = np.tile(np.eye(4, dtype=np.float32), (k_win, 1, 1))
@@ -686,77 +795,105 @@ class TpuSlamEngine(SlamEngine):
         lms = np.zeros((l_cap, 3), np.float32)
         lm_mask = np.zeros(l_cap, np.float32)
 
-        for ki, s in enumerate(snaps):
-            poses[ki] = s["body_t_world"]
+        for ki, t in enumerate(ticks):
+            poses[ki] = t["body_t_world"]
             pose_mask[ki] = 1.0
-            ids, valid = s["ids"], s["valid"]
+            idx = np.searchsorted(chosen, t["ids"])
+            np.clip(idx, 0, l_n - 1, out=idx)
+            hit = (chosen[idx] == t["ids"]) & t["valid"]  # (C, N)
             for ci in range(c):
-                for slot in np.nonzero(valid[ci])[0]:
-                    li = id_to_idx.get(int(ids[ci, slot]))
-                    if li is None:
-                        continue
-                    obs[ki, ci, li] = s["obs"][ci, slot]
-                    mask[ki, ci, li] = 1.0
-                    if s["robs_valid"][ci, slot]:
-                        obs[ki, c + ci, li] = s["robs"][ci, slot]
-                        mask[ki, c + ci, li] = 1.0
-                    lms[li] = s["pos"][ci, slot]  # newest snapshot wins
-                    lm_mask[li] = 1.0
+                sel = hit[ci]
+                li = idx[ci, sel]
+                obs[ki, ci, li] = t["obs"][ci, sel]
+                mask[ki, ci, li] = 1.0
+                if t["refreshed"]:  # fresh stereo measurement only at mint
+                    rsel = sel & t["robs_valid"][ci]
+                    rli = idx[ci, rsel]
+                    obs[ki, c + ci, rli] = t["robs"][ci, rsel]
+                    mask[ki, c + ci, rli] = 1.0
 
-        cam_rot = np.concatenate(
-            [np.asarray(self._setup.cam_r_body), np.asarray(self._setup.cam_r_body_right)]
-        )
-        cam_trans = np.concatenate(
-            [np.asarray(self._setup.cam_t_body), np.asarray(self._setup.cam_t_body_right)]
-        )
+        # Initialize landmarks from the live bank.
+        bidx = np.searchsorted(chosen, bank_ids)
+        np.clip(bidx, 0, l_n - 1, out=bidx)
+        bhit = (chosen[bidx] == bank_ids) & bank_valid
+        lm_present = np.zeros(l_cap, np.float32)
+        for ci in range(c):
+            sel = bhit[ci]
+            lms[bidx[ci, sel]] = bank_pos[ci, sel]
+            lm_present[bidx[ci, sel]] = 1.0
+        mask[:, :, lm_present == 0.0] = 0.0
+
+        # Only landmarks with an in-window STEREO observation may move:
+        # a landmark held by monocular tracks alone has weakly observable
+        # depth, and letting the solver slide it along its ray injects a
+        # small scale bias into the map that compounds into large drift
+        # (measured: 28 -> 204 cm ATE on a fast low-res sequence).
+        # lm_mask=0 landmarks stay FIXED but still constrain the poses
+        # (their Schur cross-terms vanish; obs remain in the pose blocks).
+        has_stereo = mask[:, c:, :].sum(axis=(0, 1)) > 0.0
+        lm_mask = lm_present * has_stereo.astype(np.float32)
+
         problem = ba.BAProblem(
             body_t_world=jnp.asarray(poses),
             landmarks_w=jnp.asarray(lms),
             obs=jnp.asarray(obs),
             obs_mask=jnp.asarray(mask),
-            cam_rot=jnp.asarray(cam_rot),
-            cam_trans=jnp.asarray(cam_trans),
+            cam_rot=jnp.asarray(self._ba_cam_rot),
+            cam_trans=jnp.asarray(self._ba_cam_trans),
             pose_mask=jnp.asarray(pose_mask),
             lm_mask=jnp.asarray(lm_mask),
         )
         result = ba.bundle_adjust(problem, huber_delta=0.004)
+        initial_rms, final_rms = jax.device_get((result.initial_rms, result.final_rms))
+        # Accept only a MEANINGFUL improvement: near-neutral "refinements"
+        # are noise reshuffling and their pose corrections compound as
+        # drift of their own (measured: a 0.99x rms gate tripled ATE on a
+        # fast-orbit sequence where a 0.9x gate improved it 18x).
+        if not float(final_rms) < 0.9 * float(initial_rms):
+            self.last_diagnostics["ba_skip"] = (
+                f"rms {float(initial_rms):.5f}->{float(final_rms):.5f}"
+            )
+            return world_t_body
 
         refined_poses = np.asarray(result.body_t_world, np.float64)
         refined_lms = np.asarray(result.landmarks_w)
 
-        # Write refined poses back into the snapshots (next window reuses them).
-        for ki, s in enumerate(snaps):
-            s["body_t_world"] = refined_poses[ki]
+        k_last = len(ticks) - 1
+        new_world = np.linalg.inv(refined_poses[k_last])
+        corr = np.linalg.norm(new_world[:3, 3] - world_t_body[:3, 3])
+        if corr > self._ba_max_correction_m:
+            self.last_diagnostics["ba_skip"] = f"correction {corr:.3f} m"
+            return world_t_body  # junk guard: implausible jump
 
-        # The live pose is NOT touched: the newest keyframe is the least-
-        # constrained pose in the window (its landmarks are barely multi-
-        # observed yet), so overwriting the tracker with its refinement
-        # injects noise. Corrections flow through the refined LANDMARKS —
-        # the tracker's next PnP solve snaps to the improved map — and
-        # through the keyframe trajectory (map output).
-        st = self._tracker_state
-        ids = np.asarray(st.lm_id)
-        pos = np.array(st.lm_pos_w)
-        valid = np.asarray(st.lm_valid)
+        # Write back: refined landmarks into the live bank (by id). A
+        # landmark the solver moved implausibly far disagrees structurally
+        # with the window (wrong association, degenerate depth) — writing
+        # it back would poison every subsequent PnP solve; keep the old
+        # position for those.
+        lm_shift = np.linalg.norm(refined_lms - lms, axis=-1)
+        lm_ok = lm_shift <= self._ba_max_correction_m
         for ci in range(c):
-            for slot in np.nonzero(valid[ci])[0]:
-                li = id_to_idx.get(int(ids[ci, slot]))
-                if li is not None and lm_mask[li]:
-                    pos[ci, slot] = refined_lms[li]
-
-        self._tracker_state = st._replace(lm_pos_w=jnp.asarray(pos, jnp.float32))
-
-        # Refined keyframe trajectory for the map output.
-        n_past = min(len(self._keyframe_poses), len(snaps) - 1)
-        for j in range(n_past):
-            ki = len(snaps) - 1 - n_past + j
-            old = self._keyframe_poses[len(self._keyframe_poses) - n_past + j]
-            self._keyframe_poses[len(self._keyframe_poses) - n_past + j] = SlamPose.from_4x4_matrix(
-                np.linalg.inv(refined_poses[ki]), timestamp=old.timestamp
+            sel = bhit[ci]
+            li = bidx[ci, sel]
+            keep = lm_ok[li]
+            bank_pos[ci, sel] = np.where(
+                keep[:, None], refined_lms[li], bank_pos[ci, sel]
             )
-        del l_n
-        return world_t_body
-
+        t_corr = new_world @ np.linalg.inv(np.asarray(world_t_body, np.float64))
+        self._tracker_state = st._replace(
+            lm_pos_w=jnp.asarray(bank_pos, jnp.float32),
+            world_t_body=jnp.asarray(new_world, jnp.float32),
+            prev_world_t_body=jnp.asarray(
+                t_corr @ np.asarray(st.prev_world_t_body, np.float64), jnp.float32
+            ),
+            kf_world_t_body=jnp.asarray(new_world, jnp.float32),
+        )
+        # ... and refined poses into the window (the next solve starts warm).
+        for ki, t in enumerate(ticks):
+            t["body_t_world"] = refined_poses[ki]
+        self.last_diagnostics["ba_rms"] = (float(initial_rms), float(final_rms))
+        self.last_diagnostics["ba_landmarks"] = int(l_n)
+        return new_world
     # ------------------------------------------------------------ mapping
 
     def get_map(self) -> SlamMap:
@@ -955,6 +1092,7 @@ class TpuSlamEngine(SlamEngine):
                 self._params.restart_after_untracked, jnp.int32
             ),
         )
+        self._ba_ticks.clear()  # window poses are in the pre-reloc frame
         logger.info(
             "Relocalized against keyframe %d (votes=%d inliers=%d)",
             ci, int(cand.votes), int(ver.num_inliers),
@@ -968,7 +1106,7 @@ class TpuSlamEngine(SlamEngine):
             self._tracker_state = trk.init_state(self._params)
         self._pending_q.clear()  # drop any in-flight pipelined ticks
         self._keyframe_poses = []
-        self._kf_snapshots = []
+        self._ba_ticks.clear()
         self._loop_db = []
         self._loops_closed = 0
         self._want_reloc = False

@@ -165,6 +165,18 @@ class TrackOutput(NamedTuple):
         num_landmarks: () int32 active landmarks after this step.
         rms_error: () float32 normalized-coordinate reprojection RMS.
         refreshed: () bool — landmarks were re-triangulated (keyframe).
+        obs_norm: (C, N, 2) this tick's landmark observations as
+            undistorted normalized LEFT-camera coordinates (post-branch
+            bank: KLT tracks on continue ticks, detections on keyframes) —
+            the per-tick measurement stream the track-level BA backend
+            consumes, joined across ticks by ``lm_id``.
+        robs_norm: (C, N, 2) normalized RIGHT-camera observations. Only a
+            fresh measurement on ``refreshed`` ticks (the stereo match at
+            landmark minting); on continue ticks it repeats the minting
+            keyframe's value and must not be re-used as a new measurement.
+        lm_id: (C, N) int32 persistent landmark identities (the join key).
+        lm_valid: (C, N) bool — slots actually observed this tick.
+        robs_valid: (C, N) bool — slots with a valid stereo right match.
     """
 
     world_t_body: jnp.ndarray
@@ -173,6 +185,11 @@ class TrackOutput(NamedTuple):
     num_landmarks: jnp.ndarray
     rms_error: jnp.ndarray
     refreshed: jnp.ndarray
+    obs_norm: jnp.ndarray
+    robs_norm: jnp.ndarray
+    lm_id: jnp.ndarray
+    lm_valid: jnp.ndarray
+    robs_valid: jnp.ndarray
 
 
 def init_state(params: TrackerParams, world_t_body0=None, key=None) -> TrackerState:
@@ -180,9 +197,12 @@ def init_state(params: TrackerParams, world_t_body0=None, key=None) -> TrackerSt
     c, n = params.num_cams, params.max_keypoints
     h, w = params.height, params.width
     pose0 = jnp.eye(4) if world_t_body0 is None else jnp.asarray(world_t_body0, jnp.float32)
+    # Distinct buffers per pose field: the engine's step donates the state,
+    # and donating one buffer referenced by several fields is an error
+    # ("attempt to donate the same buffer twice").
     return TrackerState(
         world_t_body=pose0,
-        prev_world_t_body=pose0,
+        prev_world_t_body=jnp.array(pose0, copy=True),
         velocity_w=jnp.zeros(3),
         lm_pos_w=jnp.zeros((c, n, 3)),
         lm_desc=jnp.zeros((c, n, 8), jnp.uint32),
@@ -193,7 +213,7 @@ def init_state(params: TrackerParams, world_t_body0=None, key=None) -> TrackerSt
         lm_robs_valid=jnp.zeros((c, n), bool),
         lm_id=-jnp.ones((c, n), jnp.int32),
         lm_id_counter=jnp.asarray(0, jnp.int32),
-        kf_world_t_body=pose0,
+        kf_world_t_body=jnp.array(pose0, copy=True),
         prev_left0=jnp.zeros((c, h, w)),
         prev_left1=jnp.zeros((c, h // 2, w // 2)),
         prev_left2=jnp.zeros((c, h // 4, w // 4)),
@@ -236,6 +256,24 @@ def track_step(
     Returns:
         (new_state, output).
     """
+    # Full-f32 matmuls throughout the tick: TPU's default bf16 operand
+    # precision quantizes meter-scale world coordinates to ~8 mm and image
+    # intensities to the pixel quantum inside every einsum — measured as
+    # 8x worse trajectory ATE vs CPU before this. The FLOP cost is noise
+    # here (the tick's matmuls are small); kernels that WANT bf16 for
+    # throughput (SGM aggregation, Hamming matching) set it explicitly.
+    with jax.default_matmul_precision("float32"):
+        return _track_step_f32(params, setup, state, images, pose_prediction, cam_active)
+
+
+def _track_step_f32(
+    params: TrackerParams,
+    setup: CameraSetup,
+    state: TrackerState,
+    images: jnp.ndarray,
+    pose_prediction: jnp.ndarray | None = None,
+    cam_active: jnp.ndarray | None = None,
+) -> tuple[TrackerState, TrackOutput]:
     p = params
     # uint8 frames normalize ON DEVICE: the host ships 1/4 the bytes and
     # skips a large float conversion (measured 300-600 ms/tick at 4x720p on
@@ -601,7 +639,12 @@ def _finish_step(
         inherited_track = jnp.take_along_axis(hot.tracks_xy, nearest[..., None], axis=1)
         lm_obs = jnp.where(inherits[..., None], inherited_track, kf.kp_xy)
         lm_robs = kf.right_obs_px + (lm_obs - kf.kp_xy)
-        lm_robs_valid = kf.tri_valid & lm_valid
+        # Stereo right-obs is a MEASUREMENT only for freshly triangulated
+        # landmarks: the inherited-slot value above is the detector's right
+        # match shifted by the left-obs displacement — an approximation up
+        # to persist_radius_px that, fed to BA at measurement weight,
+        # biases the window (measured: catastrophic on fast sequences).
+        lm_robs_valid = kf.tri_valid & lm_valid & ~inherits
         if cam_active is not None:  # dead cameras mint no landmarks
             lm_valid = lm_valid & cam_active[:, None]
             lm_robs_valid = lm_robs_valid & cam_active[:, None]
@@ -648,6 +691,16 @@ def _finish_step(
         untracked_streak=untracked_streak,
         key=key,
     )
+    # Per-tick BA observation stream: the post-branch bank's pixel
+    # positions lifted to undistorted normalized coordinates ON DEVICE
+    # (cheap polynomial per point; saves the host the iterative
+    # undistortion over C*N points every tick).
+    obs_norm_out = jax.vmap(calib.raw_pixels_to_normalized)(
+        lm_obs_px, setup.k_left, setup.dist_left
+    )
+    robs_norm_out = jax.vmap(calib.raw_pixels_to_normalized)(
+        lm_robs_px, setup.k_right, setup.dist_right
+    )
     output = TrackOutput(
         world_t_body=world_t_body,
         num_inliers=num_inliers,
@@ -655,11 +708,95 @@ def _finish_step(
         num_landmarks=jnp.sum(new_state.lm_valid),
         rms_error=rms_error,
         refreshed=refresh,
+        obs_norm=obs_norm_out,
+        robs_norm=robs_norm_out,
+        lm_id=lm_id,
+        lm_valid=lm_valid,
+        robs_valid=lm_robs_valid,
     )
     return new_state, output
 
 
-def make_track_step(params: TrackerParams, setup: CameraSetup):
+#: Length of the packed per-tick output vector (see ``pack_output``).
+PACKED_LEN = 21
+
+
+def pack_output(out: TrackOutput) -> jnp.ndarray:
+    """Fuse the per-tick outputs into ONE fresh (21,) float32 vector.
+
+    Layout: world_t_body.ravel() (16) | num_inliers | num_matches |
+    num_landmarks | rms_error | refreshed.
+
+    Two reasons this exists (both measured on hosted TPUs):
+    * a ``device_get`` that touches any member of the step's output tuple
+      can materialize the entire output buffer set (~50 MB of state at
+      4x720p) on the host — ~0.5 s per tick; fetching one 84-byte vector
+      costs one RTT;
+    * with buffer donation the raw outputs may alias donated state memory
+      and die at the next step — the concatenation below always
+      materializes a fresh, alias-free buffer that stays valid.
+    """
+    scalars = jnp.stack(
+        [
+            out.num_inliers.astype(jnp.float32),
+            out.num_matches.astype(jnp.float32),
+            out.num_landmarks.astype(jnp.float32),
+            out.rms_error.astype(jnp.float32),
+            out.refreshed.astype(jnp.float32),
+        ]
+    )
+    return jnp.concatenate([out.world_t_body.reshape(-1), scalars])
+
+
+def unpack_output(vec) -> dict:
+    """Host-side parse of a fetched ``pack_output`` vector."""
+    import numpy as np
+
+    v = np.asarray(vec)
+    return {
+        "world_t_body": v[:16].reshape(4, 4).astype(np.float64),
+        "num_inliers": int(v[16]),
+        "num_matches": int(v[17]),
+        "num_landmarks": int(v[18]),
+        "rms_error": float(v[19]),
+        "refreshed": bool(v[20] > 0.5),
+    }
+
+
+def pack_ba_obs(out: TrackOutput) -> jnp.ndarray:
+    """Fuse the per-tick BA observations into ONE fresh (C, N, 7) array.
+
+    Channels: obs_norm (2) | robs_norm (2) | lm_id | lm_valid | robs_valid.
+    Same rationale as :func:`pack_output` — one alias-free buffer, one
+    device->host transfer for the whole tick's measurement set.
+    """
+    return jnp.concatenate(
+        [
+            out.obs_norm.astype(jnp.float32),
+            out.robs_norm.astype(jnp.float32),
+            out.lm_id.astype(jnp.float32)[..., None],
+            out.lm_valid.astype(jnp.float32)[..., None],
+            out.robs_valid.astype(jnp.float32)[..., None],
+        ],
+        axis=-1,
+    )
+
+
+def unpack_ba_obs(arr) -> dict:
+    """Host-side parse of a fetched ``pack_ba_obs`` array."""
+    import numpy as np
+
+    a = np.asarray(arr)
+    return {
+        "obs": a[..., 0:2].astype(np.float32),
+        "robs": a[..., 2:4].astype(np.float32),
+        "ids": a[..., 4].astype(np.int32),
+        "valid": a[..., 5] > 0.5,
+        "robs_valid": a[..., 6] > 0.5,
+    }
+
+
+def make_track_step(params: TrackerParams, setup: CameraSetup, donate: bool = False, pack: bool = False):
     """Bind params/setup and return a jitted ``(state, images) -> (state, out)``.
 
     The camera setup is closed over as HOST (numpy) arrays, so it traces
@@ -669,13 +806,34 @@ def make_track_step(params: TrackerParams, setup: CameraSetup):
     buffers degrades every subsequent host->device transfer in the process
     from ~1.6 GB/s to ~65 MB/s (measured; the engine's whole end-to-end
     path rides on this).
+
+    Args:
+        params: Static tracker configuration.
+        setup: Per-camera constants (host arrays).
+        donate: Donate the input state's buffers to the output state. The
+            streaming loop then reuses device memory in place — without
+            donation, the per-tick alloc/free churn of the ~50 MB state
+            degrades hosted-TPU h2d throughput to tens of MB/s after ~60
+            ticks (same failure mode as captured device arrays). The
+            caller must not reuse a state after passing it.
+        pack: Also return ``pack_output(out)`` as a third element — the
+            only output the host should sync on (see :func:`pack_output`).
+            With ``pack="ba"``, additionally return ``pack_ba_obs(out)``
+            as a fourth element (the track-level BA measurement stream).
     """
     import numpy as np
 
     setup_host = jax.tree.map(np.asarray, setup)
 
-    @jax.jit
-    def step(state: TrackerState, images: jnp.ndarray, pose_prediction=None, cam_active=None):
-        return track_step(params, setup_host, state, images, pose_prediction, cam_active)
+    def _step(state: TrackerState, images: jnp.ndarray, pose_prediction=None, cam_active=None):
+        new_state, out = track_step(params, setup_host, state, images, pose_prediction, cam_active)
+        if pack == "ba":
+            return new_state, out, pack_output(out), pack_ba_obs(out)
+        if pack:
+            return new_state, out, pack_output(out)
+        return new_state, out
 
-    return step
+    # Only the state donates: the uint8 images buffer converts to f32
+    # inside the graph, so XLA can never alias it ("donated buffers were
+    # not usable") — donating it would be a no-op plus a warning per call.
+    return jax.jit(_step, donate_argnums=(0,) if donate else ())

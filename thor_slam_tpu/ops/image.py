@@ -184,9 +184,13 @@ def extract_patches_mxu(image: jnp.ndarray, centers: jnp.ndarray, size: int) -> 
     col_idx = cx[:, None] + d[None, :]
     rows_1h = jax.nn.one_hot(row_idx, h, dtype=image.dtype)  # (N, size, H)
     cols_1h = jax.nn.one_hot(col_idx, w, dtype=image.dtype)  # (N, size, W)
+    # HIGHEST: bf16 operands would quantize intensities to ~2^-8 (the
+    # pixel quantum) — the extraction must be exact (see ops/klt.py).
     row_block = jnp.einsum(
-        "nsh,hw->nsw", rows_1h, image, preferred_element_type=jnp.float32
+        "nsh,hw->nsw", rows_1h, image,
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
     )  # (N, size, W)
     return jnp.einsum(
-        "nsw,ntw->nst", row_block, cols_1h, preferred_element_type=jnp.float32
+        "nsw,ntw->nst", row_block, cols_1h,
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
     )  # (N, size, size)

@@ -106,7 +106,14 @@ def _interp_weights(d: jnp.ndarray, m: int) -> jnp.ndarray:
 def _sample(views: jnp.ndarray, d: jnp.ndarray, m: int) -> jnp.ndarray:
     """Bilinear patch sample at offsets d via one MXU matvec: (N, P*P)."""
     w2 = _interp_weights(d, m)
-    return jnp.einsum("ns,nsp->np", w2, views, preferred_element_type=jnp.float32)
+    # HIGHEST: on TPU the default bf16 operand precision quantizes image
+    # intensities to ~2^-8 — at or above the 1/255 pixel quantum — and the
+    # lost bits surface directly as subpixel tracking noise (measured 8x
+    # worse trajectory ATE on TPU vs CPU before this).
+    return jnp.einsum(
+        "ns,nsp->np", w2, views,
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+    )
 
 
 def _lk_level(

@@ -206,6 +206,9 @@ def make_sharded_track_step(params: trk.TrackerParams, setup: trk.CameraSetup, m
     out_specs_out = trk.TrackOutput(
         world_t_body=P(), num_inliers=P(), num_matches=P(),
         num_landmarks=P(), rms_error=P(), refreshed=P(),
+        # Per-camera observation stream shards with its cameras.
+        obs_norm=P("cam"), robs_norm=P("cam"), lm_id=P("cam"),
+        lm_valid=P("cam"), robs_valid=P("cam"),
     )
 
     # Per-device camera count: shard_map sees local shards.
@@ -215,6 +218,8 @@ def make_sharded_track_step(params: trk.TrackerParams, setup: trk.CameraSetup, m
 
     def spmd_step(setup_c, state, images_c, cam_active_c):
         p = local_params
+        if images_c.dtype == jnp.uint8:  # same contract as track_step:
+            images_c = images_c.astype(jnp.float32) * (1.0 / 255.0)
         # Pose prediction (identical on all devices — replicated inputs).
         delta = state.world_t_body @ trk._se3_inv(state.prev_world_t_body)
         extrapolated = delta @ state.world_t_body

@@ -66,7 +66,7 @@ class BackendConfig:
     """TPU engine options (our extension; absent keys keep defaults)."""
 
     max_keypoints: int = 512
-    enable_ba: bool = False
+    enable_ba: bool = True
     enable_loop_closure: bool = True
     use_imu: bool = True
     tracker: dict[str, Any] = field(default_factory=dict)
@@ -119,7 +119,7 @@ class RunConfig:
         backend_d = d.get("backend", {}) or {}
         backend = BackendConfig(
             max_keypoints=int(backend_d.get("max_keypoints", 512)),
-            enable_ba=bool(backend_d.get("enable_ba", False)),
+            enable_ba=bool(backend_d.get("enable_ba", True)),
             enable_loop_closure=bool(backend_d.get("enable_loop_closure", True)),
             use_imu=bool(backend_d.get("use_imu", True)),
             tracker=dict(backend_d.get("tracker", {})),
