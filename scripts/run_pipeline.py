@@ -90,12 +90,32 @@ def run(
         logger.info("Initializing engine (jit warm-up)...")
         engine.initialize(rig.calibration, SlamConfig(num_cameras=cfg.num_cameras))
 
+        cam_cfg_by_ip = {c.ip: c for c in cfg.cameras}
         for i, ip in enumerate(rgbd_ips):
             src = rig.get_source(ip)
             if src is None:
                 logger.warning("RGB-D camera %s not in the rig; skipping", ip)
                 continue
-            proc = RGBDProcessor(ip, src.get_intrinsics(), src.get_extrinsics())
+            # Color leg + independent output resolution (the reference's
+            # resolution-independence contract, ref run_pipeline.py:138-148):
+            # any source exposing the color surface (hardware driver or the
+            # synthetic rig) feeds the color-aligned product.
+            entry = cam_cfg_by_ip.get(ip)
+            out_res = entry.rgb_output_resolution if entry is not None else None
+            color_intr = getattr(src, "get_rgb_intrinsics", lambda: None)()
+            color_ext = getattr(src, "get_rgb_extrinsics", lambda: None)()
+            proc = RGBDProcessor(
+                ip,
+                src.get_intrinsics(),
+                src.get_extrinsics(),
+                output_resolution=out_res,
+                color_intrinsics=color_intr,
+                left_t_color=(
+                    color_ext.to_4x4_matrix() if color_ext is not None else None
+                ),
+            )
+            if proc.color_mode:
+                logger.info("RGB-D %s: color-aligned at %dx%d", ip, proc.output_intrinsics.width, proc.output_intrinsics.height)
             processors.append(proc)
             rgbd_topics[ip] = (
                 bus.topic(f"/camera_{i}/rgb", queue_size=5),
@@ -126,7 +146,11 @@ def run(
             if frame_count % rgbd_every == 0:
                 with stats.stage("rgbd").time():
                     for idx, proc in enumerate(processors):
-                        frame = proc.process(sync)
+                        color = None
+                        if proc.color_mode:
+                            src = rig.get_source(proc.camera_name)
+                            color = getattr(src, "try_get_latest_rgb_frame", lambda: None)()
+                        frame = proc.process(sync, color_frame=color)
                         if frame is not None:
                             rgb_t, depth_t = rgbd_topics[proc.camera_name]
                             rgb_t.publish(frame)

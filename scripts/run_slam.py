@@ -51,6 +51,8 @@ def build_synthetic_sources(cfg):
         baseline_m=syn.baseline_m,
         fps=cfg.fps,
         imu_rate_hz=cfg.imu_report_rate,
+        color_camera=syn.color_camera,
+        color_resolution=syn.color_resolution,
     )
     world = SyntheticWorld(half_extents=syn.room_half_extents)
     traj = OrbitTrajectory(radius=syn.trajectory_radius)
@@ -65,8 +67,20 @@ def build_hardware_sources(cfg):
     from thor_slam_tpu.camera.types import Extrinsics, IMUExtrinsics, IPv4
     from thor_slam_tpu.camera.utils import load_rig_extrinsics_from_urdf
 
+    from thor_slam_tpu.camera.sources.luxonis import LuxonisRGBDCameraConfig
+
+    rgbd_ips = set(cfg.rgbd_camera_ips())
     sources = []
     for i, cam in enumerate(cfg.cameras):
+        # RGB-D cameras get the CAM_A color leg at its own (sensor, output)
+        # resolutions — independent of the SLAM stream (reference
+        # run_pipeline.py:138-148, luxonis.py:92-115).
+        rgbd = None
+        if cam.ip in rgbd_ips and cam.stereo:
+            rgbd = LuxonisRGBDCameraConfig(
+                rgb_sensor_resolution=cam.rgb_sensor_resolution,
+                rgb_output_resolution=cam.rgb_output_resolution,
+            )
         lux_cfg = LuxonisCameraConfig(
             ip=IPv4(cam.ip),
             fps=cfg.fps,
@@ -77,6 +91,7 @@ def build_hardware_sources(cfg):
             queue_size=cfg.queue_size,
             read_imu=(i == 0),  # IMU from the first camera (reference run_slam.py:160)
             imu_report_rate=cfg.imu_report_rate,
+            rgbd=rgbd,
         )
         sources.append(LuxonisCameraSource(lux_cfg))
 

@@ -282,3 +282,76 @@ class TestConfigErrors:
         p = self._write(tmp_path, "- just\n- a\n- list\n")
         with pytest.raises(ConfigError, match="must be a mapping"):
             load_config(p)
+
+
+class TestColorAlignedRGBD:
+    """Color RGB-D at independent resolutions: the nvblox feed the
+    reference produces with CAM_A + ASIC depth alignment (reference
+    luxonis.py:464-549, run_pipeline.py:138-148)."""
+
+    def _make_source(self, color_res=(96, 64)):
+        spec = SyntheticRigSpec(
+            num_sources=1, stereo=True, width=160, height=120, baseline_m=0.3,
+            color_camera=True, color_resolution=color_res,
+        )
+        world = SyntheticWorld(half_extents=(2.5, 2.5, 1.5))
+        return SyntheticCameraSource(
+            "cam0", world, OrbitTrajectory(radius=1.0), np.eye(4), spec
+        )
+
+    @pytest.mark.slow
+    def test_color_frame_and_independent_resolution(self):
+        src = self._make_source(color_res=(96, 64))
+        rig = CameraRig([src])
+        rig.start()
+        sync = rig.get_synchronized_frames()
+        color = src.try_get_latest_rgb_frame()
+        assert color is not None and color.image.shape == (64, 96, 3)
+
+        proc = RGBDProcessor(
+            "cam0", src.get_intrinsics(), src.get_extrinsics(),
+            color_intrinsics=src.get_rgb_intrinsics(),
+            left_t_color=src.get_rgb_extrinsics().to_4x4_matrix(),
+        )
+        assert proc.color_mode
+        frame = proc.process(sync, color_frame=color)
+        rig.stop()
+
+        assert frame is not None
+        # SLAM stream is 160x120; the RGB-D product is 96x64 COLOR rgb8.
+        assert frame.rgb.shape == (64, 96, 3) and frame.rgb.dtype == np.uint8
+        assert frame.depth_mm.shape == (64, 96)
+        assert frame.intrinsics.width == 96 and frame.intrinsics.height == 64
+        assert frame.timestamp == color.timestamp
+        assert (frame.depth_mm > 0).mean() > 0.2
+
+    @pytest.mark.slow
+    def test_aligned_depth_matches_ground_truth(self):
+        """Aligned depth must agree with the analytic depth along the
+        COLOR camera's own rays (not the left camera's)."""
+        src = self._make_source(color_res=(160, 120))
+        rig = CameraRig([src])
+        rig.start()
+        sync = rig.get_synchronized_frames()
+        color = src.try_get_latest_rgb_frame()
+        proc = RGBDProcessor(
+            "cam0", src.get_intrinsics(), src.get_extrinsics(),
+            color_intrinsics=src.get_rgb_intrinsics(),
+            left_t_color=src.get_rgb_extrinsics().to_4x4_matrix(),
+        )
+        frame = proc.process(sync, color_frame=color)
+        rig.stop()
+
+        gt = src.render_color_depth(0)  # (H, W) meters along color rays
+        est = frame.depth_mm.astype(np.float64) / 1000.0
+        valid = (est > 0) & (gt > 0.2) & (gt < 8.0)
+        assert valid.mean() > 0.3
+        err = np.abs(est[valid] - gt[valid])
+        med = np.median(err)
+        rel = np.median(err / gt[valid])
+        assert rel < 0.05, f"median relative depth error {rel:.3f} (abs {med:.3f} m)"
+
+    def test_grayscale_mode_unchanged_without_color(self):
+        src = self._make_source()
+        proc = RGBDProcessor("cam0", src.get_intrinsics(), src.get_extrinsics())
+        assert not proc.color_mode

@@ -178,7 +178,10 @@ class TestLuxonisHelpers:
         cfg = LuxonisCameraConfig(ip=IPv4("192.168.2.21"), read_imu=True)
         assert cfg.fps == 30.0 and cfg.imu_report_rate == 400
         rgbd = LuxonisRGBDCameraConfig()
-        assert rgbd.rgb_output_resolution == (1280, 800)
+        # Auto-negotiation defaults: both resolutions resolved at bring-up.
+        assert rgbd.rgb_sensor_resolution is None
+        assert rgbd.rgb_output_resolution is None
+        assert rgbd.align_depth_to_rgb
 
     @pytest.mark.skipif(HAVE_DEPTHAI, reason="hardware SDK present")
     def test_source_requires_depthai(self):
@@ -234,3 +237,95 @@ class TestSyntheticEurocSequence:
         # The fixture writes no calibration.npz -> standard EuRoC values.
         src = EurocCameraSource(euroc_dir)
         assert src.get_intrinsics()[0].matrix[0, 0] == pytest.approx(458.654)
+
+
+class TestLuxonisNegotiation:
+    """Pure-logic parity with the reference's bring-up validation
+    (reference luxonis.py:158-362) — unit-tested without hardware."""
+
+    VALID = [(640, 400), (1280, 800), (1920, 1200), (4056, 3040)]
+
+    def test_select_prefers_smallest_covering_sensor(self):
+        from thor_slam_tpu.camera.sources.luxonis import select_rgb_sensor_resolution
+
+        res = select_rgb_sensor_resolution(self.VALID, (1280, 720), (640, 400))
+        assert res == (1280, 800)  # smallest mode covering 1280x720
+
+    def test_select_penalizes_too_small_sensors(self):
+        from thor_slam_tpu.camera.sources.luxonis import select_rgb_sensor_resolution
+
+        # Only too-small modes available: still returns the closest one.
+        res = select_rgb_sensor_resolution([(640, 400), (320, 200)], (1280, 800), (640, 400))
+        assert res == (640, 400)
+
+    def test_select_without_output_matches_mono(self):
+        from thor_slam_tpu.camera.sources.luxonis import select_rgb_sensor_resolution
+
+        res = select_rgb_sensor_resolution(self.VALID, None, (1280, 800))
+        assert res == (1280, 800)
+
+    def test_select_empty_raises(self):
+        from thor_slam_tpu.camera.sources.luxonis import select_rgb_sensor_resolution
+
+        with pytest.raises(ValueError):
+            select_rgb_sensor_resolution([], None, (640, 400))
+
+    def _caps(self, color_on_a=True):
+        res = {"CAM_A": [(1280, 800), (1920, 1200)], "CAM_B": [(640, 400), (1280, 800)],
+               "CAM_C": [(640, 400), (1280, 800)]}
+        modes = {"CAM_A": ["COLOR"] if color_on_a else ["MONO"],
+                 "CAM_B": ["MONO"], "CAM_C": ["MONO"]}
+        return res, modes
+
+    def test_validate_ok(self):
+        from thor_slam_tpu.camera.sources.luxonis import validate_camera_config
+
+        cfg = LuxonisCameraConfig(ip=IPv4("192.168.2.21"), resolution=(640, 400))
+        assert validate_camera_config(cfg, *self._caps()) == []
+
+    def test_validate_bad_resolution(self):
+        from thor_slam_tpu.camera.sources.luxonis import validate_camera_config
+
+        cfg = LuxonisCameraConfig(ip=IPv4("192.168.2.21"), resolution=(1920, 1200))
+        errs = validate_camera_config(cfg, *self._caps())
+        assert len(errs) == 1 and "resolution" in str(errs[0])
+
+    def test_validate_rgbd_needs_stereo_and_color(self):
+        from thor_slam_tpu.camera.sources.luxonis import validate_camera_config
+
+        cfg = LuxonisCameraConfig(
+            ip=IPv4("192.168.2.21"), stereo=False, resolution=(1280, 800),
+            sensor_type="COLOR", rgbd=LuxonisRGBDCameraConfig(),
+        )
+        res, modes = self._caps(color_on_a=True)
+        errs = validate_camera_config(cfg, res, modes)
+        # mono path validates CAM_A: COLOR mode ok there, but RGB-D needs stereo.
+        assert any("stereo" in str(e) for e in errs)
+
+        cfg2 = LuxonisCameraConfig(
+            ip=IPv4("192.168.2.21"), resolution=(640, 400),
+            rgbd=LuxonisRGBDCameraConfig(),
+        )
+        errs2 = validate_camera_config(cfg2, *self._caps(color_on_a=False))
+        assert any("COLOR" in str(e) for e in errs2)
+
+    def test_validate_rejects_upscaling_output(self):
+        from thor_slam_tpu.camera.sources.luxonis import validate_camera_config
+
+        cfg = LuxonisCameraConfig(
+            ip=IPv4("192.168.2.21"), resolution=(640, 400),
+            rgbd=LuxonisRGBDCameraConfig(
+                rgb_sensor_resolution=(1280, 800), rgb_output_resolution=(1920, 1200)
+            ),
+        )
+        errs = validate_camera_config(cfg, *self._caps())
+        assert any("exceeds" in str(e) for e in errs)
+
+    def test_validate_collects_multiple_errors(self):
+        from thor_slam_tpu.camera.sources.luxonis import validate_camera_config
+
+        cfg = LuxonisCameraConfig(
+            ip=IPv4("192.168.2.21"), resolution=(1920, 1200), sensor_type="COLOR"
+        )
+        errs = validate_camera_config(cfg, *self._caps())
+        assert len(errs) == 2  # bad resolution AND bad mode, reported together

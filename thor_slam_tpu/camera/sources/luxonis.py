@@ -24,7 +24,6 @@ without hardware; everything touching ``depthai`` is gated.
 from __future__ import annotations
 
 import logging
-import time
 from dataclasses import dataclass
 from typing import TypedDict
 
@@ -92,11 +91,153 @@ class LuxonisRGBDCameraConfig:
 
     The TPU build computes depth off-camera, so only the RGB leg of the
     reference's RGB-D config survives (reference luxonis.py:92-115).
+
+    Attributes:
+        rgb_sensor_resolution: Explicit color sensor mode, or None to
+            auto-select one against the output/mono resolutions
+            (:func:`select_rgb_sensor_resolution`, the reference's scoring
+            luxonis.py:276-312).
+        rgb_output_resolution: Resolution of the published color stream —
+            independent of the SLAM stream (the reference's
+            resolution-independence contract, reference
+            run_pipeline.py:138-148). None = the (auto-)selected sensor
+            resolution.
+        align_depth_to_rgb: Produce depth in the COLOR camera's frame
+            (the TPU depth aligner; reference aligns on the ASIC,
+            luxonis.py:538-549).
     """
 
-    rgb_sensor_resolution: tuple[int, int] = (1280, 800)
-    rgb_output_resolution: tuple[int, int] = (1280, 800)
+    rgb_sensor_resolution: tuple[int, int] | None = None
+    rgb_output_resolution: tuple[int, int] | None = None
     align_depth_to_rgb: bool = True
+
+
+def select_rgb_sensor_resolution(
+    valid_resolutions: list[tuple[int, int]],
+    rgb_output_resolution: tuple[int, int] | None,
+    mono_resolution: tuple[int, int],
+) -> tuple[int, int]:
+    """Pick the color sensor mode for the RGB-D leg.
+
+    Scoring semantics preserved from the reference (luxonis.py:276-312):
+
+    * with a requested output resolution, prefer the SMALLEST sensor mode
+      that still covers it (no upscaling); sensor modes too small for the
+      output are heavily penalized (used only as a last resort);
+    * with no requested output, prefer the mode closest to the SLAM mono
+      resolution in pixel count, tie-broken by aspect-ratio similarity.
+
+    Args:
+        valid_resolutions: Sensor modes the color imager supports.
+        rgb_output_resolution: Desired output, or None.
+        mono_resolution: The SLAM stereo sensor resolution.
+
+    Returns:
+        The chosen (width, height).
+
+    Raises:
+        ValueError: If ``valid_resolutions`` is empty.
+    """
+    if not valid_resolutions:
+        raise ValueError("color imager reports no supported resolutions")
+    best, best_score = None, float("inf")
+    for res in valid_resolutions:
+        if rgb_output_resolution is not None:
+            if res[0] >= rgb_output_resolution[0] and res[1] >= rgb_output_resolution[1]:
+                score = float(res[0] * res[1])  # smallest covering mode
+            else:
+                score = 1_000_000.0 + (
+                    rgb_output_resolution[0] * rgb_output_resolution[1] - res[0] * res[1]
+                )
+        else:
+            pixel_diff = abs(res[0] * res[1] - mono_resolution[0] * mono_resolution[1])
+            aspect_diff = abs(res[0] / res[1] - mono_resolution[0] / mono_resolution[1])
+            score = pixel_diff + aspect_diff * 10_000.0
+        if score < best_score:
+            best, best_score = res, score
+    assert best is not None
+    return tuple(best)
+
+
+def validate_camera_config(
+    config: "LuxonisCameraConfig",
+    valid_resolutions: dict[str, list[tuple[int, int]]],
+    valid_modes: dict[str, list[str]],
+) -> list[ValueError]:
+    """Validate a camera configuration against the device's capabilities.
+
+    Pure logic (unit-testable without hardware): the driver's constructor
+    feeds it the per-socket capability tables queried from the device and
+    raises the collected errors as one ``ExceptionGroup`` — the
+    reference's validation pattern (luxonis.py:193-253).
+
+    Args:
+        config: The bring-up configuration.
+        valid_resolutions: socket name ("CAM_A"/"CAM_B"/"CAM_C") ->
+            supported sensor resolutions.
+        valid_modes: socket name -> supported sensor types ("MONO"/"COLOR").
+
+    Returns:
+        All configuration errors found (empty when valid).
+    """
+    errors: list[ValueError] = []
+    res = tuple(config.resolution)
+    sockets = ("CAM_B", "CAM_C") if config.stereo else ("CAM_A",)
+
+    res_ok = any(res in [tuple(r) for r in valid_resolutions.get(s, [])] for s in sockets)
+    mode_ok = any(config.sensor_type in valid_modes.get(s, []) for s in sockets)
+    if not res_ok:
+        supported = sorted(
+            {tuple(r) for s in sockets for r in valid_resolutions.get(s, [])}
+        )
+        errors.append(
+            ValueError(
+                f"Sensor resolution {res} not supported on {'/'.join(sockets)}; "
+                f"supported: {supported}"
+            )
+        )
+    if not mode_ok:
+        supported_modes = sorted(
+            {m for s in sockets for m in valid_modes.get(s, [])}
+        )
+        errors.append(
+            ValueError(
+                f"Sensor type {config.sensor_type!r} not supported on "
+                f"{'/'.join(sockets)}; supported: {supported_modes}"
+            )
+        )
+
+    if config.rgbd is not None:
+        if not config.stereo:
+            errors.append(ValueError("RGB-D requires stereo=True (depth needs CAM_B/C)"))
+        if "COLOR" not in valid_modes.get("CAM_A", []):
+            errors.append(
+                ValueError(
+                    "RGB-D requires a COLOR imager on CAM_A; supported modes: "
+                    f"{valid_modes.get('CAM_A', [])}"
+                )
+            )
+        rgb_sensor = config.rgbd.rgb_sensor_resolution
+        if rgb_sensor is not None:
+            cam_a = [tuple(r) for r in valid_resolutions.get("CAM_A", [])]
+            if tuple(rgb_sensor) not in cam_a:
+                errors.append(
+                    ValueError(
+                        f"RGB sensor resolution {tuple(rgb_sensor)} not supported "
+                        f"on CAM_A; supported: {sorted(cam_a)}"
+                    )
+                )
+        out = config.rgbd.rgb_output_resolution
+        if out is not None and rgb_sensor is not None and (
+            out[0] > rgb_sensor[0] or out[1] > rgb_sensor[1]
+        ):
+            errors.append(
+                ValueError(
+                    f"rgb_output_resolution {tuple(out)} exceeds the sensor "
+                    f"resolution {tuple(rgb_sensor)} (upscaling is never useful)"
+                )
+            )
+    return errors
 
 
 @dataclass
@@ -161,12 +302,55 @@ class LuxonisCameraSource(CameraSource):  # pragma: no cover - hardware
         self._running = False
         self._imu_packets: list[IMUData] = []
         self._seq = 0
+        self._rgb_sensor_resolution: tuple[int, int] | None = None
 
-        from thor_slam_tpu.camera.utils import get_luxonis_device
+        from thor_slam_tpu.camera.utils import (
+            get_luxonis_camera_valid_modes,
+            get_luxonis_camera_valid_resolutions,
+            get_luxonis_device,
+        )
 
         self._device = get_luxonis_device(config.ip)
         if self._device is None:
             raise RuntimeError(f"No DepthAI device at {config.ip}")
+
+        # Capability tables by socket, then pure-logic validation — errors
+        # are collected and raised together (the reference's ExceptionGroup
+        # pattern, reference luxonis.py:193-253).
+        socket_of = {
+            "CAM_A": dai.CameraBoardSocket.CAM_A,
+            "CAM_B": dai.CameraBoardSocket.CAM_B,
+            "CAM_C": dai.CameraBoardSocket.CAM_C,
+        }
+        valid_res, valid_modes = {}, {}
+        for name, socket in socket_of.items():
+            try:
+                valid_res[name] = get_luxonis_camera_valid_resolutions(self._device, socket)
+                valid_modes[name] = get_luxonis_camera_valid_modes(self._device, socket)
+            except Exception:  # socket absent on this model
+                valid_res[name], valid_modes[name] = [], []
+        errors = validate_camera_config(config, valid_res, valid_modes)
+        if errors:
+            raise ExceptionGroup(
+                f"Invalid camera configuration for {config.ip}", errors
+            ) from errors[0]
+
+        if config.rgbd is not None:
+            self._rgb_sensor_resolution = (
+                tuple(config.rgbd.rgb_sensor_resolution)
+                if config.rgbd.rgb_sensor_resolution is not None
+                else select_rgb_sensor_resolution(
+                    valid_res.get("CAM_A", []),
+                    config.rgbd.rgb_output_resolution,
+                    config.resolution,
+                )
+            )
+            logger.info(
+                "RGB sensor resolution for %s: %s (output %s)",
+                config.ip, self._rgb_sensor_resolution,
+                config.rgbd.rgb_output_resolution or self._rgb_sensor_resolution,
+            )
+
         self._calib = self._device.readCalibration()
 
     # -- pipeline -----------------------------------------------------------
@@ -194,6 +378,22 @@ class LuxonisCameraSource(CameraSource):  # pragma: no cover - hardware
             xout.setStreamName("rgb")
             cam.preview.link(xout.input)
 
+        # RGB-D color leg: a CAM_A color capture at its own (sensor,
+        # output) resolutions — fully independent of the SLAM stream
+        # (reference luxonis.py:464-511; resolution-independence contract
+        # reference run_pipeline.py:138-148). Depth itself is produced on
+        # the TPU (pipeline/rgbd.py) and aligned to this imager there.
+        if cfg.stereo and cfg.rgbd is not None:
+            rgb_cam = pipeline.create(dai.node.ColorCamera)
+            rgb_cam.setBoardSocket(dai.CameraBoardSocket.CAM_A)
+            rgb_cam.setFps(cfg.fps)
+            out_wh = cfg.rgbd.rgb_output_resolution or self._rgb_sensor_resolution
+            rgb_cam.setPreviewSize(*out_wh)
+            rgb_cam.setColorOrder(dai.ColorCameraProperties.ColorOrder.RGB)
+            xout_rgb = pipeline.create(dai.node.XLinkOut)
+            xout_rgb.setStreamName("rgb")
+            rgb_cam.preview.link(xout_rgb.input)
+
         if cfg.read_imu:
             imu = pipeline.create(dai.node.IMU)
             imu.enableIMUSensor(
@@ -208,6 +408,8 @@ class LuxonisCameraSource(CameraSource):  # pragma: no cover - hardware
 
         self._device.startPipeline(pipeline)
         names = ["left", "right"] if cfg.stereo else ["rgb"]
+        if cfg.stereo and cfg.rgbd is not None:
+            names.append("rgb")
         if cfg.read_imu:
             names.append("imu")
         for n in names:
@@ -236,10 +438,16 @@ class LuxonisCameraSource(CameraSource):  # pragma: no cover - hardware
             self._device.close()
 
     def _to_frame(self, msg, cam_name: str) -> CameraFrame:
-        # Host-clock timestamps, matching the reference (luxonis.py:790-791).
+        # Device timestamps synced to the host time base (DepthAI
+        # getTimestamp(), not wall clock): capture-time accuracy, and one
+        # COMMON clock with the per-packet IMU timestamps so preintegration
+        # windows line up. The reference stamps frames with host time.time()
+        # at dequeue but IMU with device timestamps (reference
+        # luxonis.py:790-791 vs 1117-1118) — a mixed-clock pairing this
+        # rebuild deliberately does not reproduce.
         return CameraFrame(
             image=msg.getCvFrame(),
-            timestamp=time.time(),
+            timestamp=msg.getTimestamp().total_seconds(),
             sequence_num=msg.getSequenceNum(),
             camera_name=cam_name,
         )
@@ -299,6 +507,57 @@ class LuxonisCameraSource(CameraSource):  # pragma: no cover - hardware
         left_t_right = np.linalg.inv(extrinsics_cm_to_m(l_to_r))
         return [Extrinsics.identity(), Extrinsics.from_4x4_matrix(left_t_right)]
 
+    # -- RGB-D color leg -----------------------------------------------------
+
+    def try_get_latest_rgb_frame(self) -> CameraFrame | None:
+        """Newest color frame from the RGB-D leg (non-blocking), or None.
+
+        The RGB-D product stream drains this independently of the SLAM
+        frames (reference run_pipeline.py:624-631 semantics).
+        """
+        if not self._running or "rgb" not in self._queues:
+            return None
+        msg = self._queues["rgb"].tryGet()
+        if msg is None:
+            return None
+        return self._to_frame(msg, f"{self.name}_rgb")
+
+    def get_rgb_intrinsics(self) -> Intrinsics | None:
+        """CAM_A color intrinsics at the RGB output resolution."""
+        cfg = self._config
+        if cfg.rgbd is None or self._rgb_sensor_resolution is None:
+            return None
+        out_wh = cfg.rgbd.rgb_output_resolution or self._rgb_sensor_resolution
+        k = np.asarray(
+            self._calib.getCameraIntrinsics(
+                dai.CameraBoardSocket.CAM_A,
+                self._rgb_sensor_resolution[0],
+                self._rgb_sensor_resolution[1],
+            )
+        )
+        k = scale_intrinsics_to_output(k, self._rgb_sensor_resolution, out_wh)
+        coeffs = np.asarray(
+            self._calib.getDistortionCoefficients(dai.CameraBoardSocket.CAM_A), np.float64
+        )
+        return Intrinsics(width=out_wh[0], height=out_wh[1], matrix=k, coeffs=coeffs)
+
+    def get_rgb_extrinsics(self) -> Extrinsics | None:
+        """Pose of the color imager in the source (left-camera) frame.
+
+        ``left_T_color`` with the EEPROM's centimeter translations
+        converted to meters — what the TPU depth->color aligner consumes
+        (the reference aligns on the ASIC instead, luxonis.py:538-549).
+        """
+        if self._config.rgbd is None:
+            return None
+        b_to_a = np.asarray(
+            self._calib.getCameraExtrinsics(
+                dai.CameraBoardSocket.CAM_B, dai.CameraBoardSocket.CAM_A
+            )
+        )
+        left_t_color = np.linalg.inv(extrinsics_cm_to_m(b_to_a))
+        return Extrinsics.from_4x4_matrix(left_t_color)
+
     def get_sensor_extrinsics(self) -> Extrinsics | None:
         if not self._config.read_imu:
             return None
@@ -321,7 +580,12 @@ class LuxonisCameraSource(CameraSource):  # pragma: no cover - hardware
             g = pkt.gyroscope
             accels.append([a.x, a.y, a.z])
             gyros.append([g.x, g.y, g.z])
-            times.append(time.time())
+            # PER-PACKET device timestamps (reference luxonis.py:1117-1118).
+            # Stamping the whole batch with host time.time() collapses a
+            # 5-sample packet onto near-identical timestamps; the engine's
+            # strictly-increasing filter then keeps ~1 of 5 samples and the
+            # preintegration dts are garbage.
+            times.append(a.getTimestamp().total_seconds())
         if not accels:
             return None, None
         self._seq += 1

@@ -274,6 +274,11 @@ class SyntheticRigSpec:
     # Yaw of each source's mount around the rig +z, evenly spaced by default.
     mount_yaws: tuple[float, ...] | None = None
     seed: int = 7
+    # Optional COLOR imager (the RGB-D leg's CAM_A counterpart): offset
+    # from the left imager in the optical frame, with its own resolution.
+    color_camera: bool = False
+    color_resolution: tuple[int, int] | None = None
+    color_offset_m: tuple[float, float, float] = (0.0375, -0.002, 0.0)
 
 
 def _default_intrinsics(spec: SyntheticRigSpec) -> Intrinsics:
@@ -337,6 +342,18 @@ class SyntheticCameraSource(CameraSource):
         self._cam_extrinsics = [
             Extrinsics.from_4x4_matrix(BODY_T_OPTICAL @ off) for off in self._optical_offsets
         ]
+        # Optional color imager (RGB-D leg): its own optical offset,
+        # resolution and intrinsics, independent of the SLAM stream.
+        self._color_offset = None
+        self._color_intr = None
+        if spec.color_camera:
+            off = np.eye(4)
+            off[:3, 3] = spec.color_offset_m
+            self._color_offset = off
+            cw, ch = spec.color_resolution or (spec.width, spec.height)
+            f = spec.focal_scale * cw
+            k = np.array([[f, 0.0, cw / 2.0], [0.0, f, ch / 2.0], [0.0, 0.0, 1.0]])
+            self._color_intr = Intrinsics(width=cw, height=ch, matrix=k, coeffs=np.zeros(5))
 
     # -- CameraSource contract ------------------------------------------------
 
@@ -368,6 +385,55 @@ class SyntheticCameraSource(CameraSource):
         """Ground-truth world pose of imager ``cam_idx`` at time ``t``."""
         world_t_body = self._traj.pose(t)
         return world_t_body @ self._rig_t_source @ self._cam_extrinsics[cam_idx].to_4x4_matrix()
+
+    def world_t_color(self, t: float) -> np.ndarray:
+        """Ground-truth world pose of the color imager at time ``t``."""
+        assert self._color_offset is not None
+        world_t_body = self._traj.pose(t)
+        return (
+            world_t_body @ self._rig_t_source
+            @ Extrinsics.from_4x4_matrix(BODY_T_OPTICAL @ self._color_offset).to_4x4_matrix()
+        )
+
+    def get_rgb_intrinsics(self) -> Intrinsics | None:
+        """Color-imager intrinsics (None when no color leg is configured).
+
+        Same duck-typed surface as the hardware driver
+        (LuxonisCameraSource.get_rgb_intrinsics).
+        """
+        return self._color_intr
+
+    def get_rgb_extrinsics(self) -> Extrinsics | None:
+        """Pose of the color imager in the LEFT imager's (raw) frame."""
+        if self._color_offset is None:
+            return None
+        return Extrinsics.from_4x4_matrix(self._color_offset)
+
+    def render_color_frame(self, n: int) -> np.ndarray:
+        """Deterministic (H, W, 3) uint8 color frame ``n``."""
+        assert self._color_intr is not None
+        t = self.frame_time(n)
+        img = self._world.render(self._color_intr, self.world_t_color(t))
+        gray = (np.asarray(img) * 255.0).astype(np.uint8)
+        return np.stack([gray, gray, gray], axis=-1)
+
+    def render_color_depth(self, n: int) -> np.ndarray:
+        """Ground-truth depth along the COLOR imager's rays (test fixture)."""
+        assert self._color_intr is not None
+        t = self.frame_time(n)
+        return np.asarray(self._world.render_depth(self._color_intr, self.world_t_color(t)))
+
+    def try_get_latest_rgb_frame(self) -> CameraFrame | None:
+        """Color frame paired with the most recently delivered stereo tick."""
+        if not self._running or self._color_offset is None or self._frame_idx == 0:
+            return None
+        n = self._frame_idx - 1
+        return CameraFrame(
+            image=self.render_color_frame(n),
+            timestamp=self.frame_time(n),
+            sequence_num=n,
+            camera_name=f"{self._name}_rgb",
+        )
 
     def render_frame(self, n: int, cam_idx: int) -> np.ndarray:
         """Deterministically render frame ``n`` for one imager as uint8."""

@@ -47,8 +47,93 @@ class RGBDFrame:
     camera_name: str
 
 
+def make_depth_to_color_aligner(
+    sr: StereoRectification,
+    color_matrix: np.ndarray,
+    rect_t_color: np.ndarray,
+    out_wh: tuple[int, int],
+    iters: int = 2,
+    z_init: float = 2.0,
+    min_depth_m: float = 0.05,
+):
+    """Jitted ``depth_rect -> depth_color``: depth along the COLOR rays.
+
+    The role the reference delegates to the camera ASIC's
+    ``setDepthAlign(CAM_A)`` (reference luxonis.py:538-549). TPU shaping:
+    a forward splat (scatter) is scalar-bound on TPU, so alignment runs as
+    an INVERSE warp with a short fixed-point iteration — for every color
+    output pixel, guess its depth, project the implied 3D point into the
+    rectified-left depth map, read the depth there, lift it back into the
+    color frame, repeat. Converges wherever depth is locally smooth (the
+    baseline between imagers is centimeters, so the parallax correction is
+    a few pixels); depth discontinuities land within a pixel of the true
+    occlusion boundary, exactly like ASIC aligners.
+
+    Args:
+        sr: The stereo rectification (depth lives in its left frame).
+        color_matrix: 3x3 color camera matrix AT the output resolution.
+        rect_t_color: (4, 4) pose of the color imager in the RECTIFIED
+            left frame (rectifying rotation composed with left_T_color).
+        out_wh: Color output (width, height).
+        iters: Fixed-point iterations (static).
+        z_init: Initial depth guess (meters).
+        min_depth_m: Sampled depths below this are invalid (holes).
+
+    Returns:
+        A jitted function ``(H_rect, W_rect) f32 depth -> (H_out, W_out)
+        f32 depth`` (0 = invalid) in the color frame.
+    """
+    out_w, out_h = out_wh
+    kc = np.asarray(color_matrix, np.float64)
+    fx_c, fy_c, cx_c, cy_c = kc[0, 0], kc[1, 1], kc[0, 2], kc[1, 2]
+    kr = np.asarray(sr.new_matrix, np.float64)
+    fx_r, fy_r, cx_r, cy_r = kr[0, 0], kr[1, 1], kr[0, 2], kr[1, 2]
+    r = np.asarray(rect_t_color[:3, :3], np.float32)
+    t = np.asarray(rect_t_color[:3, 3], np.float32)
+    h_r, w_r = sr.height, sr.width
+
+    uu, vv = np.meshgrid(np.arange(out_w, dtype=np.float32), np.arange(out_h, dtype=np.float32))
+    ray = np.stack(
+        [(uu - cx_c) / fx_c, (vv - cy_c) / fy_c, np.ones_like(uu)], axis=-1
+    ).astype(np.float32)  # (H, W, 3) color-frame rays
+
+    @jax.jit
+    def align(depth_rect: jnp.ndarray) -> jnp.ndarray:
+        z = jnp.full((out_h, out_w), z_init, jnp.float32)
+        d = jnp.zeros((out_h, out_w), jnp.float32)
+        u = jnp.zeros((out_h, out_w), jnp.float32)
+        v = jnp.zeros((out_h, out_w), jnp.float32)
+        for _ in range(iters):
+            p_c = ray * z[..., None]
+            p_r = p_c @ r.T + t
+            zr = jnp.maximum(p_r[..., 2], 1e-6)
+            u = fx_r * p_r[..., 0] / zr + cx_r
+            v = fy_r * p_r[..., 1] / zr + cy_r
+            d = remap_bilinear(depth_rect, u, v)
+            # Lift the sampled rect-frame depth back into the color frame.
+            xr = (u - cx_r) / fx_r * d
+            yr = (v - cy_r) / fy_r * d
+            p_r2 = jnp.stack([xr, yr, d], axis=-1)
+            z = ((p_r2 - t) @ r)[..., 2]
+        in_bounds = (u >= 0) & (u <= w_r - 1) & (v >= 0) & (v <= h_r - 1)
+        valid = in_bounds & (d > min_depth_m) & (z > min_depth_m)
+        return jnp.where(valid, z, 0.0)
+
+    return align
+
+
 class RGBDProcessor:
-    """Produces RGB-D frames for one stereo camera source."""
+    """Produces RGB-D frames for one stereo camera source.
+
+    Two modes (the reference's two RGB-D configurations):
+
+    * grayscale: rgb = the rectified left image, depth in the rectified
+      left frame (no color imager needed);
+    * color-aligned: rgb = the CAM_A COLOR image and depth reprojected
+      into the color camera at an independent output resolution — what
+      nvblox actually consumes from the reference (reference
+      luxonis.py:464-549).
+    """
 
     def __init__(
         self,
@@ -57,6 +142,8 @@ class RGBDProcessor:
         extrinsics: list,
         output_resolution: tuple[int, int] | None = None,
         num_disparities: int = 64,
+        color_intrinsics: Intrinsics | None = None,
+        left_t_color: np.ndarray | None = None,
     ) -> None:
         """Build rectification maps and the jitted depth pipeline.
 
@@ -65,15 +152,39 @@ class RGBDProcessor:
             intrinsics: [left, right] raw intrinsics.
             extrinsics: [left, right] source-frame extrinsics.
             output_resolution: (width, height) of the product; defaults to
-                the stereo resolution.
+                the stereo resolution (grayscale mode) or the color
+                resolution (color mode) — independent of the SLAM stream.
             num_disparities: SGM search range.
+            color_intrinsics: COLOR imager intrinsics (enables color mode).
+            left_t_color: (4, 4) pose of the color imager in the raw LEFT
+                camera frame (driver ``get_rgb_extrinsics``).
         """
         self.camera_name = camera_name
         self._sr: StereoRectification = rectification_from_extrinsics(
             intrinsics[0], intrinsics[1], extrinsics[0], extrinsics[1]
         )
-        self._out_w, self._out_h = output_resolution or (self._sr.width, self._sr.height)
+        self._color = color_intrinsics is not None and left_t_color is not None
+        if self._color:
+            default_out = (color_intrinsics.width, color_intrinsics.height)
+        else:
+            default_out = (self._sr.width, self._sr.height)
+        self._out_w, self._out_h = output_resolution or default_out
         self._num_disp = num_disparities
+        self._align = None
+        if self._color:
+            # Color K at the OUTPUT resolution; depth lives in the
+            # rectified-left frame, so compose the rectifying rotation
+            # into the color extrinsics.
+            kc = np.asarray(color_intrinsics.matrix, np.float64).copy()
+            kc[0, :] *= self._out_w / color_intrinsics.width
+            kc[1, :] *= self._out_h / color_intrinsics.height
+            rect4 = np.eye(4)
+            rect4[:3, :3] = self._sr.rect_rotation_left
+            rect_t_color = rect4 @ np.asarray(left_t_color, np.float64)
+            self._align = make_depth_to_color_aligner(
+                self._sr, kc, rect_t_color, (self._out_w, self._out_h)
+            )
+            self._color_out_matrix = kc
 
         sr = self._sr
         maps = (
@@ -83,13 +194,18 @@ class RGBDProcessor:
             jnp.asarray(sr.map_right[1]),
         )
         out_w, out_h = self._out_w, self._out_h
+        align = self._align
 
-        @partial(jax.jit, static_argnames=())
-        def compute(left_raw, right_raw):
+        def rect_depth(left_raw, right_raw):
             left = remap_bilinear(left_raw, maps[0], maps[1])
             right = remap_bilinear(right_raw, maps[2], maps[3])
             disp, valid = stereo.sgm_disparity(left, right, num_disparities=num_disparities)
             depth = stereo.disparity_to_depth(disp, valid, sr.fx, sr.baseline_m)
+            return left, depth
+
+        @partial(jax.jit, static_argnames=())
+        def compute(left_raw, right_raw):
+            left, depth = rect_depth(left_raw, right_raw)
             if (out_h, out_w) != left.shape:
                 depth = resize_bilinear(depth, out_h, out_w)
                 left = resize_bilinear(left, out_h, out_w)
@@ -97,32 +213,74 @@ class RGBDProcessor:
             rgb_u8 = jnp.clip(jnp.round(left * 255.0), 0, 255).astype(jnp.uint8)
             return rgb_u8, depth_mm
 
-        self._compute = compute
+        @partial(jax.jit, static_argnames=())
+        def compute_color(left_raw, right_raw, color_img):
+            _, depth = rect_depth(left_raw, right_raw)
+            depth_c = align(depth)
+            depth_mm = stereo.depth_to_millimeters_u16(depth_c)
+            if color_img.shape[:2] != (out_h, out_w):
+                chans = [
+                    resize_bilinear(color_img[..., c].astype(jnp.float32), out_h, out_w)
+                    for c in range(color_img.shape[-1])
+                ]
+                color_img = jnp.clip(
+                    jnp.round(jnp.stack(chans, axis=-1)), 0, 255
+                ).astype(jnp.uint8)
+            return color_img, depth_mm
 
-        # Intrinsics of the product: rectified model scaled to output size.
-        k = sr.new_matrix.copy()
-        k[0, :] *= self._out_w / sr.width
-        k[1, :] *= self._out_h / sr.height
-        self._out_intrinsics = Intrinsics(
-            width=self._out_w, height=self._out_h, matrix=k, coeffs=np.zeros(5)
-        )
+        self._compute = compute
+        self._compute_color = compute_color if self._color else None
+
+        # Intrinsics of the product: the color camera's model in color
+        # mode, else the rectified model — both scaled to the output size.
+        if self._color:
+            self._out_intrinsics = Intrinsics(
+                width=self._out_w, height=self._out_h,
+                matrix=self._color_out_matrix, coeffs=np.zeros(5),
+            )
+        else:
+            k = sr.new_matrix.copy()
+            k[0, :] *= self._out_w / sr.width
+            k[1, :] *= self._out_h / sr.height
+            self._out_intrinsics = Intrinsics(
+                width=self._out_w, height=self._out_h, matrix=k, coeffs=np.zeros(5)
+            )
 
     @property
     def output_intrinsics(self) -> Intrinsics:
         return self._out_intrinsics
 
-    def process(self, frame_set: SynchronizedFrameSet) -> RGBDFrame | None:
-        """Produce the RGB-D frame for this camera from a synchronized tick."""
+    @property
+    def color_mode(self) -> bool:
+        """Whether this processor produces color-aligned RGB-D."""
+        return self._color
+
+    def process(self, frame_set: SynchronizedFrameSet, color_frame=None) -> RGBDFrame | None:
+        """Produce the RGB-D frame for this camera from a synchronized tick.
+
+        Args:
+            frame_set: The rig tick ([left, right] frames for this source).
+            color_frame: The color :class:`CameraFrame` to align depth to
+                (color mode; drained separately from the SLAM stream, as
+                in the reference — reference run_pipeline.py:624-631).
+        """
         frames = frame_set.get_frames_for_source(self.camera_name)
         if frames is None or len(frames) < 2:
             return None
         left = jnp.asarray(frames[0].image.astype(np.float32) / 255.0)
         right = jnp.asarray(frames[1].image.astype(np.float32) / 255.0)
-        rgb, depth_mm = self._compute(left, right)
+        if self._compute_color is not None and color_frame is not None:
+            rgb, depth_mm = self._compute_color(
+                left, right, jnp.asarray(color_frame.image)
+            )
+            ts = color_frame.timestamp
+        else:
+            rgb, depth_mm = self._compute(left, right)
+            ts = frames[0].timestamp
         return RGBDFrame(
             rgb=np.asarray(rgb),
             depth_mm=np.asarray(depth_mm),
             intrinsics=self._out_intrinsics,
-            timestamp=frames[0].timestamp,
+            timestamp=ts,
             camera_name=self.camera_name,
         )

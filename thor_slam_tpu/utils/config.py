@@ -82,6 +82,8 @@ class SyntheticConfig:
     baseline_m: float = 0.075
     trajectory_radius: float = 1.8
     room_half_extents: tuple[float, float, float] = (5.0, 5.0, 2.5)
+    color_camera: bool = False
+    color_resolution: tuple[int, int] | None = None
 
 
 @dataclass
@@ -132,6 +134,10 @@ class RunConfig:
             baseline_m=float(syn_d.get("baseline_m", 0.075)),
             trajectory_radius=float(syn_d.get("trajectory_radius", 1.8)),
             room_half_extents=tuple(syn_d.get("room_half_extents", (5.0, 5.0, 2.5))),
+            color_camera=bool(syn_d.get("color_camera", False)),
+            color_resolution=(
+                tuple(syn_d["color_resolution"]) if syn_d.get("color_resolution") else None
+            ),
         )
         return cls(
             cameras=cams,
