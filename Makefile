@@ -71,7 +71,11 @@ set-ip: ## Flash a camera IP: make set-ip ARGS="<cur-ip> --static <new-ip>"
 # ----------------------------- dev ------------------------------
 
 .PHONY: test
-test: ## Run the test suite (virtual 8-device CPU mesh)
+test: ## Quick test tier (~2-3 min; skips slow e2e/numerics, virtual 8-device CPU mesh)
+	$(PY) -m pytest tests/ -x -q -m "not slow"
+
+.PHONY: test-all
+test-all: ## Full test suite incl. slow e2e/SPMD/numerics (~15 min on 1 core)
 	$(PY) -m pytest tests/ -x -q
 
 .PHONY: bench

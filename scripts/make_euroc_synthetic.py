@@ -29,6 +29,13 @@ def main() -> int:
     parser.add_argument("--width", type=int, default=640)
     parser.add_argument("--height", type=int, default=400)
     parser.add_argument("--fps", type=float, default=20.0)
+    parser.add_argument(
+        "--trajectory-rate", type=float, default=0.25,
+        help="Orbit angular rate (rad/s). A full revisit takes 2*pi/rate "
+             "seconds — e.g. rate 0.35 at 20 fps revisits the start near "
+             "frame 359, exercising loop closure in the ATE number.",
+    )
+    parser.add_argument("--radius", type=float, default=1.8)
     args = parser.parse_args()
 
     from thor_slam_tpu import geometry
@@ -44,7 +51,7 @@ def main() -> int:
         baseline_m=0.11, fps=args.fps, imu_rate_hz=200.0,
     )
     world = SyntheticWorld(half_extents=(5.0, 5.0, 2.5))
-    traj = OrbitTrajectory(radius=1.8)
+    traj = OrbitTrajectory(radius=args.radius, angular_rate=args.trajectory_rate)
     src = SyntheticCameraSource(
         "cam0", world, traj, np.eye(4), spec, emit_imu=True, render=True
     )

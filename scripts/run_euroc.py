@@ -40,6 +40,8 @@ def main() -> int:
     parser.add_argument("--frames", type=int, default=None)
     parser.add_argument("--out", default=None, help="Write trajectory CSV")
     parser.add_argument("--no-imu", action="store_true")
+    parser.add_argument("--no-ba", action="store_true", help="Disable window bundle adjustment")
+    parser.add_argument("--no-loop", action="store_true", help="Disable loop closure")
     args = parser.parse_args()
 
     from thor_slam_tpu.camera.rig import CameraRig
@@ -55,12 +57,17 @@ def main() -> int:
     except FileNotFoundError as e:
         print(f"run_euroc: {e}", file=sys.stderr)
         return 2
-    engine = TpuSlamEngine(use_imu=not args.no_imu)
+    engine = TpuSlamEngine(use_imu=not args.no_imu, enable_ba=not args.no_ba)
 
     est_ts, est_pos = [], []
     t0 = time.monotonic()
+    from thor_slam_tpu.slam.interface import SlamConfig
+
     with CameraRig([src], imu_source=src.name if src.has_sensor_data else None) as rig:
-        engine.initialize(rig.calibration)
+        engine.initialize(
+            rig.calibration,
+            SlamConfig(num_cameras=2, enable_loop_closure=not args.no_loop),
+        )
         n = 0
         while not src.exhausted:
             sync = rig.get_synchronized_frames()
@@ -100,7 +107,15 @@ def main() -> int:
     idx = np.where(np.abs(gt_ts[lo] - est_ts) <= np.abs(gt_ts[hi] - est_ts), lo, hi)
     matched_gt = gt_pos[idx]
     ate = ate_rmse(est_pos, matched_gt)
-    print(f"ATE-RMSE: {ate * 100:.2f} cm over {len(est_pos)} poses")
+    path_len = float(np.linalg.norm(np.diff(matched_gt, axis=0), axis=1).sum())
+    loops = getattr(engine, "_loops_closed", 0)
+    print(
+        f"ATE-RMSE: {ate * 100:.2f} cm over {len(est_pos)} poses "
+        f"({path_len:.1f} m path, {loops} loop closures, "
+        f"ba={'on' if not args.no_ba else 'off'} "
+        f"loop={'on' if not args.no_loop else 'off'} "
+        f"imu={'on' if not args.no_imu else 'off'})"
+    )
     return 0
 
 
