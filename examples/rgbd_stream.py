@@ -5,6 +5,7 @@ depth + RGB side-by-side PNGs (headless-friendly; a live cv2 window on
 displays).
 
 Usage: python -m examples.rgbd_stream [--frames 3] [--out /tmp/rgbd]
+       python -m examples.rgbd_stream --color    # color-aligned RGB-D
 """
 
 from __future__ import annotations
@@ -32,6 +33,11 @@ def main() -> int:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--frames", type=int, default=3)
     parser.add_argument("--out", default="/tmp/rgbd_stream")
+    parser.add_argument(
+        "--color", action="store_true",
+        help="Use the synthetic COLOR imager and align depth to it "
+             "(the nvblox feed mode; reference luxonis.py:464-549)",
+    )
     args = parser.parse_args()
 
     from thor_slam_tpu.camera.rig import CameraRig
@@ -43,17 +49,30 @@ def main() -> int:
     )
     from thor_slam_tpu.pipeline.rgbd import RGBDProcessor
 
-    spec = SyntheticRigSpec(num_sources=1, stereo=True, width=320, height=200, baseline_m=0.2)
+    spec = SyntheticRigSpec(
+        num_sources=1, stereo=True, width=320, height=200, baseline_m=0.2,
+        color_camera=args.color, color_resolution=(256, 160) if args.color else None,
+    )
     world = SyntheticWorld(half_extents=(3.0, 3.0, 1.8))
     src = SyntheticCameraSource("cam0", world, OrbitTrajectory(radius=1.2), np.eye(4), spec)
 
     out = Path(args.out)
     out.mkdir(parents=True, exist_ok=True)
     with CameraRig([src]) as rig:
-        proc = RGBDProcessor("cam0", src.get_intrinsics(), src.get_extrinsics())
+        if args.color:
+            proc = RGBDProcessor(
+                "cam0", src.get_intrinsics(), src.get_extrinsics(),
+                color_intrinsics=src.get_rgb_intrinsics(),
+                left_t_color=src.get_rgb_extrinsics().to_4x4_matrix(),
+            )
+            print("color-aligned mode: depth in the color camera's frame at "
+                  f"{proc.output_intrinsics.width}x{proc.output_intrinsics.height}")
+        else:
+            proc = RGBDProcessor("cam0", src.get_intrinsics(), src.get_extrinsics())
         for i in range(args.frames):
             sync = rig.get_synchronized_frames()
-            frame = proc.process(sync)
+            color = src.try_get_latest_rgb_frame() if args.color else None
+            frame = proc.process(sync, color_frame=color)
             if frame is None:
                 continue
             depth_vis = colorize_depth(frame.depth_mm)

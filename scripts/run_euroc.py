@@ -116,6 +116,22 @@ def main() -> int:
         f"loop={'on' if not args.no_loop else 'off'} "
         f"imu={'on' if not args.no_imu else 'off'})"
     )
+
+    # The MAP trajectory: keyframe poses retro-corrected by loop-closure
+    # pose-graph optimization and window BA. The live odometry stream
+    # (above) necessarily contains the pre-correction drift plus the snap
+    # at each closure — the map trajectory is where loop closure's benefit
+    # is measurable (the reference likewise separates /tracking/odometry
+    # from the optimized map, reference launch/thor_visual_slam.launch.py).
+    kf = engine.get_map().keyframe_poses
+    if len(kf) >= 3:
+        kf_ts = np.asarray([p.timestamp for p in kf])
+        kf_pos = np.asarray([p.position for p in kf])
+        hi = np.clip(np.searchsorted(gt_ts, kf_ts), 0, len(gt_ts) - 1)
+        lo = np.clip(hi - 1, 0, len(gt_ts) - 1)
+        kidx = np.where(np.abs(gt_ts[lo] - kf_ts) <= np.abs(gt_ts[hi] - kf_ts), lo, hi)
+        kf_ate = ate_rmse(kf_pos, gt_pos[kidx])
+        print(f"map-trajectory ATE-RMSE: {kf_ate * 100:.2f} cm over {len(kf)} keyframes")
     return 0
 
 
