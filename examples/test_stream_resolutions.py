@@ -53,6 +53,33 @@ def main() -> int:
         print(f"depth valid: {valid.mean() * 100:.0f}%  "
               f"median {np.median(frame.depth_mm[valid]) / 1000:.2f} m")
         print("OK: streams are resolution-independent with consistent intrinsics")
+
+    # Part 2: a COLOR imager at a THIRD resolution, depth aligned to it —
+    # the full three-way independence the reference's tool verifies
+    # (SLAM stream / RGB sensor / RGB-D output; reference
+    # test_stream_resolutions.py:181-394, run_pipeline.py:138-148).
+    color_res = (256, 160)
+    spec_c = SyntheticRigSpec(
+        num_sources=1, stereo=True, width=slam_res[0], height=slam_res[1],
+        baseline_m=0.2, color_camera=True, color_resolution=color_res,
+    )
+    src_c = SyntheticCameraSource(
+        "cam0", world, OrbitTrajectory(radius=1.2), np.eye(4), spec_c
+    )
+    with CameraRig([src_c]) as rig:
+        sync = rig.get_synchronized_frames()
+        color = src_c.try_get_latest_rgb_frame()
+        proc_c = RGBDProcessor(
+            "cam0", src_c.get_intrinsics(), src_c.get_extrinsics(),
+            color_intrinsics=src_c.get_rgb_intrinsics(),
+            left_t_color=src_c.get_rgb_extrinsics().to_4x4_matrix(),
+        )
+        frame_c = proc_c.process(sync, color_frame=color)
+        print(f"\ncolor mode:   SLAM {slam_res}  color sensor {color_res}  "
+              f"product {frame_c.rgb.shape[1::-1]} rgb8 + aligned depth")
+        assert frame_c.rgb.shape == (color_res[1], color_res[0], 3)
+        assert frame_c.depth_mm.shape == (color_res[1], color_res[0])
+        print("OK: color RGB-D at its own resolution, depth in the color frame")
     return 0
 
 
