@@ -66,3 +66,23 @@ def test_ba_improves_ate():
     assert ate_on < 0.9 * ate_off, (
         f"BA did not improve ATE: on={ate_on * 100:.2f} cm off={ate_off * 100:.2f} cm"
     )
+
+
+def test_ba_obs_ids_exact_beyond_float24():
+    """lm_id rides the packed float32 tensor as a BITCAST, not a cast:
+    a numeric cast is exact only to 2^24 and production id counters pass
+    that within minutes, silently merging distinct landmarks in the join."""
+    import jax.numpy as jnp
+
+    from thor_slam_tpu.engine import tracker as trk
+
+    c, n = 2, 4
+    ids = jnp.asarray([[16777217, 16777219, 2000000001, -1]] * c, jnp.int32)
+    out = trk.TrackOutput(
+        world_t_body=jnp.eye(4), num_inliers=jnp.int32(1), num_matches=jnp.int32(1),
+        num_landmarks=jnp.int32(1), rms_error=jnp.float32(0), refreshed=jnp.bool_(False),
+        obs_norm=jnp.zeros((c, n, 2)), robs_norm=jnp.zeros((c, n, 2)),
+        lm_id=ids, lm_valid=jnp.ones((c, n), bool), robs_valid=jnp.zeros((c, n), bool),
+    )
+    rec = trk.unpack_ba_obs(trk.pack_ba_obs(out))
+    assert rec["ids"][0].tolist() == [16777217, 16777219, 2000000001, -1]

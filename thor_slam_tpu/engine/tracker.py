@@ -766,15 +766,21 @@ def unpack_output(vec) -> dict:
 def pack_ba_obs(out: TrackOutput) -> jnp.ndarray:
     """Fuse the per-tick BA observations into ONE fresh (C, N, 7) array.
 
-    Channels: obs_norm (2) | robs_norm (2) | lm_id | lm_valid | robs_valid.
-    Same rationale as :func:`pack_output` — one alias-free buffer, one
-    device->host transfer for the whole tick's measurement set.
+    Channels: obs_norm (2) | robs_norm (2) | lm_id (BITCAST) | lm_valid |
+    robs_valid. Same rationale as :func:`pack_output` — one alias-free
+    buffer, one device->host transfer for the whole tick's measurement set.
+
+    The landmark id channel is the int32 id BIT-PATTERN reinterpreted as
+    float32 (``bitcast_convert_type``), NOT a numeric cast: float32 is
+    exact only to 2^24, and a production run mints ids past that within
+    ~20 minutes — a numeric cast would silently round distinct ids
+    together and corrupt the BA join. The host side bitcasts back.
     """
     return jnp.concatenate(
         [
             out.obs_norm.astype(jnp.float32),
             out.robs_norm.astype(jnp.float32),
-            out.lm_id.astype(jnp.float32)[..., None],
+            jax.lax.bitcast_convert_type(out.lm_id, jnp.float32)[..., None],
             out.lm_valid.astype(jnp.float32)[..., None],
             out.robs_valid.astype(jnp.float32)[..., None],
         ],
@@ -790,7 +796,8 @@ def unpack_ba_obs(arr) -> dict:
     return {
         "obs": a[..., 0:2].astype(np.float32),
         "robs": a[..., 2:4].astype(np.float32),
-        "ids": a[..., 4].astype(np.int32),
+        # Bit-pattern reinterpretation, inverse of the pack-side bitcast.
+        "ids": np.ascontiguousarray(a[..., 4], np.float32).view(np.int32),
         "valid": a[..., 5] > 0.5,
         "robs_valid": a[..., 6] > 0.5,
     }
