@@ -74,8 +74,13 @@ def hamming_matrix_mxu(desc_a: jnp.ndarray, desc_b: jnp.ndarray) -> jnp.ndarray:
     """
     sa = unpack_to_signs(desc_a)
     sb = unpack_to_signs(desc_b)
+    # Explicit DEFAULT (bf16) precision: the tracker wraps its tick in
+    # default_matmul_precision("float32") for subpixel/geometry exactness,
+    # but THIS matmul is exact in bf16 by construction (±1 operands,
+    # f32 accumulation, |sum| <= 256) — opt back into the fast path.
     corr = jax.lax.dot_general(
-        sa, sb, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        sa, sb, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT,
     )
     return 0.5 * (NUM_BITS - corr)
 
