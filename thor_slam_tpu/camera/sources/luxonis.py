@@ -356,43 +356,66 @@ class LuxonisCameraSource(CameraSource):  # pragma: no cover - hardware
     # -- pipeline -----------------------------------------------------------
 
     def _build_and_start_pipeline(self) -> None:
+        """DepthAI v3 pipeline graph: Camera nodes with requested outputs.
+
+        The node graph the reference builds (reference luxonis.py:364-594),
+        minus its StereoDepth/Sync legs — depth is produced and aligned on
+        the TPU (pipeline/rgbd.py). Each imager is a `dai.node.Camera`
+        built at its SENSOR resolution; the published streams are
+        `requestOutput`s at the configured OUTPUT resolutions (letterboxed
+        when the aspect ratio changes), so the SLAM and color streams stay
+        resolution-independent.
+        """
         cfg = self._config
-        pipeline = dai.Pipeline()
-        w, h = cfg.resolution
+        pipeline = dai.Pipeline(self._device)
+        fps = float(cfg.fps)
+        sensor_type = {
+            "MONO": dai.CameraSensorType.MONO,
+            "COLOR": dai.CameraSensorType.COLOR,
+        }[cfg.sensor_type]
+        out_res = tuple(cfg.output_resolution or cfg.resolution)
+
+        def build_cam(socket, stype, sensor_res):
+            cam = pipeline.create(dai.node.Camera)
+            cam.setSensorType(stype)
+            cam.build(boardSocket=socket, sensorResolution=tuple(sensor_res), sensorFps=fps)
+            return cam
+
+        def request(cam, sensor_res, size):
+            if tuple(size) == tuple(sensor_res):
+                return cam.requestFullResolutionOutput()
+            return cam.requestOutput(
+                size=tuple(size), resizeMode=dai.ImgResizeMode.LETTERBOX, fps=fps
+            )
+
+        def queue_of(output):
+            return output.createOutputQueue(
+                maxSize=cfg.queue_size, blocking=cfg.queue_blocking
+            )
 
         if cfg.stereo:
             for name, socket in (("left", dai.CameraBoardSocket.CAM_B),
                                  ("right", dai.CameraBoardSocket.CAM_C)):
-                cam = pipeline.create(dai.node.MonoCamera)
-                cam.setBoardSocket(socket)
-                cam.setFps(cfg.fps)
-                xout = pipeline.create(dai.node.XLinkOut)
-                xout.setStreamName(name)
-                cam.out.link(xout.input)
-        else:
-            cam = pipeline.create(dai.node.ColorCamera)
-            cam.setBoardSocket(dai.CameraBoardSocket.CAM_A)
-            cam.setFps(cfg.fps)
-            cam.setPreviewSize(w, h)
-            xout = pipeline.create(dai.node.XLinkOut)
-            xout.setStreamName("rgb")
-            cam.preview.link(xout.input)
+                cam = build_cam(socket, sensor_type, cfg.resolution)
+                self._queues[name] = queue_of(request(cam, cfg.resolution, out_res))
 
-        # RGB-D color leg: a CAM_A color capture at its own (sensor,
-        # output) resolutions — fully independent of the SLAM stream
-        # (reference luxonis.py:464-511; resolution-independence contract
-        # reference run_pipeline.py:138-148). Depth itself is produced on
-        # the TPU (pipeline/rgbd.py) and aligned to this imager there.
-        if cfg.stereo and cfg.rgbd is not None:
-            rgb_cam = pipeline.create(dai.node.ColorCamera)
-            rgb_cam.setBoardSocket(dai.CameraBoardSocket.CAM_A)
-            rgb_cam.setFps(cfg.fps)
-            out_wh = cfg.rgbd.rgb_output_resolution or self._rgb_sensor_resolution
-            rgb_cam.setPreviewSize(*out_wh)
-            rgb_cam.setColorOrder(dai.ColorCameraProperties.ColorOrder.RGB)
-            xout_rgb = pipeline.create(dai.node.XLinkOut)
-            xout_rgb.setStreamName("rgb")
-            rgb_cam.preview.link(xout_rgb.input)
+            # RGB-D color leg: a CAM_A color capture at its own (sensor,
+            # output) resolutions — fully independent of the SLAM stream
+            # (reference luxonis.py:464-511; resolution independence
+            # reference run_pipeline.py:138-148).
+            if cfg.rgbd is not None:
+                rgb_cam = build_cam(
+                    dai.CameraBoardSocket.CAM_A,
+                    dai.CameraSensorType.COLOR,
+                    self._rgb_sensor_resolution,
+                )
+                rgb_out_res = cfg.rgbd.rgb_output_resolution or self._rgb_sensor_resolution
+                self._queues["rgb"] = queue_of(
+                    request(rgb_cam, self._rgb_sensor_resolution, rgb_out_res)
+                )
+        else:
+            cam = build_cam(dai.CameraBoardSocket.CAM_A, sensor_type, cfg.resolution)
+            self._queues["rgb"] = queue_of(request(cam, cfg.resolution, out_res))
 
         if cfg.read_imu:
             imu = pipeline.create(dai.node.IMU)
@@ -402,20 +425,9 @@ class LuxonisCameraSource(CameraSource):  # pragma: no cover - hardware
             )
             imu.setBatchReportThreshold(cfg.imu_batch_report_threshold)
             imu.setMaxBatchReports(20)
-            xout_imu = pipeline.create(dai.node.XLinkOut)
-            xout_imu.setStreamName("imu")
-            imu.out.link(xout_imu.input)
+            self._queues["imu"] = queue_of(imu.out)
 
-        self._device.startPipeline(pipeline)
-        names = ["left", "right"] if cfg.stereo else ["rgb"]
-        if cfg.stereo and cfg.rgbd is not None:
-            names.append("rgb")
-        if cfg.read_imu:
-            names.append("imu")
-        for n in names:
-            self._queues[n] = self._device.getOutputQueue(
-                n, maxSize=cfg.queue_size, blocking=cfg.queue_blocking
-            )
+        pipeline.start()
         self._pipeline = pipeline
 
     # -- CameraSource contract ----------------------------------------------
@@ -434,8 +446,10 @@ class LuxonisCameraSource(CameraSource):  # pragma: no cover - hardware
         if not self._running:
             return
         self._running = False
-        if self._device is not None:
-            self._device.close()
+        if self._pipeline is not None:  # v3: the pipeline owns the session
+            self._pipeline.stop()
+            self._pipeline = None
+        self._queues.clear()
 
     def _to_frame(self, msg, cam_name: str) -> CameraFrame:
         # Device timestamps synced to the host time base (DepthAI
