@@ -86,9 +86,6 @@ bench: ## Headline benchmark on the attached TPU chip
 profile: ## Per-stage TPU timing of the tracker
 	$(PY) -m scripts.profile_stages 640x400 4
 
-.PHONY: native
-native: ## Build the native C++ runtime extension
-	$(PY) setup_native.py build_ext --inplace
 
 .PHONY: format
 format: ## Format (ruff, if available)
