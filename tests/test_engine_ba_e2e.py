@@ -83,6 +83,7 @@ def test_ba_obs_ids_exact_beyond_float24():
         num_landmarks=jnp.int32(1), rms_error=jnp.float32(0), refreshed=jnp.bool_(False),
         obs_norm=jnp.zeros((c, n, 2)), robs_norm=jnp.zeros((c, n, 2)),
         lm_id=ids, lm_valid=jnp.ones((c, n), bool), robs_valid=jnp.zeros((c, n), bool),
+        covariance=jnp.eye(6),
     )
     rec = trk.unpack_ba_obs(trk.pack_ba_obs(out))
     assert rec["ids"][0].tolist() == [16777217, 16777219, 2000000001, -1]

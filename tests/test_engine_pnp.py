@@ -177,3 +177,51 @@ class TestTriangulate:
         )
         assert bool(valid.all())
         np.testing.assert_allclose(np.asarray(out), pts0, rtol=1e-4, atol=1e-4)
+
+
+class TestPoseCovariance:
+    """Residual-scaled inverse-Hessian covariance of the PnP solve."""
+
+    def _solve(self, noise, n=128, seed=0):
+        pts, obs, cr, ct, true = make_scene(n=n, seed=seed, noise=noise)
+        return pnp.ransac_pnp(
+            jax.random.PRNGKey(0), pts, obs, jnp.ones(len(pts), bool), cr, ct,
+            jnp.asarray(true, jnp.float32),
+        )
+
+    def test_shape_symmetry_psd(self):
+        res = self._solve(noise=1e-3)
+        cov = np.asarray(res.covariance)
+        assert cov.shape == (6, 6)
+        np.testing.assert_allclose(cov, cov.T, atol=1e-12)
+        eig = np.linalg.eigvalsh(cov)
+        assert eig.min() > -1e-12  # PSD up to roundoff
+
+    def test_scales_with_observation_noise(self):
+        t_lo = np.trace(np.asarray(self._solve(noise=5e-4).covariance))
+        t_hi = np.trace(np.asarray(self._solve(noise=5e-3).covariance))
+        # sigma^2 scales ~100x between the two; allow slack for inlier
+        # gating reshaping the problem.
+        assert t_hi > 10 * t_lo
+
+    def test_shrinks_with_more_observations(self):
+        t_small = np.trace(np.asarray(self._solve(noise=2e-3, n=32).covariance))
+        t_large = np.trace(np.asarray(self._solve(noise=2e-3, n=256).covariance))
+        assert t_large < t_small
+
+    def test_consistent_with_estimation_error(self):
+        """1-sigma bands from the covariance should cover the actual
+        translation error at ~1 sigma scale (order-of-magnitude check
+        over seeds, not a strict chi^2 test)."""
+        errs, sigmas = [], []
+        for seed in range(6):
+            pts, obs, cr, ct, true = make_scene(n=128, seed=seed, noise=2e-3)
+            res = pnp.ransac_pnp(
+                jax.random.PRNGKey(seed), pts, obs, jnp.ones(len(pts), bool),
+                cr, ct, jnp.asarray(true, jnp.float32),
+            )
+            t_err, _ = pose_error(res.body_t_world, true)
+            errs.append(t_err)
+            sigmas.append(np.sqrt(np.trace(np.asarray(res.covariance)[:3, :3])))
+        ratio = np.mean(errs) / np.mean(sigmas)
+        assert 0.2 < ratio < 5.0, f"covariance miscalibrated: err/sigma={ratio:.2f}"

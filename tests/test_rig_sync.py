@@ -215,3 +215,55 @@ class TestStacking:
             arr = stack_synchronized_images(sync)
             assert arr.shape == (2, 2, 24, 32)
             assert arr.dtype == np.uint8
+
+
+class TestClockAgreementGuard:
+    """Bring-up guard: frame and IMU timestamps must share a clock.
+
+    A driver stamping frames with device time but IMU with host time (or
+    vice versa) produces a constant multi-second skew; downstream every
+    IMU preintegration window is empty and fusion silently dies. The rig
+    measures the skew at the first poll that sees both streams.
+    """
+
+    def _rig_with_imu_offset(self, imu_offset, **rig_kw):
+        spec = SyntheticRigSpec(num_sources=1, stereo=False, width=32, height=24,
+                                fps=10.0, imu_rate_hz=100.0)
+        src = SyntheticCameraSource(
+            name="cam0", world=SyntheticWorld(), trajectory=OrbitTrajectory(),
+            rig_t_source=np.eye(4), spec=spec, emit_imu=True, render=False,
+            imu_clock_offset=imu_offset,
+        )
+        return CameraRig([src], imu_source="cam0", **rig_kw)
+
+    def test_agreeing_clocks_measure_small_skew(self):
+        with self._rig_with_imu_offset(None) as rig:
+            for _ in range(3):
+                rig.get_synchronized_frames()
+            assert rig.clock_skew_s is not None
+            assert rig.clock_skew_s < 0.2  # within one frame/IMU period
+
+    def test_skewed_imu_clock_flagged(self, caplog):
+        import logging
+
+        with self._rig_with_imu_offset(1000.0) as rig:
+            with caplog.at_level(logging.ERROR, logger="thor_slam_tpu.camera.rig"):
+                for _ in range(3):
+                    rig.get_synchronized_frames()
+            assert rig.clock_skew_s == pytest.approx(1000.0, abs=1.0)
+            assert any("clock disagreement" in r.message for r in caplog.records)
+
+    def test_guard_is_one_shot(self):
+        with self._rig_with_imu_offset(1000.0) as rig:
+            for _ in range(2):
+                rig.get_synchronized_frames()
+            first = rig.clock_skew_s
+            for _ in range(3):
+                rig.get_synchronized_frames()
+            assert rig.clock_skew_s == first  # measured once, at bring-up
+
+    def test_no_imu_source_never_measures(self):
+        with CameraRig(make_sources([0.0])) as rig:
+            for _ in range(3):
+                rig.get_synchronized_frames()
+            assert rig.clock_skew_s is None

@@ -91,6 +91,7 @@ class CameraRig:
         imu_source: str | None = None,
         poll_blocking: bool = False,
         watchdog_timeout_s: float | None = None,
+        clock_skew_limit_s: float = 5.0,
     ) -> None:
         """Create the rig.
 
@@ -109,6 +110,17 @@ class CameraRig:
                 reported in ``SynchronizedFrameSet.stale_sources`` so the
                 engine can mask it. The reference has no such watchdog — a
                 dead camera freezes its sync loop forever (SURVEY.md §5.3).
+            clock_skew_limit_s: Frame/IMU clock-agreement guard. At the
+                first poll that has both a frame and an IMU sample, their
+                timestamps are compared; a skew beyond this limit means the
+                two streams run on DIFFERENT clocks (e.g. a driver stamping
+                frames with device time but IMU with host time) — every
+                IMU preintegration window downstream would then be empty
+                and the engine silently degrades to constant-velocity.
+                Surfaced loudly at bring-up instead: logged as an error and
+                exposed as :attr:`clock_skew_s`. The reference never
+                checks (its timestamps happen to share the host clock,
+                reference luxonis.py:790-791).
         """
         self.sources: dict[str, CameraSource] = {s.name: s for s in sources}
         if len(self.sources) != len(sources):
@@ -124,6 +136,11 @@ class CameraRig:
         self._imu_source = imu_source
         self._watchdog_timeout_s = watchdog_timeout_s
         self._last_frame_wall: dict[str, float] = {}
+        self._clock_skew_limit_s = clock_skew_limit_s
+        #: Measured frame-vs-IMU timestamp skew at bring-up (None until the
+        #: first poll that saw both streams). Beyond ``clock_skew_limit_s``
+        #: it is also logged as an error — see the ctor docstring.
+        self.clock_skew_s: float | None = None
 
         if imu_source is not None:
             if imu_source not in self.sources:
@@ -244,6 +261,37 @@ class CameraRig:
                 with self._lock:
                     self._frame_queues[name].append(fs)
                 self._last_frame_wall[name] = time.monotonic()
+        if self.clock_skew_s is None and self._imu_source is not None:
+            self._check_clock_agreement()
+
+    def _check_clock_agreement(self) -> None:
+        """One-shot bring-up check: frame and IMU timestamps share a clock.
+
+        Uses the newest frame of the IMU's own source (same device, so the
+        comparison is skew, not transport latency). A batched IMU payload
+        compares its newest timestamp.
+        """
+        with self._lock:
+            if not self._imu_queue:
+                return
+            queue = self._frame_queues.get(self._imu_source or "")
+            if not queue:
+                return
+            frame_ts = queue[-1].timestamp
+            imu_ts, data = self._imu_queue[-1]
+        batch_ts = data.get("timestamps") if isinstance(data, dict) else None
+        if batch_ts is not None and len(batch_ts):
+            imu_ts = float(batch_ts[-1])
+        self.clock_skew_s = abs(frame_ts - imu_ts)
+        if self.clock_skew_s > self._clock_skew_limit_s:
+            logger.error(
+                "Frame/IMU clock disagreement at bring-up: |%.3f - %.3f| = "
+                "%.1f s skew (> %.1f s limit). The streams are on different "
+                "clocks — IMU fusion will see empty windows and silently "
+                "degrade to constant-velocity. Fix the source's timestamping "
+                "(device time for BOTH streams).",
+                frame_ts, imu_ts, self.clock_skew_s, self._clock_skew_limit_s,
+            )
 
     @staticmethod
     def _find_closest_frame_set(queue: deque[FrameSet], target_timestamp: float) -> FrameSet | None:

@@ -315,6 +315,7 @@ class SyntheticCameraSource(CameraSource):
         jitter_std: float = 0.0,
         emit_imu: bool = False,
         render: bool = True,
+        imu_clock_offset: float | None = None,
     ) -> None:
         self._name = name
         self._world = world
@@ -323,6 +324,10 @@ class SyntheticCameraSource(CameraSource):
         self._spec = spec
         self._clock_offset = clock_offset
         self._jitter_std = jitter_std
+        # Fault injection: stamp IMU samples on a DIFFERENT clock than the
+        # frames (the mixed-clock hardware pairing the rig's bring-up guard
+        # exists to catch). None = IMU shares the frame clock.
+        self._imu_clock_offset = clock_offset if imu_clock_offset is None else imu_clock_offset
         self._emit_imu = emit_imu
         self._render = render
         self._running = False
@@ -488,9 +493,12 @@ class SyntheticCameraSource(CameraSource):
             return None, None
         ticks = np.arange(self._imu_idx, n_end)
         self._imu_idx = n_end
-        ts = ticks / self._spec.imu_rate_hz + self._clock_offset
+        # Physical sample times ride the true (frame) clock; the *stamps*
+        # may be skewed onto another clock (imu_clock_offset fault knob).
+        ts = ticks / self._spec.imu_rate_hz + self._imu_clock_offset
+        true_ts = ticks / self._spec.imu_rate_hz + self._clock_offset
         gyros, accels = [], []
-        for t in ts:
+        for t in true_ts:
             g, a = self._traj.imu_sample(float(t))
             gyros.append(g)
             accels.append(a)

@@ -94,11 +94,19 @@ class LoopVerification(NamedTuple):
         body_t_candidate: (4, 4) — the query body pose expressed in the
             candidate keyframe's world anchor (for the pose-graph edge).
         num_inliers: () int32.
+        rms_error: () float32 inlier reprojection RMS (normalized coords).
+        covariance: (6, 6) tangent covariance of the verification solve —
+            the loop constraint's own noise floor. The engine gates closure
+            on the odometry discrepancy exceeding this floor (a constraint
+            that cannot distinguish the drift from its own noise has
+            nothing to correct).
     """
 
     accepted: jnp.ndarray
     body_t_candidate: jnp.ndarray
     num_inliers: jnp.ndarray
+    rms_error: jnp.ndarray
+    covariance: jnp.ndarray
 
 
 @partial(jax.jit, static_argnames=("min_inliers",))
@@ -141,4 +149,6 @@ def verify_candidate(
         accepted=accepted,
         body_t_candidate=result.body_t_world,
         num_inliers=result.num_inliers,
+        rms_error=result.rms_error,
+        covariance=result.covariance,
     )

@@ -33,12 +33,49 @@ class PnPResult(NamedTuple):
         num_inliers: () int32.
         rms_error: () float32 RMS reprojection error of inliers (normalized
             coords; multiply by fx for pixels).
+        covariance: (6, 6) pose covariance in the solve's left tangent
+            [rho, phi] of ``body_t_world`` — the residual-scaled inverse of
+            the final Gauss-Newton Hessian (free at the solve: the last
+            iteration already formed J^T W J). The reference consumes a
+            6x6 pose covariance from its engine for its confidence metric
+            (reference isaac_ros.py:308-325); here it is actually derived
+            from the estimation geometry instead of left unset.
     """
 
     body_t_world: jnp.ndarray
     inliers: jnp.ndarray
     num_inliers: jnp.ndarray
     rms_error: jnp.ndarray
+    covariance: jnp.ndarray
+
+
+def pose_covariance(
+    body_t_world: jnp.ndarray,
+    points_w: jnp.ndarray,
+    obs: jnp.ndarray,
+    inlier_weights: jnp.ndarray,
+    cam_rot: jnp.ndarray,
+    cam_trans: jnp.ndarray,
+    damping: float = 1e-6,
+) -> jnp.ndarray:
+    """(6, 6) covariance of the pose estimate in the [rho, phi] tangent.
+
+    ``sigma^2 * (J^T W J)^-1`` with the per-coordinate residual variance
+    ``sigma^2`` estimated from the inlier residuals (2 residual rows per
+    observation, 6 pose dofs). Degenerate systems (too few inliers) return
+    a large-but-finite covariance rather than inf/nan.
+    """
+    r, j, behind = _residuals_and_jacobian(body_t_world, points_w, obs, cam_rot, cam_trans)
+    w = inlier_weights * (1.0 - behind.astype(jnp.float32))
+    jw = j * w[:, None, None]
+    h = jnp.einsum("nai,naj->ij", jw, j) + damping * jnp.eye(6)
+    n_eff = jnp.sum(w)
+    dof = jnp.maximum(2.0 * n_eff - 6.0, 1.0)
+    sigma2 = jnp.sum(w[:, None] * r**2) / dof
+    cov = sigma2 * jnp.linalg.inv(h)
+    # Symmetrize (inv of a near-symmetric matrix drifts) and guard NaN.
+    cov = 0.5 * (cov + cov.T)
+    return jnp.where(jnp.all(jnp.isfinite(cov)), cov, jnp.eye(6) * 1e6)
 
 
 def project_points(
@@ -239,9 +276,13 @@ def ransac_pnp(
     use_refined = jnp.sum(final_inliers) >= jnp.sum(best_inliers) // 2
     pose_out = jnp.where(use_refined, refined, best_pose)
     inl_out = jnp.where(use_refined, final_inliers, best_inliers)
+    cov = pose_covariance(
+        pose_out, points_w, obs, inl_out.astype(jnp.float32), cam_rot, cam_trans
+    )
     return PnPResult(
         body_t_world=pose_out,
         inliers=inl_out,
         num_inliers=jnp.sum(inl_out),
         rms_error=rms,
+        covariance=cov,
     )

@@ -107,6 +107,7 @@ class TpuSlamEngine(SlamEngine):
         loop_exclude_recent: int = 12,
         loop_cooldown_kfs: int = 20,
         loop_min_correction_m: float = 0.05,
+        loop_noise_gate_sigma: float = 3.0,
         prewarm_degraded: bool = False,
         pipelined: bool = False,
         pipeline_depth: int = 1,
@@ -156,9 +157,19 @@ class TpuSlamEngine(SlamEngine):
         self._loop_exclude_recent = loop_exclude_recent
         self._loop_cooldown_kfs = loop_cooldown_kfs
         self._loop_min_correction = loop_min_correction_m
+        self._loop_noise_gate_sigma = loop_noise_gate_sigma
         self._loop_cooldown = 0
         self._loops_closed = 0
         self._want_reloc = False
+        # MAP-frame correction of the tracker's smooth ODOM frame:
+        # world(map)_T_world(odom). Loop closures compose into this
+        # transform instead of rewriting the live tracker state — the
+        # odometry stream stays smooth and the tracking front-end is never
+        # perturbed mid-flight; everything the engine RETURNS (poses,
+        # keyframes, map points) is lifted through it. This is the
+        # map->odom factorization the reference's TF tree expresses
+        # (reference scripts/publish_odom_tf.py:35-99).
+        self._map_t_odom = np.eye(4)
         #: Per-frame tracking diagnostics (updated by process_frames).
         self.last_diagnostics: dict = {}
         #: Count of IMU preintegration windows that contained no samples
@@ -213,7 +224,7 @@ class TpuSlamEngine(SlamEngine):
         )
         # donate: stream ticks reuse state buffers in place (per-tick churn
         # of the ~50 MB state otherwise degrades hosted-TPU h2d throughput
-        # after ~60 ticks). pack: the host syncs on one fresh 84-byte
+        # after ~60 ticks). pack: the host syncs on one fresh 228-byte
         # vector, never on the raw output tuple. See make_track_step.
         self._step = trk.make_track_step(
             self._params, setup, donate=True,
@@ -374,7 +385,7 @@ class TpuSlamEngine(SlamEngine):
     def _finalize_tick(self, pending: dict) -> SlamPose | None:
         """Back half of a tick: fetch outputs, run the host state machine.
 
-        ONE host transfer of one 84-byte packed vector: fetching any member
+        ONE host transfer of one 228-byte packed vector: fetching any member
         of the raw output tuple can materialize the full ~50 MB output
         buffer set on remote TPUs (measured ~0.5 s/tick).
         """
@@ -418,6 +429,7 @@ class TpuSlamEngine(SlamEngine):
         refreshed = vals["refreshed"]
         rms = vals["rms_error"]
         n_lm = vals["num_landmarks"]
+        covariance = vals["covariance"]
         refreshed = bool(refreshed)
         world_t_body = np.asarray(world_t_body, np.float64)
         self.last_diagnostics = {
@@ -471,29 +483,39 @@ class TpuSlamEngine(SlamEngine):
                 # are freshly minted and the old window cannot join.
                 self._ba_ticks.clear()
 
+        if refreshed and self._state_enum == TrackingState.TRACKING and self._enable_ba:
+            world_t_body = self._run_tracklevel_ba(world_t_body)  # odom frame
+
+        # Everything the engine RETURNS or stores from here on is in the
+        # MAP frame: the tracker's smooth odom pose lifted through the
+        # accumulated loop-closure correction. The live tracker state
+        # stays odom-frame and is never perturbed by closures.
+        map_pose = self._map_t_odom @ world_t_body
         if refreshed and self._state_enum == TrackingState.TRACKING:
-            if self._enable_ba:
-                world_t_body = self._run_tracklevel_ba(world_t_body)
             self._keyframe_poses.append(
-                SlamPose.from_4x4_matrix(world_t_body, timestamp=ts)
+                SlamPose.from_4x4_matrix(map_pose, timestamp=ts)
             )
             if self._config.enable_loop_closure:
-                corrected = self._loop_closure_tick(world_t_body, ts)
-                if corrected is not world_t_body:
-                    # Loop closure rewrote poses + landmarks; the window's
-                    # stored poses are now inconsistent with the map.
-                    self._ba_ticks.clear()
-                world_t_body = corrected
+                map_pose = self._loop_closure_tick(map_pose, ts)
             if len(self._keyframe_poses) > 10000:
                 self._keyframe_poses = self._keyframe_poses[-10000:]
 
-        confidence = float(min(1.0, num_inliers / max(2.0 * min_inl, 1.0)))
+        # Confidence from the pose covariance, exactly the reference's
+        # formula over the engine-provided 6x6 (reference isaac_ros.py:312:
+        # confidence = 1 / (1 + trace)).
+        confidence = float(1.0 / (1.0 + np.trace(covariance)))
         pose = SlamPose.from_4x4_matrix(
-            world_t_body,
+            map_pose,
             timestamp=ts,
             tracking_state=self._state_enum,
             confidence=confidence,
         )
+        # Covariance blocks rotate with the odom->map correction.
+        r_mo = self._map_t_odom[:3, :3]
+        rot6 = np.zeros((6, 6))
+        rot6[:3, :3] = r_mo
+        rot6[3:, 3:] = r_mo
+        pose.covariance = rot6 @ covariance @ rot6.T
         if self._state_enum == TrackingState.LOST and num_inliers < min_inl // 2:
             return None
         return pose
@@ -608,13 +630,29 @@ class TpuSlamEngine(SlamEngine):
     # ----------------------------------------------------- loop closure
 
     def _loop_closure_tick(self, world_t_body: np.ndarray, ts: float) -> np.ndarray:
-        """Keyframe hook: update the place DB, detect + close loops."""
+        """Keyframe hook: update the place DB, detect + close loops.
+
+        ``world_t_body`` is the MAP-frame keyframe pose. A closure is
+        applied by composing the pose-graph's correction into
+        ``_map_t_odom`` and rewriting the MAP-side artifacts (place DB,
+        keyframe trajectory); the live tracker state (odom frame) is never
+        touched — the front-end keeps tracking against an unperturbed
+        landmark bank, and the odometry stream stays smooth. Keyframes
+        older than the DB window need no seam correction: the pose graph
+        gauge-anchors the window's oldest node (posegraph.optimize), so
+        the rewritten window connects to the pre-window trajectory
+        continuously by construction (verified by
+        tests/test_engine_loop_e2e.py long-run continuity).
+        """
         st = self._tracker_state
+        m = self._map_t_odom
         # Camera-0 slice of the fresh keyframe is the place signature.
+        # Landmark positions are stored in the MAP frame so verification
+        # against them yields map-frame constraints directly.
         entry = {
             "desc": np.asarray(st.lm_desc[0]),
             "valid": np.asarray(st.lm_valid[0]),
-            "lm_w": np.asarray(st.lm_pos_w[0]),
+            "lm_w": np.asarray(st.lm_pos_w[0], np.float64) @ m[:3, :3].T + m[:3, 3],
             "obs_px": np.asarray(st.lm_obs_px[0]),
             "world_t_body": world_t_body.copy(),
             "ts": ts,
@@ -668,13 +706,21 @@ class TpuSlamEngine(SlamEngine):
         if not bool(ver.accepted):
             return world_t_body
 
-        # Discrepancy gate: the loop constraint must disagree with odometry
-        # by more than the constraint's own noise floor — otherwise there is
-        # no drift to fix and "closing" only injects noise.
+        # Discrepancy gate: the loop constraint must disagree with the
+        # current map-frame pose by more than the constraint's OWN noise
+        # floor — the verification solve's covariance (its residual-scaled
+        # inverse Hessian), not an arbitrary constant. A constraint that
+        # cannot distinguish the drift from its own noise has nothing to
+        # correct; "closing" it would only inject that noise into the map.
         loop_pose_est = np.linalg.inv(np.asarray(ver.body_t_candidate, np.float64))
         disc = np.linalg.norm(loop_pose_est[:3, 3] - world_t_body[:3, 3])
-        if disc < self._loop_min_correction:
+        sigma_t = float(np.sqrt(max(np.trace(np.asarray(ver.covariance)[:3, :3]), 0.0)))
+        noise_floor = max(self._loop_min_correction, self._loop_noise_gate_sigma * sigma_t)
+        if disc < noise_floor:
             self._loop_cooldown = self._loop_cooldown_kfs
+            self.last_diagnostics["loop_skip"] = (
+                f"disc {disc:.4f} m < floor {noise_floor:.4f} m (sigma {sigma_t:.4f})"
+            )
             return world_t_body
 
         # Pose-graph over the loop DB trajectory: odometry chain + loop edge.
@@ -694,11 +740,20 @@ class TpuSlamEngine(SlamEngine):
         opt_poses, _ = posegraph.optimize(graph)
         opt_poses = np.asarray(opt_poses, np.float64)
 
-        # Apply: rewrite DB + keyframe trajectory; rigidly correct the live
-        # pose and the landmark bank with the newest keyframe's correction.
+        # Apply — MAP side only. The newest node's correction composes into
+        # the map<-odom transform (every future pose/keyframe/map-point is
+        # lifted through it), the pose graph's smoothed poses rewrite the
+        # DB and the keyframe trajectory. The live tracker state (odom) is
+        # deliberately untouched: rewriting the landmark bank mid-flight
+        # perturbed KLT/PnP and measurably REGRESSED the live stream at
+        # low-drift operating points (BASELINE.md ablation round 2:
+        # odometry ATE 14.55 -> 15.98 cm) while the map barely gained.
         t_corr = opt_poses[-1] @ np.linalg.inv(poses[-1].astype(np.float64))
         for idx, e in enumerate(self._loop_db):
             e["world_t_body"] = opt_poses[idx]
+            # Keep stored landmarks consistent with their rewritten anchor.
+            node_corr = opt_poses[idx] @ np.linalg.inv(poses[idx].astype(np.float64))
+            e["lm_w"] = e["lm_w"] @ node_corr[:3, :3].T + node_corr[:3, 3]
         n_kf = min(len(self._keyframe_poses), kk)
         for j in range(n_kf):
             old = self._keyframe_poses[-n_kf + j]
@@ -706,17 +761,8 @@ class TpuSlamEngine(SlamEngine):
                 opt_poses[kk - n_kf + j], timestamp=old.timestamp
             )
 
+        self._map_t_odom = t_corr @ self._map_t_odom
         new_world_t_body = t_corr @ world_t_body
-        pos = np.asarray(st.lm_pos_w)
-        pos = pos @ t_corr[:3, :3].T + t_corr[:3, 3]
-        self._tracker_state = st._replace(
-            lm_pos_w=jnp.asarray(pos, jnp.float32),
-            world_t_body=jnp.asarray(new_world_t_body, jnp.float32),
-            prev_world_t_body=jnp.asarray(
-                t_corr @ np.asarray(st.prev_world_t_body, np.float64), jnp.float32
-            ),
-            kf_world_t_body=jnp.asarray(new_world_t_body, jnp.float32),
-        )
         self._loops_closed += 1
         self._loop_cooldown = self._loop_cooldown_kfs
         logger.info(
@@ -899,8 +945,11 @@ class TpuSlamEngine(SlamEngine):
     def get_map(self) -> SlamMap:
         if self._tracker_state is None:
             return SlamMap()
-        pos = np.asarray(self._tracker_state.lm_pos_w).reshape(-1, 3)
+        pos = np.asarray(self._tracker_state.lm_pos_w, np.float64).reshape(-1, 3)
         valid = np.asarray(self._tracker_state.lm_valid).reshape(-1)
+        # Live bank is odom-frame; the map output lifts through map<-odom.
+        m = self._map_t_odom
+        pos = pos @ m[:3, :3].T + m[:3, 3]
         points = [MapPoint(position=p) for p in pos[valid]]
         if self._config.max_map_size and len(points) > self._config.max_map_size:
             points = points[: self._config.max_map_size]
@@ -927,12 +976,17 @@ class TpuSlamEngine(SlamEngine):
                     "db_poses": np.stack([e["world_t_body"] for e in self._loop_db]),
                     "db_ts": np.asarray([e["ts"] for e in self._loop_db]),
                 }
+            # Serialize in the MAP frame (keyframes/DB already are; the
+            # live bank and pose lift through map<-odom) so a loaded map
+            # is self-consistent regardless of this session's corrections.
+            m = self._map_t_odom
+            lm_map = np.asarray(self._tracker_state.lm_pos_w, np.float64) @ m[:3, :3].T + m[:3, 3]
             np.savez_compressed(
                 path,
-                lm_pos_w=np.asarray(self._tracker_state.lm_pos_w),
+                lm_pos_w=lm_map.astype(np.float32),
                 lm_desc=np.asarray(self._tracker_state.lm_desc),
                 lm_valid=np.asarray(self._tracker_state.lm_valid),
-                world_t_body=np.asarray(self._tracker_state.world_t_body),
+                world_t_body=m @ np.asarray(self._tracker_state.world_t_body, np.float64),
                 keyframes=kf,
                 keyframe_ts=kf_ts,
                 **extra,
@@ -957,6 +1011,9 @@ class TpuSlamEngine(SlamEngine):
             lm_desc=jnp.asarray(data["lm_desc"]),
             lm_valid=jnp.asarray(data["lm_valid"]),
         )
+        # The loaded bank is map-frame: this session's odom frame is
+        # re-anchored to the map (relocalize() then snaps the pose).
+        self._map_t_odom = np.eye(4)
         self._keyframe_poses = [
             SlamPose.from_4x4_matrix(m, timestamp=float(t))
             for m, t in zip(data["keyframes"], data["keyframe_ts"])
@@ -982,6 +1039,7 @@ class TpuSlamEngine(SlamEngine):
         if self._tracker_state is None:
             return False
         arrays = {f: np.asarray(v) for f, v in self._tracker_state._asdict().items()}
+        arrays["map_t_odom"] = self._map_t_odom
         try:
             np.savez_compressed(path, **arrays)
             return True
@@ -1002,6 +1060,8 @@ class TpuSlamEngine(SlamEngine):
             return False
         fields = {f: jnp.asarray(data[f]) for f in trk.TrackerState._fields}
         self._tracker_state = trk.TrackerState(**fields)
+        if "map_t_odom" in data:
+            self._map_t_odom = np.asarray(data["map_t_odom"], np.float64)
         return True
 
     def relocalize(self) -> bool:
@@ -1080,6 +1140,9 @@ class TpuSlamEngine(SlamEngine):
             return False
 
         pose = np.linalg.inv(np.asarray(ver.body_t_candidate, np.float64))
+        # The recovered pose is MAP-frame; snapping the tracker to it
+        # re-anchors the odom frame onto the map.
+        self._map_t_odom = np.eye(4)
         st = self._tracker_state
         self._tracker_state = st._replace(
             world_t_body=jnp.asarray(pose, jnp.float32),
@@ -1110,6 +1173,7 @@ class TpuSlamEngine(SlamEngine):
         self._loop_db = []
         self._loops_closed = 0
         self._want_reloc = False
+        self._map_t_odom = np.eye(4)
         self._imu_ts, self._imu_gyro, self._imu_accel = [], [], []
         self.imu_empty_windows = 0
         self._low_inlier_streak = 0

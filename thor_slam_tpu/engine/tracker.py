@@ -177,6 +177,15 @@ class TrackOutput(NamedTuple):
         lm_id: (C, N) int32 persistent landmark identities (the join key).
         lm_valid: (C, N) bool — slots actually observed this tick.
         robs_valid: (C, N) bool — slots with a valid stereo right match.
+        covariance: (6, 6) world-frame pose covariance, ordered
+            [position(3), orientation(3)] — the PnP solve's residual-scaled
+            inverse Hessian rotated into the world frame (both blocks by
+            ``world_t_body[:3,:3]``: a left-tangent perturbation
+            ``exp([rho,phi]) @ body_t_world`` moves the world position by
+            ``-R_wb rho`` and the world orientation by ``-R_wb phi``).
+            Large (1e6 diag) on untracked ticks. The reference's engine
+            publishes exactly this 6x6 and derives confidence
+            = 1/(1+trace) from it (reference isaac_ros.py:308-325).
     """
 
     world_t_body: jnp.ndarray
@@ -185,6 +194,7 @@ class TrackOutput(NamedTuple):
     num_landmarks: jnp.ndarray
     rms_error: jnp.ndarray
     refreshed: jnp.ndarray
+    covariance: jnp.ndarray
     obs_norm: jnp.ndarray
     robs_norm: jnp.ndarray
     lm_id: jnp.ndarray
@@ -343,6 +353,7 @@ def _track_step_f32(
         init_body_t_world=init_body_t_world,
         key=key,
         cam_active=cam_active,
+        covariance=result.covariance,
     )
 
 
@@ -558,6 +569,7 @@ def _finish_step(
     cam_active: jnp.ndarray | None = None,
     fresh_id_base: jnp.ndarray | None = None,
     id_advance: int | None = None,
+    covariance: jnp.ndarray | None = None,
 ) -> tuple[TrackerState, TrackOutput]:
     """Shared back half of a tick: acceptance, keyframing, state update.
 
@@ -701,6 +713,14 @@ def _finish_step(
     robs_norm_out = jax.vmap(calib.raw_pixels_to_normalized)(
         lm_robs_px, setup.k_right, setup.dist_right
     )
+    # World-frame pose covariance: rotate the solve's [rho, phi] tangent
+    # covariance (of body_t_world) into world axes — see TrackOutput docs.
+    if covariance is None:
+        covariance = jnp.eye(6) * 1e6
+    r_wb = world_t_body[:3, :3]
+    rot6 = jnp.zeros((6, 6)).at[:3, :3].set(r_wb).at[3:, 3:].set(r_wb)
+    cov_world = rot6 @ covariance @ rot6.T
+    cov_world = jnp.where(tracked, cov_world, jnp.eye(6) * 1e6)
     output = TrackOutput(
         world_t_body=world_t_body,
         num_inliers=num_inliers,
@@ -713,24 +733,25 @@ def _finish_step(
         lm_id=lm_id,
         lm_valid=lm_valid,
         robs_valid=lm_robs_valid,
+        covariance=cov_world,
     )
     return new_state, output
 
 
 #: Length of the packed per-tick output vector (see ``pack_output``).
-PACKED_LEN = 21
+PACKED_LEN = 57
 
 
 def pack_output(out: TrackOutput) -> jnp.ndarray:
-    """Fuse the per-tick outputs into ONE fresh (21,) float32 vector.
+    """Fuse the per-tick outputs into ONE fresh (57,) float32 vector.
 
     Layout: world_t_body.ravel() (16) | num_inliers | num_matches |
-    num_landmarks | rms_error | refreshed.
+    num_landmarks | rms_error | refreshed | covariance.ravel() (36).
 
     Two reasons this exists (both measured on hosted TPUs):
     * a ``device_get`` that touches any member of the step's output tuple
       can materialize the entire output buffer set (~50 MB of state at
-      4x720p) on the host — ~0.5 s per tick; fetching one 84-byte vector
+      4x720p) on the host — ~0.5 s per tick; fetching one 228-byte vector
       costs one RTT;
     * with buffer donation the raw outputs may alias donated state memory
       and die at the next step — the concatenation below always
@@ -745,7 +766,9 @@ def pack_output(out: TrackOutput) -> jnp.ndarray:
             out.refreshed.astype(jnp.float32),
         ]
     )
-    return jnp.concatenate([out.world_t_body.reshape(-1), scalars])
+    return jnp.concatenate(
+        [out.world_t_body.reshape(-1), scalars, out.covariance.reshape(-1)]
+    )
 
 
 def unpack_output(vec) -> dict:
@@ -760,6 +783,7 @@ def unpack_output(vec) -> dict:
         "num_landmarks": int(v[18]),
         "rms_error": float(v[19]),
         "refreshed": bool(v[20] > 0.5),
+        "covariance": v[21:57].reshape(6, 6).astype(np.float64),
     }
 
 

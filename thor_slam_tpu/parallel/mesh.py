@@ -113,13 +113,23 @@ def _distributed_robust_pnp(
         return lie.se3_exp(delta) @ x
 
     x = jax.lax.fori_loop(0, iters, step, init_body_t_world)
-    r, _, behind = _residuals_and_jacobian(x, points_w, obs, cam_rot, cam_trans)
+    r, j, behind = _residuals_and_jacobian(x, points_w, obs, cam_rot, cam_trans)
     r_norm = jnp.linalg.norm(r, axis=-1) + behind * 1e3
     inliers = (r_norm <= inlier_threshold) & valid
     num_inliers = jax.lax.psum(jnp.sum(inliers), axis_name)
     sq = jnp.sum(jnp.where(inliers, r_norm**2, 0.0))
     rms = jnp.sqrt(jax.lax.psum(sq, axis_name) / jnp.maximum(num_inliers, 1))
-    return x, inliers, num_inliers, rms
+    # Pose covariance = sigma^2 (psum J^T W J)^-1 over the GLOBAL inlier
+    # set (same estimator as pnp.pose_covariance; one extra 6x6 psum).
+    wi = inliers.astype(jnp.float32) * (1.0 - behind.astype(jnp.float32))
+    jw = j * wi[:, None, None]
+    h = jax.lax.psum(jnp.einsum("nai,naj->ij", jw, j), axis_name) + damping * jnp.eye(6)
+    dof = jnp.maximum(2.0 * num_inliers.astype(jnp.float32) - 6.0, 1.0)
+    sigma2 = jax.lax.psum(jnp.sum(wi[:, None] * r**2), axis_name) / dof
+    cov = sigma2 * jnp.linalg.inv(h)
+    cov = 0.5 * (cov + cov.T)
+    cov = jnp.where(jnp.all(jnp.isfinite(cov)), cov, jnp.eye(6) * 1e6)
+    return x, inliers, num_inliers, rms, cov
 
 
 def _distributed_ransac_pnp(
@@ -205,7 +215,7 @@ def make_sharded_track_step(params: trk.TrackerParams, setup: trk.CameraSetup, m
     setup_specs = trk.CameraSetup(*(P("cam") for _ in trk.CameraSetup._fields))
     out_specs_out = trk.TrackOutput(
         world_t_body=P(), num_inliers=P(), num_matches=P(),
-        num_landmarks=P(), rms_error=P(), refreshed=P(),
+        num_landmarks=P(), rms_error=P(), refreshed=P(), covariance=P(),
         # Per-camera observation stream shards with its cameras.
         obs_norm=P("cam"), robs_norm=P("cam"), lm_id=P("cam"),
         lm_valid=P("cam"), robs_valid=P("cam"),
@@ -246,7 +256,7 @@ def make_sharded_track_step(params: trk.TrackerParams, setup: trk.CameraSetup, m
             jnp.max(setup_c.k_left[:, 0]), "cam"
         )
         key, subkey = jax.random.split(state.key)
-        body_t_world, inliers, num_inliers, rms = _distributed_ransac_pnp(
+        body_t_world, inliers, num_inliers, rms, cov = _distributed_ransac_pnp(
             subkey, flat_pts, flat_obs, flat_valid, flat_rot, flat_trans,
             init_body_t_world, inlier_threshold, axis_name="cam",
             hyp_per_device=max(1, params.ransac_hypotheses // n_dev),
@@ -267,6 +277,7 @@ def make_sharded_track_step(params: trk.TrackerParams, setup: trk.CameraSetup, m
             fresh_id_base=state.lm_id_counter
             + jax.lax.axis_index("cam") * jnp.asarray(c * n, jnp.int32),
             id_advance=params.num_cams * n,
+            covariance=cov,
         )
         out = out._replace(
             num_matches=jax.lax.psum(out.num_matches, "cam"),

@@ -77,7 +77,14 @@ class RosBridge:  # pragma: no cover - ROS stack
         (msg.pose.pose.orientation.x, msg.pose.pose.orientation.y,
          msg.pose.pose.orientation.z, msg.pose.pose.orientation.w) = quat
         if pose.covariance is not None:
-            msg.pose.covariance = list(np.asarray(pose.covariance).reshape(-1))
+            # The covariance rides the same world-frame change of basis as
+            # the pose (block-diagonal rotation of the 6x6).
+            r = geometry.FLU_FROM_RDF[:3, :3]
+            rot6 = np.zeros((6, 6))
+            rot6[:3, :3] = r
+            rot6[3:, 3:] = r
+            cov = rot6 @ np.asarray(pose.covariance, np.float64) @ rot6.T
+            msg.pose.covariance = list(cov.reshape(-1))
         self._odom_pub.publish(msg)
 
         tf = TransformStamped()
