@@ -42,7 +42,32 @@ def main() -> int:
     parser.add_argument("--no-imu", action="store_true")
     parser.add_argument("--no-ba", action="store_true", help="Disable window bundle adjustment")
     parser.add_argument("--no-loop", action="store_true", help="Disable loop closure")
+    parser.add_argument(
+        "--devices", type=int, default=None,
+        help="Track SPMD over an N-device mesh (landmark-slot sharding for "
+        "this single-camera sequence; combine with --cpu for a hardware-"
+        "free virtual mesh)",
+    )
+    parser.add_argument(
+        "--cpu", action="store_true",
+        help="Pin the CPU backend (with --devices N: an N-device virtual "
+        "mesh). The env var alone does not stick where an accelerator "
+        "plugin force-registers; this pins before backend init.",
+    )
     args = parser.parse_args()
+
+    if args.cpu:
+        import os
+
+        if args.devices and args.devices > 1:
+            flags = os.environ.get("XLA_FLAGS", "")
+            if "host_platform_device_count" not in flags:
+                os.environ["XLA_FLAGS"] = (
+                    flags + f" --xla_force_host_platform_device_count={args.devices}"
+                ).strip()
+        from thor_slam_tpu.utils.platform import force_cpu
+
+        force_cpu()
 
     from thor_slam_tpu.camera.rig import CameraRig
     from thor_slam_tpu.camera.sources.dataset import EurocCameraSource
@@ -57,7 +82,9 @@ def main() -> int:
     except FileNotFoundError as e:
         print(f"run_euroc: {e}", file=sys.stderr)
         return 2
-    engine = TpuSlamEngine(use_imu=not args.no_imu, enable_ba=not args.no_ba)
+    engine = TpuSlamEngine(
+        use_imu=not args.no_imu, enable_ba=not args.no_ba, devices=args.devices
+    )
 
     est_ts, est_pos = [], []
     t0 = time.monotonic()

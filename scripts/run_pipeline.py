@@ -65,6 +65,7 @@ def run(
         enable_ba=cfg.backend.enable_ba,
         use_imu=cfg.backend.use_imu,
         prewarm_degraded=cfg.watchdog_timeout_s is not None,
+        devices=cfg.backend.devices,
     )
     rig = CameraRig(
         sources,

@@ -88,6 +88,15 @@ class TpuSlamEngine(SlamEngine):
             is the fastest way through a recorded sequence — and on
             hosted/tunneled TPUs the ONLY fast way, since repeated small
             device_gets permanently degrade h2d throughput there.
+        devices: Run the tracker SPMD over an N-device
+            ``jax.sharding.Mesh`` (parallel/mesh.py). The sharding axis is
+            chosen automatically: cameras when they divide the mesh (zero
+            front-end communication), landmark slots otherwise (images
+            replicated; KLT/PnP shard — the more-chips-than-cameras
+            topology, e.g. EuRoC on a v5e-8 host). Every host subsystem
+            (IMU prediction, track-level BA, loop closure, relocalize,
+            save/load) runs unchanged against the sharded state. Default
+            1 = single-chip.
     """
 
     def __init__(
@@ -112,8 +121,11 @@ class TpuSlamEngine(SlamEngine):
         pipelined: bool = False,
         pipeline_depth: int = 1,
         defer_sync: bool = False,
+        devices: int | None = None,
     ) -> None:
         self._param_overrides = dict(params or {})
+        self._devices = int(devices or 1)
+        self._mesh = None
         self._prewarm_degraded = prewarm_degraded
         self._pipelined = pipelined
         if pipeline_depth < 1:
@@ -226,11 +238,34 @@ class TpuSlamEngine(SlamEngine):
         # of the ~50 MB state otherwise degrades hosted-TPU h2d throughput
         # after ~60 ticks). pack: the host syncs on one fresh 228-byte
         # vector, never on the raw output tuple. See make_track_step.
-        self._step = trk.make_track_step(
-            self._params, setup, donate=True,
-            pack="ba" if self._enable_ba else True,
-        )
-        self._tracker_state = trk.init_state(self._params)
+        pack_mode = "ba" if self._enable_ba else True
+        if self._devices > 1:
+            from thor_slam_tpu.parallel import mesh as mesh_mod
+
+            n_avail = len(jax.devices())
+            if n_avail < self._devices:
+                raise RuntimeError(
+                    f"devices={self._devices} requested but only {n_avail} "
+                    "JAX devices are visible"
+                )
+            self._mesh = mesh_mod.make_camera_mesh(self._devices)
+            axis_mode = mesh_mod.choose_axis(
+                self._params.num_cams, self._params.max_keypoints, self._devices
+            )
+            self._step = mesh_mod.make_sharded_track_step(
+                self._params, setup, self._mesh, axis_mode=axis_mode,
+                donate=True, pack=pack_mode,
+            )
+            self._make_state = lambda: mesh_mod.shard_state(
+                trk.init_state(self._params), self._mesh, axis_mode=axis_mode
+            )
+            logger.info(
+                "SPMD tracking over %d devices (%s-sharded)", self._devices, axis_mode
+            )
+        else:
+            self._step = trk.make_track_step(self._params, setup, donate=True, pack=pack_mode)
+            self._make_state = lambda: trk.init_state(self._params)
+        self._tracker_state = self._make_state()
         c_ = self._params.num_cams
         self._zero_img = np.zeros((height, width), np.uint8)
         #: Device-side batch assembly of the tick's 2C images (the host
@@ -288,7 +323,7 @@ class TpuSlamEngine(SlamEngine):
                 warm_variants.append((jnp.eye(4), ones))
         jax.block_until_ready(self._assemble([self._zero_img] * (2 * c_)))
         for pred, mask in warm_variants:
-            outs = self._step(trk.init_state(self._params), dummy(), pred, mask)
+            outs = self._step(self._make_state(), dummy(), pred, mask)
             jax.block_until_ready(outs[2])  # the packed vector
         logger.info(
             "TpuSlamEngine initialized: %d cams @ %dx%d (warm-up %.1fs)",
@@ -1166,7 +1201,7 @@ class TpuSlamEngine(SlamEngine):
 
     def reset(self) -> None:
         if self._params is not None:
-            self._tracker_state = trk.init_state(self._params)
+            self._tracker_state = self._make_state()
         self._pending_q.clear()  # drop any in-flight pipelined ticks
         self._keyframe_poses = []
         self._ba_ticks.clear()

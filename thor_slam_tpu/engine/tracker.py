@@ -554,6 +554,84 @@ def run_keyframe_frontend(
     )
 
 
+def mint_bank(
+    params: TrackerParams,
+    setup: CameraSetup,
+    world_t_body: jnp.ndarray,
+    kf: KeyframeProducts,
+    anchor_ok: jnp.ndarray,
+    cand_tracks_xy: jnp.ndarray,
+    cand_pos_w: jnp.ndarray,
+    cand_id: jnp.ndarray,
+    fresh_ids: jnp.ndarray,
+    cam_active: jnp.ndarray | None,
+) -> tuple:
+    """Mint a landmark bank from keyframe products + inheritance candidates.
+
+    New landmarks are triangulated points lifted to world with the new
+    pose — EXCEPT persistent ones: a freshly detected keypoint that lands
+    on an inlier-tracked candidate's current position inherits that
+    candidate's world coordinates (and id), anchoring the world frame
+    across keyframes.
+
+    Factored out of the keyframe branch so the SPMD slot-sharded path can
+    mint its local bank slice against ALL-gathered candidates (a keypoint
+    must be able to inherit a landmark owned by another device's shard —
+    see parallel/mesh.py).
+
+    Args:
+        kf: Keyframe products for the slots being minted (possibly a
+            device-local slice).
+        anchor_ok: (C, M) trust mask over the inheritance candidates.
+        cand_tracks_xy: (C, M, 2) candidates' current tracked positions.
+        cand_pos_w: (C, M, 3) candidates' world positions.
+        cand_id: (C, M) candidates' persistent ids.
+        fresh_ids: (C, N_kf) ids to assign to non-inheriting keypoints.
+        cam_active: Optional (C,) live-camera mask.
+
+    Returns:
+        The 8-tuple (lm_pos, lm_desc, lm_valid, lm_px, lm_obs, lm_robs,
+        lm_robs_valid, lm_id) for the minted slots.
+    """
+    p = params
+    world_t_cam = jnp.einsum("ij,cjk->cik", world_t_body, setup.body_t_cam)
+    pts_w = (
+        jnp.einsum("cij,cnj->cni", world_t_cam[:, :3, :3], kf.pts_cam)
+        + world_t_cam[:, None, :3, 3]
+    )
+    d2 = jnp.sum(
+        (kf.kp_xy[:, :, None, :] - cand_tracks_xy[:, None, :, :]) ** 2, axis=-1
+    )  # (C, N_kf, M)
+    d2 = jnp.where(anchor_ok[:, None, :], d2, jnp.inf)
+    nearest = jnp.argmin(d2, axis=-1)
+    near_d2 = jnp.min(d2, axis=-1)
+    inherits = near_d2 <= p.persist_radius_px**2
+    inherited_pos = jnp.take_along_axis(cand_pos_w, nearest[..., None], axis=1)
+    lm_pos = jnp.where(inherits[..., None], inherited_pos, pts_w)
+    lm_valid = kf.tri_valid | (inherits & kf.kp_valid)
+
+    inherited_id = jnp.take_along_axis(cand_id, nearest, axis=1)
+    lm_id = jnp.where(inherits, inherited_id, fresh_ids)
+    # BA observation: inherited landmarks keep their subpixel tracked
+    # position (consistent with their 3D point); fresh ones the detection.
+    inherited_track = jnp.take_along_axis(cand_tracks_xy, nearest[..., None], axis=1)
+    lm_obs = jnp.where(inherits[..., None], inherited_track, kf.kp_xy)
+    lm_robs = kf.right_obs_px + (lm_obs - kf.kp_xy)
+    # Stereo right-obs is a MEASUREMENT only for freshly triangulated
+    # landmarks: the inherited-slot value above is the detector's right
+    # match shifted by the left-obs displacement — an approximation up
+    # to persist_radius_px that, fed to BA at measurement weight,
+    # biases the window (measured: catastrophic on fast sequences).
+    lm_robs_valid = kf.tri_valid & lm_valid & ~inherits
+    if cam_active is not None:  # dead cameras mint no landmarks
+        lm_valid = lm_valid & cam_active[:, None]
+        lm_robs_valid = lm_robs_valid & cam_active[:, None]
+    return (
+        lm_pos, kf.desc_bits, lm_valid, kf.kp_xy, lm_obs,
+        lm_robs, lm_robs_valid, lm_id,
+    )
+
+
 def _finish_step(
     params: TrackerParams,
     setup: CameraSetup,
@@ -570,6 +648,7 @@ def _finish_step(
     fresh_id_base: jnp.ndarray | None = None,
     id_advance: int | None = None,
     covariance: jnp.ndarray | None = None,
+    keyframe_minter=None,
 ) -> tuple[TrackerState, TrackOutput]:
     """Shared back half of a tick: acceptance, keyframing, state update.
 
@@ -616,53 +695,25 @@ def _finish_step(
     c_, n_ = p.num_cams, p.max_keypoints
 
     def keyframe_branch(_):
-        """Mint a new landmark bank: detect/describe/triangulate + persist.
+        """Mint a new landmark bank (see :func:`mint_bank`).
 
-        New landmarks are triangulated points lifted to world with the new
-        pose — EXCEPT persistent ones: a freshly detected keypoint that
-        lands on an inlier-tracked landmark's current position inherits
-        that landmark's world coordinates (and id), anchoring the world
-        frame across keyframes.
+        ``keyframe_minter`` overrides the whole branch for SPMD slot
+        sharding, where detection runs on the full replicated images and
+        each device mints only its slot slice against gathered candidates.
         """
+        if keyframe_minter is not None:
+            return keyframe_minter(world_t_body)
         kf = run_keyframe_frontend(p, setup, images)
-        world_t_cam = jnp.einsum("ij,cjk->cik", world_t_body, setup.body_t_cam)
-        pts_w = (
-            jnp.einsum("cij,cnj->cni", world_t_cam[:, :3, :3], kf.pts_cam)
-            + world_t_cam[:, None, :3, 3]
-        )
-        anchor_ok = hot.corr_valid & inliers_cn  # trusted tracks
-        d2 = jnp.sum(
-            (kf.kp_xy[:, :, None, :] - hot.tracks_xy[:, None, :, :]) ** 2, axis=-1
-        )  # (C, N_kp, N_lm)
-        d2 = jnp.where(anchor_ok[:, None, :], d2, jnp.inf)
-        nearest = jnp.argmin(d2, axis=-1)
-        near_d2 = jnp.min(d2, axis=-1)
-        inherits = near_d2 <= p.persist_radius_px**2
-        inherited_pos = jnp.take_along_axis(state.lm_pos_w, nearest[..., None], axis=1)
-        lm_pos = jnp.where(inherits[..., None], inherited_pos, pts_w)
-        lm_valid = kf.tri_valid | (inherits & kf.kp_valid)
-
-        inherited_id = jnp.take_along_axis(state.lm_id, nearest, axis=1)
         base = state.lm_id_counter if fresh_id_base is None else fresh_id_base
         fresh_ids = base + jnp.arange(c_ * n_, dtype=jnp.int32).reshape(c_, n_)
-        lm_id = jnp.where(inherits, inherited_id, fresh_ids)
-        # BA observation: inherited landmarks keep their subpixel tracked
-        # position (consistent with their 3D point); fresh ones the detection.
-        inherited_track = jnp.take_along_axis(hot.tracks_xy, nearest[..., None], axis=1)
-        lm_obs = jnp.where(inherits[..., None], inherited_track, kf.kp_xy)
-        lm_robs = kf.right_obs_px + (lm_obs - kf.kp_xy)
-        # Stereo right-obs is a MEASUREMENT only for freshly triangulated
-        # landmarks: the inherited-slot value above is the detector's right
-        # match shifted by the left-obs displacement — an approximation up
-        # to persist_radius_px that, fed to BA at measurement weight,
-        # biases the window (measured: catastrophic on fast sequences).
-        lm_robs_valid = kf.tri_valid & lm_valid & ~inherits
-        if cam_active is not None:  # dead cameras mint no landmarks
-            lm_valid = lm_valid & cam_active[:, None]
-            lm_robs_valid = lm_robs_valid & cam_active[:, None]
-        return (
-            lm_pos, kf.desc_bits, lm_valid, kf.kp_xy, lm_obs,
-            lm_robs, lm_robs_valid, lm_id,
+        return mint_bank(
+            p, setup, world_t_body, kf,
+            anchor_ok=hot.corr_valid & inliers_cn,  # trusted tracks
+            cand_tracks_xy=hot.tracks_xy,
+            cand_pos_w=state.lm_pos_w,
+            cand_id=state.lm_id,
+            fresh_ids=fresh_ids,
+            cam_active=cam_active,
         )
 
     def continue_branch(_):

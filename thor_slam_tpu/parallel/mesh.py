@@ -1,13 +1,13 @@
-"""Camera-sharded SPMD tracking over a device mesh.
+"""SPMD tracking over a device mesh: camera-sharded or slot-sharded.
 
 The rig's natural parallel axis is the camera (SURVEY.md §2.4): the image
 front-end (rectify/detect/describe/stereo/KLT) is embarrassingly parallel
 per camera, while the 6-DoF pose solve couples them only through 6x6
 normal equations. The multi-chip design follows directly:
 
-* a 1-D ``Mesh`` with axis ``"cam"``; every per-camera array (images,
-  rectification maps, landmark banks, pyramids) is sharded on its leading
-  camera axis, poses and scalars are replicated;
+* a 1-D ``Mesh`` with axis ``"d"``; every per-camera array (images,
+  landmark banks, pyramids) is sharded on its camera axis, poses and
+  scalars are replicated;
 * the front-end runs unchanged inside ``shard_map`` — zero communication;
 * the pose solve is distributed RANSAC + Gauss-Newton: each device solves
   hypotheses from its *local* correspondences (zero communication), the
@@ -20,13 +20,23 @@ normal equations. The multi-chip design follows directly:
 * keyframe decisions use psum'd global inlier counts, so all devices
   refresh their local landmark banks on the same frames.
 
-Communication per tick: a few hundred bytes of psums — the design scales
-to any rig size that fits cameras on chips.
+When the mesh is LARGER than the camera count (e.g. an 8-chip host
+tracking a single stereo camera — the EuRoC topology), the parallel axis
+switches to landmark SLOTS: images and pyramids are replicated, each
+device owns ``max_keypoints / n_devices`` landmark slots per camera, and
+the hot path (KLT + the distributed pose solve — ~80% of ticks) shards
+fully. Keyframe ticks run detection on the replicated images on every
+device (redundant compute, zero communication) and each device mints only
+its slot slice; inheritance candidates are all-gathered (~tens of KB) so
+a keypoint can inherit a landmark owned by another device's shard.
+
+Communication per tick: a few hundred bytes of psums (plus the small
+keyframe gathers in slot mode) — the design scales to any rig size.
 """
 
 from __future__ import annotations
 
-
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -36,40 +46,62 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from thor_slam_tpu.engine import tracker as trk
 from thor_slam_tpu.ops import lie
 
+#: Mesh axis name used by every collective in this module.
+AXIS = "d"
+
 
 def make_camera_mesh(n_devices: int | None = None, devices=None) -> Mesh:
-    """A 1-D mesh over ``n_devices`` with axis name "cam"."""
+    """A 1-D mesh over ``n_devices`` with the tracking axis."""
     if devices is None:
         devices = jax.devices()[: n_devices or len(jax.devices())]
-    return Mesh(np.asarray(devices), axis_names=("cam",))
+    return Mesh(np.asarray(devices), axis_names=(AXIS,))
 
 
-#: TrackerState fields sharded on the camera axis; everything else replicated.
+#: TrackerState fields sharded on the camera axis in "cam" mode; the same
+#: fields shard on their SLOT axis (dim 1) in "slot" mode, except the
+#: pyramids, which stay replicated there (KLT needs full images).
 _CAM_SHARDED_FIELDS = frozenset(
     {
         "lm_pos_w", "lm_desc", "lm_valid", "lm_px", "lm_obs_px", "lm_robs_px",
         "lm_robs_valid", "lm_id", "prev_left0", "prev_left1", "prev_left2",
     }
 )
+_SLOT_SHARDED_FIELDS = _CAM_SHARDED_FIELDS - {"prev_left0", "prev_left1", "prev_left2"}
 
 
-def _state_specs() -> trk.TrackerState:
-    return trk.TrackerState(
-        **{
-            f: (P("cam") if f in _CAM_SHARDED_FIELDS else P())
-            for f in trk.TrackerState._fields
-        }
+def choose_axis(num_cams: int, max_keypoints: int, n_devices: int) -> str:
+    """Pick the sharding axis for a rig: cameras when they divide evenly,
+    landmark slots otherwise."""
+    if n_devices <= 1:
+        raise ValueError("SPMD needs n_devices > 1")
+    if num_cams % n_devices == 0:
+        return "cam"
+    if max_keypoints % n_devices == 0:
+        return "slot"
+    raise ValueError(
+        f"neither num_cams={num_cams} nor max_keypoints={max_keypoints} "
+        f"divisible by {n_devices} devices"
     )
 
 
-def shard_state(state: trk.TrackerState, mesh: Mesh) -> trk.TrackerState:
-    """Place a tracker state on the mesh: camera arrays sharded, rest replicated."""
+def _state_specs(axis_mode: str) -> trk.TrackerState:
+    def spec(f):
+        if axis_mode == "cam":
+            return P(AXIS) if f in _CAM_SHARDED_FIELDS else P()
+        return P(None, AXIS) if f in _SLOT_SHARDED_FIELDS else P()
 
-    def place(name, x):
-        spec = P("cam") if name in _CAM_SHARDED_FIELDS else P()
-        return jax.device_put(x, NamedSharding(mesh, spec))
+    return trk.TrackerState(**{f: spec(f) for f in trk.TrackerState._fields})
 
-    return trk.TrackerState(**{k: place(k, v) for k, v in state._asdict().items()})
+
+def shard_state(state: trk.TrackerState, mesh: Mesh, axis_mode: str = "cam") -> trk.TrackerState:
+    """Place a tracker state on the mesh per the axis mode's specs."""
+    specs = _state_specs(axis_mode)
+    return trk.TrackerState(
+        **{
+            f: jax.device_put(getattr(state, f), NamedSharding(mesh, getattr(specs, f)))
+            for f in trk.TrackerState._fields
+        }
+    )
 
 
 def _distributed_robust_pnp(
@@ -196,47 +228,84 @@ def _distributed_ransac_pnp(
     )
 
 
-def make_sharded_track_step(params: trk.TrackerParams, setup: trk.CameraSetup, mesh: Mesh):
-    """Build the SPMD tick: ``(state, images) -> (state, output)`` on ``mesh``.
+def make_sharded_track_step(
+    params: trk.TrackerParams,
+    setup: trk.CameraSetup,
+    mesh: Mesh,
+    axis_mode: str | None = None,
+    donate: bool = False,
+    pack: bool | str = False,
+):
+    """Build the SPMD tick on ``mesh``, mirroring ``make_track_step``.
 
-    ``params.num_cams`` must be divisible by the mesh size; each device owns
-    ``num_cams / mesh_size`` cameras. Setup arrays go on device once,
-    sharded by camera.
+    Returns a jitted ``(state, images, pose_prediction=None,
+    cam_active=None) -> (state, out[, packed[, ba_obs]])`` — the exact
+    calling convention of the single-chip step, so ``TpuSlamEngine``
+    swaps it in transparently (``devices=N``).
+
+    Args:
+        axis_mode: "cam" (camera sharding; ``num_cams`` divisible by the
+            mesh size) or "slot" (landmark-slot sharding with replicated
+            images; ``max_keypoints`` divisible). None picks automatically
+            (:func:`choose_axis`).
+        donate: Donate the state buffers (streaming reuse, as in
+            ``make_track_step``).
+        pack: ``True`` appends ``pack_output``; ``"ba"`` additionally
+            appends ``pack_ba_obs`` (slot/camera-sharded — one gathered
+            fetch on the host side).
     """
     n_dev = mesh.devices.size
-    if params.num_cams % n_dev != 0:
-        raise ValueError(f"num_cams={params.num_cams} not divisible by mesh size {n_dev}")
+    if axis_mode is None:
+        axis_mode = choose_axis(params.num_cams, params.max_keypoints, n_dev)
+
+    c_full, n_full = params.num_cams, params.max_keypoints
+    if axis_mode == "cam":
+        if c_full % n_dev:
+            raise ValueError(f"num_cams={c_full} not divisible by mesh size {n_dev}")
+        local_params = trk.TrackerParams(**{**params.__dict__, "num_cams": c_full // n_dev})
+        setup_spec = P(AXIS)
+        images_spec = P(AXIS)
+    elif axis_mode == "slot":
+        if n_full % n_dev:
+            raise ValueError(f"max_keypoints={n_full} not divisible by mesh size {n_dev}")
+        local_params = trk.TrackerParams(**{**params.__dict__, "max_keypoints": n_full // n_dev})
+        setup_spec = P()
+        images_spec = P()
+    else:
+        raise ValueError(f"unknown axis_mode {axis_mode!r}")
 
     setup_sharded = trk.CameraSetup(
-        *(jax.device_put(jnp.asarray(v), NamedSharding(mesh, P("cam"))) for v in setup)
+        *(jax.device_put(jnp.asarray(v), NamedSharding(mesh, setup_spec)) for v in setup)
     )
-
-    cam_specs = _state_specs()
-    setup_specs = trk.CameraSetup(*(P("cam") for _ in trk.CameraSetup._fields))
+    state_specs = _state_specs(axis_mode)
+    obs_spec = P(AXIS) if axis_mode == "cam" else P(None, AXIS)
     out_specs_out = trk.TrackOutput(
         world_t_body=P(), num_inliers=P(), num_matches=P(),
         num_landmarks=P(), rms_error=P(), refreshed=P(), covariance=P(),
-        # Per-camera observation stream shards with its cameras.
-        obs_norm=P("cam"), robs_norm=P("cam"), lm_id=P("cam"),
-        lm_valid=P("cam"), robs_valid=P("cam"),
+        # The per-slot observation stream shards with its owners.
+        obs_norm=obs_spec, robs_norm=obs_spec, lm_id=obs_spec,
+        lm_valid=obs_spec, robs_valid=obs_spec,
     )
+    setup_specs = trk.CameraSetup(*(setup_spec for _ in trk.CameraSetup._fields))
 
-    # Per-device camera count: shard_map sees local shards.
-    local_params = trk.TrackerParams(
-        **{**params.__dict__, "num_cams": params.num_cams // n_dev}
-    )
-
-    def spmd_step(setup_c, state, images_c, cam_active_c):
+    def spmd_body(setup_c, state, images_c, cam_active_c, pose_prediction):
         p = local_params
-        if images_c.dtype == jnp.uint8:  # same contract as track_step:
+        if images_c.dtype == jnp.uint8:  # same contract as track_step
             images_c = images_c.astype(jnp.float32) * (1.0 / 255.0)
         # Pose prediction (identical on all devices — replicated inputs).
-        delta = state.world_t_body @ trk._se3_inv(state.prev_world_t_body)
-        extrapolated = delta @ state.world_t_body
-        klt_prediction = jnp.where(
-            state.untracked_streak > 0, state.world_t_body, extrapolated
-        )
-        init_body_t_world = trk._se3_inv(state.world_t_body)
+        # Same two-use split as track_step: the KLT init takes the
+        # prediction; PnP re-derives from the last SOLVED pose unless an
+        # external (IMU) prediction was supplied.
+        if pose_prediction is None:
+            delta = state.world_t_body @ trk._se3_inv(state.prev_world_t_body)
+            extrapolated = delta @ state.world_t_body
+            klt_prediction = jnp.where(
+                state.untracked_streak > 0, state.world_t_body, extrapolated
+            )
+            init_body_t_world = trk._se3_inv(state.world_t_body)
+        else:
+            klt_prediction = pose_prediction
+            init_body_t_world = trk._se3_inv(pose_prediction)
         klt_body_t_world = trk._se3_inv(klt_prediction)
 
         hot = trk.run_hot_frontend(p, setup_c, state, images_c, klt_body_t_world)
@@ -252,16 +321,60 @@ def make_sharded_track_step(params: trk.TrackerParams, setup: trk.CameraSetup, m
         flat_rot = jnp.repeat(setup_c.cam_r_body, n, axis=0)
         flat_trans = jnp.repeat(setup_c.cam_t_body, n, axis=0)
 
-        inlier_threshold = p.inlier_threshold_px / jax.lax.pmax(
-            jnp.max(setup_c.k_left[:, 0]), "cam"
-        )
+        k_max = jnp.max(setup_c.k_left[:, 0])
+        if axis_mode == "cam":  # per-device camera shards: reduce across
+            k_max = jax.lax.pmax(k_max, AXIS)
+        inlier_threshold = p.inlier_threshold_px / k_max
         key, subkey = jax.random.split(state.key)
         body_t_world, inliers, num_inliers, rms, cov = _distributed_ransac_pnp(
             subkey, flat_pts, flat_obs, flat_valid, flat_rot, flat_trans,
-            init_body_t_world, inlier_threshold, axis_name="cam",
+            init_body_t_world, inlier_threshold, axis_name=AXIS,
             hyp_per_device=max(1, params.ransac_hypotheses // n_dev),
             sample_size=params.ransac_sample_size,
         )
+
+        idx = jax.lax.axis_index(AXIS)
+        if axis_mode == "cam":
+            # lm_id is the global BA/loop join key: offset each device's
+            # fresh-id range by its camera shard and advance the replicated
+            # counter by the GLOBAL mint count so ids never collide.
+            fresh_id_base = state.lm_id_counter + idx * jnp.asarray(c * n, jnp.int32)
+            keyframe_minter = None
+        else:
+            fresh_id_base = None
+            # Inheritance candidates must span ALL shards: a fresh keypoint
+            # in this device's slot slice may sit on a landmark owned by
+            # another device. Gathered OUTSIDE the keyframe cond (a
+            # collective inside a branch is not legal SPMD); ~tens of KB.
+            g_tracks = jax.lax.all_gather(hot.tracks_xy, AXIS, axis=1, tiled=True)
+            g_pos = jax.lax.all_gather(state.lm_pos_w, AXIS, axis=1, tiled=True)
+            g_id = jax.lax.all_gather(state.lm_id, AXIS, axis=1, tiled=True)
+            g_anchor = jax.lax.all_gather(
+                hot.corr_valid & inliers.reshape(c, n), AXIS, axis=1, tiled=True
+            )
+            lo = idx * n
+
+            def keyframe_minter(world_t_body):
+                # Full-image detection runs replicated (identical on every
+                # device); this device mints only its slot slice of it.
+                kf_full = trk.run_keyframe_frontend(params, setup_c, images_c)
+                kf = trk.KeyframeProducts(
+                    *(jax.lax.dynamic_slice_in_dim(v, lo, n, axis=1) for v in kf_full)
+                )
+                # Global slot ids: cam * N_full + slot_global.
+                fresh_ids = (
+                    state.lm_id_counter
+                    + jnp.arange(c, dtype=jnp.int32)[:, None] * n_full
+                    + lo.astype(jnp.int32)
+                    + jnp.arange(n, dtype=jnp.int32)[None, :]
+                )
+                return trk.mint_bank(
+                    local_params, setup_c, world_t_body, kf,
+                    anchor_ok=g_anchor, cand_tracks_xy=g_tracks,
+                    cand_pos_w=g_pos, cand_id=g_id, fresh_ids=fresh_ids,
+                    cam_active=cam_active_c,
+                )
+
         new_state, out = trk._finish_step(
             p, setup_c, state, hot, images_c,
             body_t_world=body_t_world,
@@ -271,32 +384,50 @@ def make_sharded_track_step(params: trk.TrackerParams, setup: trk.CameraSetup, m
             init_body_t_world=init_body_t_world,
             key=key,
             cam_active=cam_active_c,
-            # lm_id is the global BA/loop join key: offset each device's
-            # fresh-id range by its camera shard and advance the replicated
-            # counter by the GLOBAL mint count so ids never collide.
-            fresh_id_base=state.lm_id_counter
-            + jax.lax.axis_index("cam") * jnp.asarray(c * n, jnp.int32),
-            id_advance=params.num_cams * n,
+            fresh_id_base=fresh_id_base,
+            id_advance=c_full * n_full,
             covariance=cov,
+            keyframe_minter=keyframe_minter,
         )
         out = out._replace(
-            num_matches=jax.lax.psum(out.num_matches, "cam"),
-            num_landmarks=jax.lax.psum(out.num_landmarks, "cam"),
+            num_matches=jax.lax.psum(out.num_matches, AXIS),
+            num_landmarks=jax.lax.psum(out.num_landmarks, AXIS),
         )
         return new_state, out
 
-    sharded = jax.shard_map(
-        spmd_step,
-        mesh=mesh,
-        in_specs=(setup_specs, cam_specs, P("cam"), P("cam")),
-        out_specs=(cam_specs, out_specs_out),
-        check_vma=False,
-    )
+    def body_nopred(setup_c, state, images_c, cam_active_c):
+        return spmd_body(setup_c, state, images_c, cam_active_c, None)
 
-    @jax.jit
-    def step(state: trk.TrackerState, images: jnp.ndarray, cam_active=None):
+    def body_pred(setup_c, state, images_c, cam_active_c, pred):
+        return spmd_body(setup_c, state, images_c, cam_active_c, pred)
+
+    def _shard(fn, with_pred):
+        # cam_active shards with its cameras in cam mode (each device masks
+        # its own shard); replicated in slot mode (every device sees all C).
+        cam_active_spec = P(AXIS) if axis_mode == "cam" else P()
+        in_specs = (setup_specs, state_specs, images_spec, cam_active_spec)
+        if with_pred:
+            in_specs = in_specs + (P(),)
+        return jax.shard_map(
+            fn, mesh=mesh, in_specs=in_specs,
+            out_specs=(state_specs, out_specs_out), check_vma=False,
+        )
+
+    def _step(state, images, pose_prediction=None, cam_active=None):
         if cam_active is None:  # resolved at trace time: all-live mask
             cam_active = jnp.ones(params.num_cams, bool)
-        return sharded(setup_sharded, state, images, cam_active)
+        if pose_prediction is None:
+            new_state, out = _shard(body_nopred, False)(
+                setup_sharded, state, images, cam_active
+            )
+        else:
+            new_state, out = _shard(body_pred, True)(
+                setup_sharded, state, images, cam_active, pose_prediction
+            )
+        if pack == "ba":
+            return new_state, out, trk.pack_output(out), trk.pack_ba_obs(out)
+        if pack:
+            return new_state, out, trk.pack_output(out)
+        return new_state, out
 
-    return step
+    return jax.jit(_step, donate_argnums=(0,) if donate else ())

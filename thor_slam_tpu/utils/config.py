@@ -69,6 +69,8 @@ class BackendConfig:
     enable_ba: bool = True
     enable_loop_closure: bool = True
     use_imu: bool = True
+    #: SPMD: track over an N-device jax mesh (1 = single chip).
+    devices: int = 1
     tracker: dict[str, Any] = field(default_factory=dict)
 
 
@@ -124,6 +126,7 @@ class RunConfig:
             enable_ba=bool(backend_d.get("enable_ba", True)),
             enable_loop_closure=bool(backend_d.get("enable_loop_closure", True)),
             use_imu=bool(backend_d.get("use_imu", True)),
+            devices=int(backend_d.get("devices", 1)),
             tracker=dict(backend_d.get("tracker", {})),
         )
         syn_d = d.get("synthetic", {}) or {}
