@@ -6,16 +6,26 @@ JSON line.
 
 Numbers measured and reported in that line:
 
-* ``value`` (the headline) — device-tick FPS: the fused jitted VO step
-  with images pre-staged on device. The chip's tracking throughput.
+* ``value`` (the headline) — device-tick FPS at 4x1280x720: the fused
+  jitted VO step with images pre-staged on device. The chip's tracking
+  throughput.
 * ``e2e_fps`` — online end-to-end FPS through
-  ``TpuSlamEngine.process_frames`` fed host-resident uint8 frames
-  (staging, pipelined upload, step, per-tick pose readback) — what the
-  reference's loop FPS measures (reference run_slam.py:324-328). On
-  tunneled/hosted TPUs this is TRANSFER-bound, not compute-bound:
-  compare against ``transfer_bound_fps`` (measured link ceiling).
-* ``e2e_deferred_fps`` — offline/dataset-replay end-to-end FPS
-  (defer_sync mode: one batched output readback at flush).
+  ``TpuSlamEngine.process_frames`` fed host-resident uint8 frames at
+  4x1280x720 (staging, pipelined upload, step, pose readback) in the
+  VO-streaming configuration — what the reference's loop FPS measures
+  (reference run_slam.py:324-328).
+* ``e2e_default_fps`` — the same loop with the DEFAULT-featured engine:
+  BA + IMU fusion + loop closure on (the shipped config), synchronous
+  per-tick pose. This is the number a robot actually gets.
+* ``e2e_640x400_fps`` — VO-streaming e2e at 4x640x400, the reference's
+  deployed resolution (reference config/slam_config.yaml).
+* ``transfer_bound_*`` — measured host->device link ceilings from probes
+  INTERLEAVED with the phases (the tunnel's health drifts; each e2e
+  number is paired with the bound measured adjacent to it).
+
+On tunneled/hosted TPUs every e2e number is TRANSFER-bound, not
+compute-bound: compare each against its own bound. On a PCIe-attached
+host the same path is compute-bound.
 """
 
 from __future__ import annotations
@@ -38,6 +48,26 @@ def _palindrome(i: int, n: int) -> int:
     return j if j < n else 2 * n - 2 - j
 
 
+def _h2d_probe(num_cams, width, height, reps=5):
+    """Sustained host->device MB/s for one tick's image payload, NOW.
+
+    Run between phases: on tunneled TPUs the link's health drifts with
+    process history, so each e2e figure is only interpretable against a
+    bound measured adjacent to it.
+    """
+    import jax
+    import numpy as np
+
+    tick_mb = num_cams * 2 * height * width / 1e6
+    blob = np.random.randint(0, 255, (num_cams, 2, height, width), np.uint8)
+    jax.block_until_ready(jax.device_put(blob))  # warm path
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        jax.block_until_ready(jax.device_put(blob))
+    mbps = reps * tick_mb / (time.perf_counter() - t0)
+    return mbps, mbps / tick_mb  # (MB/s, bound FPS for this tick size)
+
+
 def _bench_device_tick(params, setup, sources, warmup, frames, seq_len):
     """Jitted-step FPS with images already on device (compute ceiling)."""
     import jax
@@ -47,9 +77,9 @@ def _bench_device_tick(params, setup, sources, warmup, frames, seq_len):
     from thor_slam_tpu.utils.flagship import render_sequence
 
     # donate + pack: without donation the per-tick state alloc churn
-    # poisons hosted-TPU h2d throughput for the REST of the process
-    # (including the e2e phase below); syncing on the packed vector avoids
-    # materializing the full output tuple on host.
+    # poisons hosted-TPU h2d throughput for the REST of the process;
+    # syncing on the packed vector avoids materializing the full output
+    # tuple on host.
     step = trk.make_track_step(params, setup, donate=True, pack=True)
     state = trk.init_state(params)
 
@@ -73,28 +103,21 @@ def _bench_device_tick(params, setup, sources, warmup, frames, seq_len):
         vals = trk.unpack_output(jax.device_get(packed))
         best = max(best, frames / (time.perf_counter() - t0))
         base += frames
-    return best, vals["num_inliers"], seq
+    return best, vals["num_inliers"]
 
 
-def _bench_end_to_end(calibration, sources, host_frames, warmup, frames, seq_len, fps_nominal=30.0):
-    """End-to-end FPS: host uint8 frames -> process_frames -> pose.
-
-    Includes everything the device-tick number excludes: native staging of
-    the 8 uint8 images, the pipelined host->device upload, IMU-less pose
-    prediction, and the host-side TrackingState machine — i.e. the loop the
-    reference times (reference run_slam.py:324-328).
-    """
+def _make_sync_factory(calibration, host_seq, seq_len, fps_nominal, with_imu):
+    """Build the per-tick SynchronizedFrameSet factory over host frames."""
     import numpy as np
 
     from thor_slam_tpu.camera.types import CameraFrame, FrameSet, SynchronizedFrameSet
-    from thor_slam_tpu.engine.tpu_engine import TpuSlamEngine
-    from thor_slam_tpu.slam.interface import SlamConfig
 
-    host_seq = host_frames  # pre-staged uint8 host frames (see _render_host_frames)
-    print("bench: e2e frames staged; engine init...", file=sys.stderr, flush=True)
     names = list(calibration.source_names)
+    dt = 1.0 / fps_nominal
+    imu_rate = 400.0  # reference's configured IMU rate
 
-    def make_sync(i: int, ts: float) -> SynchronizedFrameSet:
+    def make_sync(i: int) -> "SynchronizedFrameSet":
+        ts = i * dt
         fsets = {}
         for c, name in enumerate(names):
             frames_ = [
@@ -107,57 +130,102 @@ def _bench_end_to_end(calibration, sources, host_frames, warmup, frames, seq_len
                 for k in range(2)
             ]
             fsets[name] = FrameSet(timestamp=ts, frames=frames_, source_name=name)
-        return SynchronizedFrameSet(timestamp=ts, frame_sets=fsets, max_time_delta=0.0)
+        sensor_data = None
+        if with_imu:
+            # A realistic per-tick IMU batch (DepthAI-style batching): the
+            # cost under measurement is ingestion + host preintegration +
+            # the pose-predicted jit variant, not the values.
+            n = int(imu_rate / fps_nominal)
+            t_imu = ts - dt + np.arange(1, n + 1) * (dt / n)
+            sensor_data = {
+                "accelerometer": np.tile([0.0, 0.0, 9.81], (n, 1)),
+                "gyroscope": np.tile([0.0, 0.4, 0.0], (n, 1)),
+                "timestamps": t_imu,
+            }
+        return SynchronizedFrameSet(
+            timestamp=ts, frame_sets=fsets, max_time_delta=0.0,
+            sensor_data=sensor_data, sensor_timestamp=ts if with_imu else None,
+        )
 
-    dt = 1.0 / fps_nominal
+    return make_sync
 
-    # Deferred-sync mode FIRST: the offline/dataset-replay throughput —
-    # all outputs come back in ONE transfer at flush. Runs before the
-    # online mode because on hosted TPUs the online mode's per-tick
-    # device_gets permanently degrade the process's h2d throughput, which
-    # would contaminate this measurement (but not vice versa).
+
+def _bench_e2e(calibration, host_seq, seq_len, warmup, frames, mode):
+    """End-to-end FPS through TpuSlamEngine.process_frames.
+
+    mode="stream": pipelined depth-N pure-VO streaming (remote-TPU
+    throughput configuration). mode="default": the shipped engine —
+    BA + IMU + loop closure on, synchronous per-tick pose.
+    """
+    from thor_slam_tpu.engine.tpu_engine import TpuSlamEngine
+    from thor_slam_tpu.slam.interface import SlamConfig
+
+    n_src = len(calibration.source_names)
+    if mode == "stream":
+        depth = int(os.environ.get("BENCH_PIPELINE_DEPTH", "6"))
+        engine = TpuSlamEngine(
+            params=dict(max_keypoints=256), use_imu=False, enable_ba=False,
+            pipelined=True, pipeline_depth=depth,
+        )
+        config = SlamConfig(num_cameras=2 * n_src, enable_loop_closure=False)
+        with_imu = False
+    else:
+        engine = TpuSlamEngine(params=dict(max_keypoints=256))  # all defaults
+        config = SlamConfig(num_cameras=2 * n_src, enable_loop_closure=True)
+        with_imu = True
+
+    make_sync = _make_sync_factory(calibration, host_seq, seq_len, 30.0, with_imu)
+    engine.initialize(calibration, config)
+    base = 0
+    for i in range(warmup):
+        engine.process_frames(make_sync(i))
+    engine.flush()
+    base = warmup
+    best = 0.0
+    for _trial in range(2):
+        t0 = time.perf_counter()
+        for i in range(base, base + frames):
+            engine.process_frames(make_sync(i))
+        engine.flush()
+        best = max(best, frames / (time.perf_counter() - t0))
+        base += frames
+    diag = dict(engine.last_diagnostics)
+    engine.shutdown()
+    return best, diag
+
+
+def _bench_e2e_deferred(calibration, host_seq, seq_len, warmup, frames):
+    """Offline/dataset-replay e2e FPS (defer_sync: one readback at flush).
+
+    Runs FIRST: on hosted TPUs per-tick device_gets in the online modes
+    degrade the process's h2d throughput, which would contaminate this
+    measurement (but not vice versa).
+    """
+    from thor_slam_tpu.engine.tpu_engine import TpuSlamEngine
+    from thor_slam_tpu.slam.interface import SlamConfig
+
+    n_src = len(calibration.source_names)
     engine = TpuSlamEngine(
         params=dict(max_keypoints=256), use_imu=False, enable_ba=False,
         pipelined=True, defer_sync=True,
     )
-    engine.initialize(calibration, SlamConfig(num_cameras=2 * len(names), enable_loop_closure=False))
-    base = 0
+    make_sync = _make_sync_factory(calibration, host_seq, seq_len, 30.0, False)
+    engine.initialize(calibration, SlamConfig(num_cameras=2 * n_src, enable_loop_closure=False))
     for i in range(warmup):
-        engine.process_frames(make_sync(i, i * dt))
+        engine.process_frames(make_sync(i))
     engine.flush()
     base = warmup
-    best_def = 0.0
+    best = 0.0
     for _trial in range(2):
         t0 = time.perf_counter()
         for i in range(base, base + frames):
-            engine.process_frames(make_sync(i, i * dt))
+            engine.process_frames(make_sync(i))
         engine.flush()
-        best_def = max(best_def, frames / (time.perf_counter() - t0))
+        best = max(best, frames / (time.perf_counter() - t0))
         base += frames
     diag = dict(engine.last_diagnostics)
     engine.shutdown()
-
-    # Online mode: per-tick (depth-amortized) pose readback — what a live
-    # robot loop gets. Transfer-bound on tunneled devices (see JSON).
-    depth = int(os.environ.get("BENCH_PIPELINE_DEPTH", "6"))
-    engine = TpuSlamEngine(
-        params=dict(max_keypoints=256), use_imu=False, enable_ba=False,
-        pipelined=True, pipeline_depth=depth,
-    )
-    engine.initialize(calibration, SlamConfig(num_cameras=2 * len(names), enable_loop_closure=False))
-    for i in range(warmup):
-        engine.process_frames(make_sync(i, i * dt))
-    best = 0.0
-    last = None
-    for _trial in range(2):
-        t0 = time.perf_counter()
-        for i in range(base, base + frames):
-            engine.process_frames(make_sync(i, i * dt))
-        last = engine.flush()
-        best = max(best, frames / (time.perf_counter() - t0))
-        base += frames
-    engine.shutdown()
-    return best, best_def, diag, last
+    return best, diag
 
 
 def _render_host_frames(num_cams, width, height, seq_len) -> "np.ndarray":
@@ -195,8 +263,10 @@ def main() -> None:
     warmup = int(os.environ.get("BENCH_WARMUP", "5"))
     frames = int(os.environ.get("BENCH_FRAMES", "60"))
     seq_len = int(os.environ.get("BENCH_SEQ", "12"))
+    skip_lowres = os.environ.get("BENCH_SKIP_640", "") == "1"
+    skip_default = os.environ.get("BENCH_SKIP_DEFAULT", "") == "1"
 
-    import jax
+    import jax  # noqa: F401  (backend init before phases)
 
     from thor_slam_tpu.utils.platform import enable_compilation_cache
 
@@ -208,44 +278,64 @@ def main() -> None:
         num_cams=num_cams, width=width, height=height, max_keypoints=256
     )
 
-    print("bench: rendering host frames (subprocess)...", file=sys.stderr, flush=True)
+    def log(msg):
+        print(f"bench: {msg}", file=sys.stderr, flush=True)
+
+    log("rendering host frames (subprocess)...")
     host_seq = _render_host_frames(num_cams, width, height, seq_len)
-    print("bench: e2e phase...", file=sys.stderr, flush=True)
-    e2e_fps, e2e_deferred_fps, diag, _ = _bench_end_to_end(
-        calibration, sources, host_seq, warmup, frames, seq_len
-    )
-    print(f"bench: e2e {e2e_fps:.1f} fps; device-tick phase...", file=sys.stderr, flush=True)
-    tick_fps, tick_inliers, _ = _bench_device_tick(
-        params, setup, sources, warmup, frames, seq_len
-    )
-    print(f"bench: device tick {tick_fps:.1f} fps; h2d probe...", file=sys.stderr, flush=True)
 
-    # Sustained host->device bandwidth with the tracker executable loaded —
-    # the hard ceiling for any end-to-end number: each tick must ship
-    # C*2*H*W uint8 bytes. (On tunneled/hosted TPUs this collapses from
-    # GB/s to tens of MB/s once a large executable is resident — measured
-    # here so the e2e figure is interpretable against its transfer bound.)
-    import numpy as np
+    # Phase order matters on hosted TPUs: deferred (no per-tick syncs)
+    # first, then the sync-heavy online modes; h2d probes interleave so
+    # every figure has an adjacent bound.
+    bounds = {}
+    bounds["pre"] = _h2d_probe(num_cams, width, height)
+    log(f"h2d pre: {bounds['pre'][0]:.1f} MB/s; deferred e2e phase...")
+    e2e_deferred, diag = _bench_e2e_deferred(calibration, host_seq, seq_len, warmup, frames)
+    bounds["post_deferred"] = _h2d_probe(num_cams, width, height)
+    log(f"deferred {e2e_deferred:.1f} fps (bound {bounds['post_deferred'][1]:.1f}); stream e2e phase...")
 
-    tick_mb = num_cams * 2 * height * width / 1e6
-    blob = np.random.randint(0, 255, (num_cams, 2, height, width), np.uint8)
-    jax.block_until_ready(jax.device_put(blob))
-    t0 = time.perf_counter()
-    for _ in range(5):
-        jax.block_until_ready(jax.device_put(blob))
-    h2d_mbps = 5 * tick_mb / (time.perf_counter() - t0)
+    e2e_stream, diag_s = _bench_e2e(calibration, host_seq, seq_len, warmup, frames, "stream")
+    bounds["post_stream"] = _h2d_probe(num_cams, width, height)
+    log(f"stream {e2e_stream:.1f} fps (bound {bounds['post_stream'][1]:.1f}); default-engine e2e phase...")
 
+    e2e_default = None
+    if not skip_default:
+        e2e_default, diag_d = _bench_e2e(calibration, host_seq, seq_len, warmup, frames, "default")
+        bounds["post_default"] = _h2d_probe(num_cams, width, height)
+        log(f"default {e2e_default:.1f} fps (bound {bounds['post_default'][1]:.1f}); device-tick phase...")
+
+    tick_fps, tick_inliers = _bench_device_tick(params, setup, sources, warmup, frames, seq_len)
+    log(f"device tick {tick_fps:.1f} fps")
+
+    # The reference's deployed resolution: 4x640x400 (ref config/slam_config.yaml).
+    e2e_lowres = None
+    low_bound = None
+    if not skip_lowres:
+        log("640x400 phase...")
+        params4, setup4, calib4, sources4, _, _ = flagship_rig(
+            num_cams=num_cams, width=640, height=400, max_keypoints=256
+        )
+        host4 = _render_host_frames(num_cams, 640, 400, seq_len)
+        low_bound = _h2d_probe(num_cams, 640, 400)
+        e2e_lowres, _ = _bench_e2e(calib4, host4, seq_len, warmup, frames, "stream")
+        low_bound = max(low_bound, _h2d_probe(num_cams, 640, 400), key=lambda b: b[0])
+        log(f"640x400 stream {e2e_lowres:.1f} fps (bound {low_bound[1]:.1f})")
+
+    bound_720 = max(bounds.values(), key=lambda b: b[0])
     result = {
         "metric": f"{num_cams}x{width}x{height}-stereo tracked FPS/chip (device tick)",
         "value": round(tick_fps, 2),
         "unit": "fps",
         "vs_baseline": round(tick_fps / 60.0, 3),
-        "e2e_fps": round(e2e_fps, 2),
-        "e2e_vs_baseline": round(e2e_fps / 60.0, 3),
-        "e2e_deferred_fps": round(e2e_deferred_fps, 2),
-        "h2d_MBps_postload": round(h2d_mbps, 1),
-        "transfer_bound_fps": round(h2d_mbps / tick_mb, 1),
-        "num_inliers_last": diag.get("num_inliers", tick_inliers),
+        "e2e_fps": round(e2e_stream, 2),
+        "e2e_vs_baseline": round(e2e_stream / 60.0, 3),
+        "e2e_deferred_fps": round(e2e_deferred, 2),
+        "e2e_default_fps": None if e2e_default is None else round(e2e_default, 2),
+        "e2e_640x400_fps": None if e2e_lowres is None else round(e2e_lowres, 2),
+        "transfer_bound_fps": round(bound_720[1], 1),
+        "transfer_bound_640x400_fps": None if low_bound is None else round(low_bound[1], 1),
+        "h2d_MBps": {k: round(v[0], 1) for k, v in bounds.items()},
+        "num_inliers_last": diag_s.get("num_inliers", tick_inliers),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))

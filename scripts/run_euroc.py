@@ -86,7 +86,7 @@ def main() -> int:
         use_imu=not args.no_imu, enable_ba=not args.no_ba, devices=args.devices
     )
 
-    est_ts, est_pos = [], []
+    est_ts, est_pos, world_pos = [], [], []
     t0 = time.monotonic()
     from thor_slam_tpu.slam.interface import SlamConfig
 
@@ -104,7 +104,11 @@ def main() -> int:
             n += 1
             if pose is not None:
                 est_ts.append(sync.timestamp)
+                # Smooth odometry stream (the reference's odometry topic)...
                 est_pos.append(pose.position.copy())
+                # ...and the loop-corrected world estimate (odometry lifted
+                # through map<-odom, the reference's map->odom TF).
+                world_pos.append(engine.get_world_pose(pose).position)
             if n % 100 == 0:
                 print(f"{n} frames, {n / (time.monotonic() - t0):.1f} fps, "
                       f"state={engine.get_tracking_state().name}", flush=True)
@@ -143,6 +147,14 @@ def main() -> int:
         f"loop={'on' if not args.no_loop else 'off'} "
         f"imu={'on' if not args.no_imu else 'off'})"
     )
+    if loops:
+        # The live world estimate (odometry lifted through map<-odom): the
+        # number a consumer of the full TF tree experiences. Odometry ATE
+        # above stays loop-independent by design (smooth stream).
+        print(
+            f"world-frame live ATE-RMSE: {ate_rmse(np.asarray(world_pos), matched_gt) * 100:.2f} cm "
+            f"(odometry composed with map->odom)"
+        )
 
     # The MAP trajectory: keyframe poses retro-corrected by loop-closure
     # pose-graph optimization and window BA. The live odometry stream

@@ -43,7 +43,14 @@ def _run(enable_ba: bool):
         for _ in range(60):
             sync = rig.get_synchronized_frames()
             pose = engine.process_frames(sync)
-            if "ba_rms" in engine.last_diagnostics:
+            # A "run" = the window SOLVED (applied, or a solved correction
+            # withheld by the rms/noise-floor/junk acceptance gates).
+            d = engine.last_diagnostics
+            if d.get("refreshed") and (
+                "ba_rms" in d
+                or str(d.get("ba_skip", "")).split("=")[0] in ("rms", "corr", "correction")
+                or str(d.get("ba_skip", "")).startswith(("rms", "corr"))
+            ):
                 ba_runs += 1
             g = traj.pose(sync.timestamp)
             if gt0 is None:

@@ -24,15 +24,24 @@ from thor_slam_tpu.slam.interface import SlamConfig
 from thor_slam_tpu.utils.evaluation import ate_rmse
 
 
+BLACKOUT = range(60, 74)  # ticks with no usable imagery (sensor dropout)
+
+
 @pytest.fixture(scope="module")
 def loop_run():
-    """One full revisit orbit with a small place DB; reused across tests."""
+    """A revisit orbit with a mid-orbit sensor blackout.
+
+    The blackout forces a VO restart at the predicted pose, accumulating
+    REAL drift (tens of cm) — so the revisit closure has something genuine
+    to correct (a no-drift orbit would only offer noise-level constraints,
+    which the covariance gate rightly refuses). Reused across tests.
+    """
     spec = SyntheticRigSpec(
         num_sources=2, stereo=True, width=160, height=120, fps=20.0, baseline_m=0.12
     )
-    world = SyntheticWorld(half_extents=(4.0, 4.0, 2.0))
+    world3d = SyntheticWorld(half_extents=(4.0, 4.0, 2.0))
     traj = OrbitTrajectory(radius=1.5, angular_rate=1.0)  # ~2pi/1.0 s orbit
-    sources, rig_ext, _, _ = make_synthetic_rig(spec, world=world, trajectory=traj)
+    sources, rig_ext, _, _ = make_synthetic_rig(spec, world=world3d, trajectory=traj)
     engine = TpuSlamEngine(
         # Keyframe cadence relaxed (~5 frames) so the 30-entry DB spans a
         # full orbit of keyframes: the revisit target must still be IN the
@@ -47,26 +56,31 @@ def loop_run():
         loop_exclude_recent=6,
         loop_cooldown_kfs=8,
         loop_min_votes=40,
-        loop_min_inliers=18,  # 256-kp regime: ~20-30 geometric inliers at revisit
-        loop_min_correction_m=0.005,
+        loop_min_inliers=25,
     )
-    est, gt, ts = [], [], []
+    est, world, gt, ts = [], [], [], []
     gt0 = None
     with CameraRig(sources, rig_extrinsics=rig_ext) as rig:
         engine.initialize(rig.calibration, SlamConfig(num_cameras=4, enable_loop_closure=True))
-        for _ in range(170):  # ~1.35 orbits at 20 fps
+        for i in range(170):  # ~1.35 orbits at 20 fps
             sync = rig.get_synchronized_frames()
+            if i in BLACKOUT:  # sensor dropout: black frames
+                for fs in sync.frame_sets.values():
+                    for f in fs.frames:
+                        f.image = np.zeros_like(f.image)
             pose = engine.process_frames(sync)
             g = traj.pose(sync.timestamp)
             if gt0 is None:
                 gt0 = g
-            if pose is not None:
+            if pose is not None and i not in BLACKOUT:
                 est.append(pose.position.copy())
+                world.append(engine.get_world_pose(pose).position)
                 gt.append((np.linalg.inv(gt0) @ g)[:3, 3])
                 ts.append(sync.timestamp)
     return {
         "engine": engine,
         "est": np.asarray(est),
+        "world": np.asarray(world),
         "gt": np.asarray(gt),
         "ts": np.asarray(ts),
         "map": engine.get_map(),
@@ -84,14 +98,28 @@ class TestLoopClosureE2E:
 
     def test_correction_lives_in_map_t_odom_not_tracker(self, loop_run):
         """The closure must express itself as the map<-odom transform; the
-        live tracker pose stays on the smooth odom trajectory."""
+        returned odometry stream stays smooth (the reference's
+        odometry-topic semantics) and the live tracker is untouched."""
         eng = loop_run["engine"]
-        corr = np.linalg.norm(eng._map_t_odom[:3, 3])
+        corr = np.linalg.norm(eng.map_t_odom[:3, 3])
         assert corr > 1e-4  # a real correction was composed
-        # Returned (map-frame) pose == map_t_odom @ tracker (odom) pose.
+        # The returned pose IS the tracker's smooth odom pose...
         odom_pose = np.asarray(eng._tracker_state.world_t_body, np.float64)
-        map_pos = (eng._map_t_odom @ odom_pose)[:3, 3]
-        np.testing.assert_allclose(map_pos, loop_run["est"][-1], atol=1e-5)
+        np.testing.assert_allclose(odom_pose[:3, 3], loop_run["est"][-1], atol=1e-5)
+        # ...and the world estimate lifts through map<-odom.
+        world_pos = (eng.map_t_odom @ odom_pose)[:3, 3]
+        np.testing.assert_allclose(world_pos, loop_run["world"][-1], atol=1e-5)
+
+    def test_world_estimate_recovers_drift(self, loop_run):
+        """Post-closure, the map-composed world estimate must be closer to
+        ground truth than the raw (drifted) odometry — the drift-recovery
+        capability, without ever snapping the odometry stream."""
+        gt, est, world = loop_run["gt"], loop_run["est"], loop_run["world"]
+        err_odo = np.linalg.norm(est[-1] - gt[-1])
+        err_world = np.linalg.norm(world[-1] - gt[-1])
+        assert err_world < 0.7 * err_odo, (
+            f"world {err_world:.3f} m vs odometry {err_odo:.3f} m at stream end"
+        )
 
     def test_keyframe_trajectory_has_no_seam(self, loop_run):
         """Keyframes older than the DB window must connect continuously to

@@ -43,6 +43,28 @@ from thor_slam_tpu.slam.interface import (
 logger = logging.getLogger(__name__)
 
 
+def _pad_db(db_desc: np.ndarray, db_valid: np.ndarray, mask: np.ndarray):
+    """Pad place-DB arrays to the next power-of-two keyframe count.
+
+    ``loop.find_candidate`` is jitted: a DB that grows by one keyframe per
+    call would trigger a fresh XLA compile at EVERY keyframe until the
+    capacity cap. Bucketing to powers of two bounds the distinct shapes to
+    ~log2(capacity) compiles per run; padded rows are masked out.
+    """
+    k = db_desc.shape[0]
+    cap = 8
+    while cap < k:
+        cap *= 2
+    if cap == k:
+        return db_desc, db_valid, mask
+    pad = cap - k
+    return (
+        np.concatenate([db_desc, np.zeros((pad, *db_desc.shape[1:]), db_desc.dtype)]),
+        np.concatenate([db_valid, np.zeros((pad, *db_valid.shape[1:]), db_valid.dtype)]),
+        np.concatenate([mask, np.zeros(pad, mask.dtype)]),
+    )
+
+
 class TpuSlamEngine(SlamEngine):
     """Multi-camera stereo visual odometry on TPU (JAX/XLA).
 
@@ -519,41 +541,71 @@ class TpuSlamEngine(SlamEngine):
                 self._ba_ticks.clear()
 
         if refreshed and self._state_enum == TrackingState.TRACKING and self._enable_ba:
-            world_t_body = self._run_tracklevel_ba(world_t_body)  # odom frame
+            world_t_body = self._run_tracklevel_ba(world_t_body, covariance)  # odom
 
-        # Everything the engine RETURNS or stores from here on is in the
-        # MAP frame: the tracker's smooth odom pose lifted through the
-        # accumulated loop-closure correction. The live tracker state
-        # stays odom-frame and is never perturbed by closures.
-        map_pose = self._map_t_odom @ world_t_body
+        # MAP-side bookkeeping: keyframes and the place DB live in the map
+        # frame (the smooth odom pose lifted through the accumulated
+        # loop-closure correction). The live tracker state stays odom-frame
+        # and is never perturbed by closures.
         if refreshed and self._state_enum == TrackingState.TRACKING:
+            map_pose = self._map_t_odom @ world_t_body
             self._keyframe_poses.append(
                 SlamPose.from_4x4_matrix(map_pose, timestamp=ts)
             )
             if self._config.enable_loop_closure:
-                map_pose = self._loop_closure_tick(map_pose, ts)
+                self._loop_closure_tick(map_pose, ts)
             if len(self._keyframe_poses) > 10000:
                 self._keyframe_poses = self._keyframe_poses[-10000:]
 
+        # The RETURNED pose is the SMOOTH odometry-frame estimate — the
+        # reference's exact semantics: cuVSLAM publishes smooth VO on the
+        # odometry topic (what the adapter's process_frames returns,
+        # reference isaac_ros.py:308-325) and loop corrections ride the
+        # map->odom transform published separately (the role of reference
+        # scripts/publish_odom_tf.py). The corrected world estimate is
+        # ``map_t_odom @ pose`` — see :attr:`map_t_odom`.
         # Confidence from the pose covariance, exactly the reference's
         # formula over the engine-provided 6x6 (reference isaac_ros.py:312:
         # confidence = 1 / (1 + trace)).
         confidence = float(1.0 / (1.0 + np.trace(covariance)))
         pose = SlamPose.from_4x4_matrix(
-            map_pose,
+            world_t_body,
             timestamp=ts,
             tracking_state=self._state_enum,
             confidence=confidence,
         )
-        # Covariance blocks rotate with the odom->map correction.
-        r_mo = self._map_t_odom[:3, :3]
-        rot6 = np.zeros((6, 6))
-        rot6[:3, :3] = r_mo
-        rot6[3:, 3:] = r_mo
-        pose.covariance = rot6 @ covariance @ rot6.T
+        pose.covariance = covariance
         if self._state_enum == TrackingState.LOST and num_inliers < min_inl // 2:
             return None
         return pose
+
+    @property
+    def map_t_odom(self) -> np.ndarray:
+        """(4, 4) map<-odom correction accumulated by loop closures.
+
+        ``process_frames`` returns the SMOOTH odometry-frame pose (the
+        reference's odometry-topic semantics); the loop-corrected world
+        estimate is ``map_t_odom @ pose.to_4x4_matrix()``. The ROS bridge
+        publishes this as the map->odom transform (the reference completes
+        the same TF tree with scripts/publish_odom_tf.py).
+        """
+        return self._map_t_odom.copy()
+
+    def get_world_pose(self, pose: SlamPose) -> SlamPose:
+        """Lift an odometry-frame pose into the loop-corrected map frame."""
+        lifted = SlamPose.from_4x4_matrix(
+            self._map_t_odom @ pose.to_4x4_matrix(),
+            timestamp=pose.timestamp,
+            tracking_state=pose.tracking_state,
+            confidence=pose.confidence,
+        )
+        if pose.covariance is not None:
+            r = self._map_t_odom[:3, :3]
+            rot6 = np.zeros((6, 6))
+            rot6[:3, :3] = r
+            rot6[3:, 3:] = r
+            lifted.covariance = rot6 @ pose.covariance @ rot6.T
+        return lifted
 
     def get_tracking_state(self) -> TrackingState:
         return self._state_enum
@@ -664,7 +716,7 @@ class TpuSlamEngine(SlamEngine):
 
     # ----------------------------------------------------- loop closure
 
-    def _loop_closure_tick(self, world_t_body: np.ndarray, ts: float) -> np.ndarray:
+    def _loop_closure_tick(self, world_t_body: np.ndarray, ts: float) -> None:
         """Keyframe hook: update the place DB, detect + close loops.
 
         ``world_t_body`` is the MAP-frame keyframe pose. A closure is
@@ -699,14 +751,15 @@ class TpuSlamEngine(SlamEngine):
         k = len(self._loop_db)
         if self._loop_cooldown > 0:
             self._loop_cooldown -= 1
-            return world_t_body
+            return
         if k <= self._loop_exclude_recent + 1:
-            return world_t_body
+            return
 
         db_desc = np.stack([e["desc"] for e in self._loop_db[:-1]])
         db_valid = np.stack([e["valid"] for e in self._loop_db[:-1]])
         mask = np.ones(k - 1, np.float32)
         mask[-self._loop_exclude_recent :] = 0.0
+        db_desc, db_valid, mask = _pad_db(db_desc, db_valid, mask)
 
         cand = loop.find_candidate(
             jnp.asarray(entry["desc"]), jnp.asarray(entry["valid"]),
@@ -714,7 +767,7 @@ class TpuSlamEngine(SlamEngine):
         )
         votes = int(cand.votes)
         if votes < self._loop_min_votes:
-            return world_t_body
+            return
         ci = int(cand.keyframe)
         cand_e = self._loop_db[ci]
 
@@ -739,7 +792,7 @@ class TpuSlamEngine(SlamEngine):
             min_inliers=self._loop_min_inliers,
         )
         if not bool(ver.accepted):
-            return world_t_body
+            return
 
         # Discrepancy gate: the loop constraint must disagree with the
         # current map-frame pose by more than the constraint's OWN noise
@@ -756,24 +809,33 @@ class TpuSlamEngine(SlamEngine):
             self.last_diagnostics["loop_skip"] = (
                 f"disc {disc:.4f} m < floor {noise_floor:.4f} m (sigma {sigma_t:.4f})"
             )
-            return world_t_body
+            return
 
-        # Pose-graph over the loop DB trajectory: odometry chain + loop edge.
+        # Pose-graph over the loop DB trajectory: odometry chain + loop
+        # edge. Node/edge arrays are padded to a power of two (masked) so
+        # the jitted solve compiles O(log capacity) times, not per-closure.
         poses = np.stack([e["world_t_body"] for e in self._loop_db]).astype(np.float32)
         kk = poses.shape[0]
-        e_cap = kk  # chain (kk-1 edges) + 1 loop edge
+        kk_pad = 8
+        while kk_pad < kk:
+            kk_pad *= 2
+        e_cap = kk_pad  # chain (kk-1 edges) + 1 loop edge + masked padding
         ei, ej, et, w = posegraph.sequential_graph(poses, capacity_edges=e_cap)
         loop_pose = np.linalg.inv(np.asarray(ver.body_t_candidate, np.float64))
-        ei[e_cap - 1], ej[e_cap - 1] = ci, kk - 1
-        et[e_cap - 1] = np.linalg.inv(self._loop_db[ci]["world_t_body"]) @ loop_pose
-        w[e_cap - 1] = 3.0
+        ei[kk - 1], ej[kk - 1] = ci, kk - 1
+        et[kk - 1] = np.linalg.inv(self._loop_db[ci]["world_t_body"]) @ loop_pose
+        w[kk - 1] = 3.0
+        poses_pad = np.tile(np.eye(4, dtype=np.float32), (kk_pad, 1, 1))
+        poses_pad[:kk] = poses
+        node_mask = np.zeros(kk_pad, np.float32)
+        node_mask[:kk] = 1.0
         graph = posegraph.PoseGraph(
-            poses=jnp.asarray(poses), node_mask=jnp.ones(kk),
+            poses=jnp.asarray(poses_pad), node_mask=jnp.asarray(node_mask),
             edge_i=jnp.asarray(ei), edge_j=jnp.asarray(ej),
             edge_t=jnp.asarray(et), edge_weight=jnp.asarray(w),
         )
         opt_poses, _ = posegraph.optimize(graph)
-        opt_poses = np.asarray(opt_poses, np.float64)
+        opt_poses = np.asarray(opt_poses, np.float64)[:kk]
 
         # Apply — MAP side only. The newest node's correction composes into
         # the map<-odom transform (every future pose/keyframe/map-point is
@@ -797,14 +859,12 @@ class TpuSlamEngine(SlamEngine):
             )
 
         self._map_t_odom = t_corr @ self._map_t_odom
-        new_world_t_body = t_corr @ world_t_body
         self._loops_closed += 1
         self._loop_cooldown = self._loop_cooldown_kfs
         logger.info(
             "Loop closed: kf %d <-> %d (votes=%d inliers=%d), |corr|=%.3f m",
             ci, kk - 1, votes, int(ver.num_inliers), float(np.linalg.norm(t_corr[:3, 3])),
         )
-        return new_world_t_body
 
     # ----------------------------------------------------- BA backend
 
@@ -825,7 +885,9 @@ class TpuSlamEngine(SlamEngine):
         rec["refreshed"] = bool(refreshed)
         self._ba_ticks.append(rec)
 
-    def _run_tracklevel_ba(self, world_t_body: np.ndarray) -> np.ndarray:
+    def _run_tracklevel_ba(
+        self, world_t_body: np.ndarray, covariance: np.ndarray | None = None
+    ) -> np.ndarray:
         """Optimize the recent-tick window; push corrections into the tracker.
 
         Variables: one pose per window tick + landmarks observed in >= 3
@@ -835,6 +897,15 @@ class TpuSlamEngine(SlamEngine):
         (possibly corrected) current world_T_body; refined landmark
         positions are written back into the live bank so the next PnP
         solves against the improved map.
+
+        ``covariance`` is the tick's PnP pose covariance: a BA correction
+        smaller than the solve's own noise floor is indistinguishable from
+        noise and is NOT applied (same principle as the loop-closure
+        discrepancy gate) — at low-drift operating points BA then leaves
+        the stream untouched instead of reshuffling noise into it
+        (measured +0.9% ATE at the 320x200 flagship point before this),
+        while drift regimes whose corrections exceed the floor keep their
+        -21/-42% wins (tests/test_engine_ba_e2e.py).
         """
         ticks = list(self._ba_ticks)
         if len(ticks) < 4:
@@ -945,6 +1016,19 @@ class TpuSlamEngine(SlamEngine):
         if corr > self._ba_max_correction_m:
             self.last_diagnostics["ba_skip"] = f"correction {corr:.3f} m"
             return world_t_body  # junk guard: implausible jump
+        if covariance is not None:
+            # Noise-floor gate: a correction the PnP solve cannot itself
+            # distinguish from noise has nothing real to fix (see
+            # docstring). The window keeps accumulating; only the
+            # application is withheld.
+            floor = self._loop_noise_gate_sigma * float(
+                np.sqrt(max(np.trace(covariance[:3, :3]), 0.0))
+            )
+            if corr < floor:
+                self.last_diagnostics["ba_skip"] = (
+                    f"corr {corr:.4f} m < noise floor {floor:.4f} m"
+                )
+                return world_t_body
 
         # Write back: refined landmarks into the live bank (by id). A
         # landmark the solver moved implausibly far disagrees structurally
@@ -1144,9 +1228,12 @@ class TpuSlamEngine(SlamEngine):
 
         db_desc = np.stack([e["desc"] for e in self._loop_db])
         db_valid = np.stack([e["valid"] for e in self._loop_db])
+        db_desc, db_valid, mask = _pad_db(
+            db_desc, db_valid, np.ones(len(self._loop_db), np.float32)
+        )
         cand = loop.find_candidate(
             desc.bits, desc.valid, jnp.asarray(db_desc), jnp.asarray(db_valid),
-            jnp.ones(len(self._loop_db)),
+            jnp.asarray(mask),
         )
         if int(cand.votes) < self._loop_min_votes:
             return False

@@ -95,6 +95,24 @@ class RosBridge:  # pragma: no cover - ROS stack
          tf.transform.rotation.z, tf.transform.rotation.w) = quat
         self._tf.sendTransform(tf)
 
+    def publish_map_tf(self, map_t_odom) -> None:
+        """Broadcast map->odom (the loop-closure correction frame).
+
+        Completes the reference's TF tree: map -> odom -> base_link, where
+        odom carries smooth VO and map->odom absorbs loop corrections
+        (reference scripts/publish_odom_tf.py:35-99 derives the same
+        transform on the consumer side).
+        """
+        m = geometry.FLU_FROM_RDF @ np.asarray(map_t_odom, np.float64) @ geometry.RDF_FROM_FLU
+        quat = geometry.matrix_to_quat(m[:3, :3])
+        tf = TransformStamped()
+        tf.header.frame_id = "map"
+        tf.child_frame_id = self._odom_frame
+        tf.transform.translation.x, tf.transform.translation.y, tf.transform.translation.z = m[:3, 3]
+        (tf.transform.rotation.x, tf.transform.rotation.y,
+         tf.transform.rotation.z, tf.transform.rotation.w) = quat
+        self._tf.sendTransform(tf)
+
     def publish_rgbd(self, index: int, frame: RGBDFrame) -> None:
         """nvblox feed: /camera_{i}/{rgb,depth}/{image_raw,camera_info}."""
         if index not in self._rgbd_pubs:
