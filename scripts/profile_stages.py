@@ -1,8 +1,12 @@
 """Stage-by-stage TPU timing of the tracker pipeline.
 
-Usage: python -m scripts.profile_stages [WIDTHxHEIGHT] [num_cams]
+Usage: python -m scripts.profile_stages [WIDTHxHEIGHT] [num_cams] [--e2e]
 Times each stage jitted in isolation (10 reps after warm-up) to locate
-bottlenecks. Not part of the test suite.
+bottlenecks. With ``--e2e``, additionally attributes the END-TO-END
+``process_frames`` tick to named host-side stages (stage / upload /
+dispatch+compute / fetch / host state machine) — the breakdown that
+explains any gap between bench.py's ``e2e_fps`` and its measured
+transfer bound. Not part of the test suite.
 """
 
 from __future__ import annotations
@@ -132,6 +136,72 @@ def main():
     jax.block_until_ready(out.world_t_body)
     ms = (time.perf_counter() - t0) / reps * 1000.0
     print(f"{'FULL track_step':28s} {ms:8.2f} ms  ({1000.0 / ms:.1f} fps)", flush=True)
+
+    if "--e2e" in sys.argv:
+        profile_e2e(w, h, c)
+
+
+def profile_e2e(w: int, h: int, c: int, ticks: int = 30) -> None:
+    """Attribute one end-to-end process_frames tick to host-side stages.
+
+    Each stage is force-synced (block_until_ready), so the SUM exceeds the
+    pipelined production tick — the point is attribution, not throughput:
+    which named stage eats the gap between e2e_fps and the link bound.
+    """
+    from thor_slam_tpu.camera.types import CameraFrame, FrameSet, SynchronizedFrameSet
+    from thor_slam_tpu.engine import tracker as trk
+    from thor_slam_tpu.engine.tpu_engine import TpuSlamEngine
+    from thor_slam_tpu.slam.interface import SlamConfig
+    from thor_slam_tpu.utils.flagship import flagship_rig, render_sequence
+
+    _, _, calibration, sources, _, _ = flagship_rig(num_cams=c, width=w, height=h, max_keypoints=256)
+    seq = np.clip(np.asarray(render_sequence(sources, 6)) * 255.0, 0, 255).astype(np.uint8)
+    names = list(calibration.source_names)
+
+    def make_sync(i):
+        ts = i / 30.0
+        j = i % (2 * len(seq) - 2)
+        j = j if j < len(seq) else 2 * len(seq) - 2 - j
+        fsets = {
+            name: FrameSet(
+                timestamp=ts,
+                frames=[CameraFrame(seq[j, ci, k], ts, i, f"{name}_{k}") for k in range(2)],
+                source_name=name,
+            )
+            for ci, name in enumerate(names)
+        }
+        return SynchronizedFrameSet(timestamp=ts, frame_sets=fsets, max_time_delta=0.0)
+
+    engine = TpuSlamEngine(params=dict(max_keypoints=256), use_imu=False, enable_ba=False)
+    engine.initialize(calibration, SlamConfig(num_cameras=2 * c, enable_loop_closure=False))
+    for i in range(3):  # warm
+        engine.process_frames(make_sync(i))
+
+    agg = {k: 0.0 for k in ("stage", "upload", "dispatch+compute", "fetch", "host-state")}
+    for i in range(3, 3 + ticks):
+        sync = make_sync(i)
+        t0 = time.perf_counter()
+        flat = engine._stage_list(sync)
+        t1 = time.perf_counter()
+        images = engine._assemble(jax.device_put(flat))
+        jax.block_until_ready(images)
+        t2 = time.perf_counter()
+        pending = engine._dispatch_tick(images, sync)
+        jax.block_until_ready(pending["packed"])
+        t3 = time.perf_counter()
+        vals = jax.device_get(pending["packed"])
+        t4 = time.perf_counter()
+        engine._finalize_values(pending, vals)
+        t5 = time.perf_counter()
+        for k, d in zip(agg, (t1 - t0, t2 - t1, t3 - t2, t4 - t3, t5 - t4)):
+            agg[k] += d
+    print(f"\ne2e attribution ({c} cams @ {w}x{h}, {ticks} force-synced ticks):", flush=True)
+    total = sum(agg.values())
+    for k, v in agg.items():
+        ms = v / ticks * 1000.0
+        print(f"  {k:20s} {ms:8.2f} ms  ({100.0 * v / total:4.1f}%)", flush=True)
+    print(f"  {'TOTAL':20s} {total / ticks * 1000.0:8.2f} ms  ({ticks / total:.1f} fps force-synced)", flush=True)
+    engine.shutdown()
 
 
 if __name__ == "__main__":
