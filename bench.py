@@ -321,7 +321,12 @@ def main() -> None:
         low_bound = max(low_bound, _h2d_probe(num_cams, 640, 400), key=lambda b: b[0])
         log(f"640x400 stream {e2e_lowres:.1f} fps (bound {low_bound[1]:.1f})")
 
-    bound_720 = max(bounds.values(), key=lambda b: b[0])
+    # The bound each e2e figure answers to is the ADJACENT probe — the
+    # tunnel's health drifts an order of magnitude within a run (measured
+    # 1433 MB/s fresh -> ~30 MB/s after the large-transfer phases), so a
+    # fresh-link or best-case bound would misrepresent the steady state
+    # the e2e phases actually ran against.
+    bound_720 = bounds["post_stream"]
     result = {
         "metric": f"{num_cams}x{width}x{height}-stereo tracked FPS/chip (device tick)",
         "value": round(tick_fps, 2),
