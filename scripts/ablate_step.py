@@ -63,7 +63,7 @@ def main():
     def fake_pnp(key, pts, obs, valid, rot, tr, init, **kw):
         return pnp.PnPResult(
             body_t_world=init, inliers=valid, num_inliers=jnp.sum(valid),
-            rms_error=jnp.asarray(0.0),
+            rms_error=jnp.asarray(0.0), covariance=jnp.eye(6),
         )
     pnp.ransac_pnp = fake_pnp
     run("no RANSAC PnP")

@@ -33,9 +33,10 @@ def bench_fn(name, fn, *args, reps=10):
 
 
 def main():
-    res = sys.argv[1] if len(sys.argv) > 1 else "640x400"
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    res = pos[0] if pos else "640x400"
     w, h = (int(v) for v in res.split("x"))
-    c = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    c = int(pos[1]) if len(pos) > 1 else 4
     n = 512
 
     from thor_slam_tpu.engine import tracker as trk

@@ -143,7 +143,7 @@ def run(
                 pose_topic.publish(pose)
                 if ros_bridge is not None:
                     ros_bridge.publish_pose(pose)
-                    ros_bridge.publish_map_tf(engine.map_t_odom)
+                    ros_bridge.publish_map_tf(engine.map_t_odom, pose.timestamp)
 
             if frame_count % rgbd_every == 0:
                 with stats.stage("rgbd").time():

@@ -43,6 +43,14 @@ from thor_slam_tpu.slam.interface import (
 logger = logging.getLogger(__name__)
 
 
+def _next_pow2(k: int, floor: int = 8) -> int:
+    """Smallest power of two >= max(k, floor) (jit shape bucketing)."""
+    cap = floor
+    while cap < k:
+        cap *= 2
+    return cap
+
+
 def _pad_db(db_desc: np.ndarray, db_valid: np.ndarray, mask: np.ndarray):
     """Pad place-DB arrays to the next power-of-two keyframe count.
 
@@ -52,9 +60,7 @@ def _pad_db(db_desc: np.ndarray, db_valid: np.ndarray, mask: np.ndarray):
     ~log2(capacity) compiles per run; padded rows are masked out.
     """
     k = db_desc.shape[0]
-    cap = 8
-    while cap < k:
-        cap *= 2
+    cap = _next_pow2(k)
     if cap == k:
         return db_desc, db_valid, mask
     pad = cap - k
@@ -600,11 +606,9 @@ class TpuSlamEngine(SlamEngine):
             confidence=pose.confidence,
         )
         if pose.covariance is not None:
-            r = self._map_t_odom[:3, :3]
-            rot6 = np.zeros((6, 6))
-            rot6[:3, :3] = r
-            rot6[3:, 3:] = r
-            lifted.covariance = rot6 @ pose.covariance @ rot6.T
+            from thor_slam_tpu import geometry
+
+            lifted.covariance = geometry.rotate_cov6(self._map_t_odom[:3, :3], pose.covariance)
         return lifted
 
     def get_tracking_state(self) -> TrackingState:
@@ -816,14 +820,11 @@ class TpuSlamEngine(SlamEngine):
         # the jitted solve compiles O(log capacity) times, not per-closure.
         poses = np.stack([e["world_t_body"] for e in self._loop_db]).astype(np.float32)
         kk = poses.shape[0]
-        kk_pad = 8
-        while kk_pad < kk:
-            kk_pad *= 2
+        kk_pad = _next_pow2(kk)
         e_cap = kk_pad  # chain (kk-1 edges) + 1 loop edge + masked padding
         ei, ej, et, w = posegraph.sequential_graph(poses, capacity_edges=e_cap)
-        loop_pose = np.linalg.inv(np.asarray(ver.body_t_candidate, np.float64))
         ei[kk - 1], ej[kk - 1] = ci, kk - 1
-        et[kk - 1] = np.linalg.inv(self._loop_db[ci]["world_t_body"]) @ loop_pose
+        et[kk - 1] = np.linalg.inv(self._loop_db[ci]["world_t_body"]) @ loop_pose_est
         w[kk - 1] = 3.0
         poses_pad = np.tile(np.eye(4, dtype=np.float32), (kk_pad, 1, 1))
         poses_pad[:kk] = poses

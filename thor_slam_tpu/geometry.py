@@ -207,3 +207,15 @@ def se3_from_pose(position: np.ndarray, quat_xyzw: np.ndarray) -> np.ndarray:
 def pose_from_se3(m: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     """4x4 homogeneous transform -> (position, quaternion xyzw)."""
     return m[:3, 3].copy(), matrix_to_quat(m[:3, :3])
+
+
+def rotate_cov6(r: np.ndarray, cov: np.ndarray) -> np.ndarray:
+    """Rotate a 6x6 [position(3), orientation(3)] covariance by ``r``.
+
+    Both blocks conjugate with the same 3x3 rotation (block-diagonal
+    change of basis); cross-covariance blocks transform consistently.
+    """
+    rot6 = np.zeros((6, 6))
+    rot6[:3, :3] = r
+    rot6[3:, 3:] = r
+    return rot6 @ np.asarray(cov, np.float64) @ rot6.T

@@ -49,7 +49,10 @@ def _ros_time(ts: float):  # pragma: no cover - ROS stack
 class RosBridge:  # pragma: no cover - ROS stack
     """Publishes SlamPose / RGBDFrame objects as ROS 2 messages."""
 
-    def __init__(self, node_name: str = "thor_slam_tpu_bridge", odom_frame: str = "map") -> None:
+    def __init__(self, node_name: str = "thor_slam_tpu_bridge", odom_frame: str = "odom") -> None:
+        """``odom_frame`` is the frame of the SMOOTH odometry stream; loop
+        corrections arrive as the separate map->odom transform
+        (:meth:`publish_map_tf`), completing map -> odom -> base_link."""
         if not HAVE_ROS:
             raise ImportError("rclpy is not installed; the ROS edge is unavailable")
         if not rclpy.ok():
@@ -79,11 +82,7 @@ class RosBridge:  # pragma: no cover - ROS stack
         if pose.covariance is not None:
             # The covariance rides the same world-frame change of basis as
             # the pose (block-diagonal rotation of the 6x6).
-            r = geometry.FLU_FROM_RDF[:3, :3]
-            rot6 = np.zeros((6, 6))
-            rot6[:3, :3] = r
-            rot6[3:, 3:] = r
-            cov = rot6 @ np.asarray(pose.covariance, np.float64) @ rot6.T
+            cov = geometry.rotate_cov6(geometry.FLU_FROM_RDF[:3, :3], pose.covariance)
             msg.pose.covariance = list(cov.reshape(-1))
         self._odom_pub.publish(msg)
 
@@ -95,7 +94,7 @@ class RosBridge:  # pragma: no cover - ROS stack
          tf.transform.rotation.z, tf.transform.rotation.w) = quat
         self._tf.sendTransform(tf)
 
-    def publish_map_tf(self, map_t_odom) -> None:
+    def publish_map_tf(self, map_t_odom, timestamp: float = 0.0) -> None:
         """Broadcast map->odom (the loop-closure correction frame).
 
         Completes the reference's TF tree: map -> odom -> base_link, where
@@ -106,6 +105,7 @@ class RosBridge:  # pragma: no cover - ROS stack
         m = geometry.FLU_FROM_RDF @ np.asarray(map_t_odom, np.float64) @ geometry.RDF_FROM_FLU
         quat = geometry.matrix_to_quat(m[:3, :3])
         tf = TransformStamped()
+        tf.header.stamp = _ros_time(timestamp)
         tf.header.frame_id = "map"
         tf.child_frame_id = self._odom_frame
         tf.transform.translation.x, tf.transform.translation.y, tf.transform.translation.z = m[:3, 3]
