@@ -6,17 +6,23 @@ JSON line.
 
 Numbers measured and reported in that line:
 
-* ``value`` (the headline) — device-tick FPS at 4x1280x720: the fused
-  jitted VO step with images pre-staged on device. The chip's tracking
-  throughput.
+* ``value`` (the headline) — chip-rate tracked FPS at 4x1280x720: the
+  fused VO step scanned on device (``lax.scan``, one dispatch for the
+  whole sequence, images pre-staged). This is the chip's tracking
+  throughput, independent of the dev tunnel's per-dispatch overhead.
+* ``device_tick_fps`` — the same step dispatched per tick from the host
+  (one jit call per frame). On a PCIe host this converges to ``value``;
+  through the tunneled dev TPU it additionally pays a network round trip
+  per dispatch, so it mostly measures the link.
 * ``e2e_fps`` — online end-to-end FPS through
   ``TpuSlamEngine.process_frames`` fed host-resident uint8 frames at
   4x1280x720 (staging, pipelined upload, step, pose readback) in the
   VO-streaming configuration — what the reference's loop FPS measures
   (reference run_slam.py:324-328).
 * ``e2e_default_fps`` — the same loop with the DEFAULT-featured engine:
-  BA + IMU fusion + loop closure on (the shipped config), synchronous
-  per-tick pose. This is the number a robot actually gets.
+  BA + IMU fusion + loop closure on, pipelined depth-1 (the shipped
+  config/slam_config.yaml backend section). This is the number a robot
+  actually gets.
 * ``e2e_640x400_fps`` — VO-streaming e2e at 4x640x400, the reference's
   deployed resolution (reference config/slam_config.yaml).
 * ``transfer_bound_*`` — measured host->device link ceilings from probes
@@ -66,6 +72,61 @@ def _h2d_probe(num_cams, width, height, reps=5):
         jax.block_until_ready(jax.device_put(blob))
     mbps = reps * tick_mb / (time.perf_counter() - t0)
     return mbps, mbps / tick_mb  # (MB/s, bound FPS for this tick size)
+
+
+def _bench_device_scan(params, setup, sources, frames, seq_len):
+    """Chip-rate tracked FPS: `frames` ticks per ONE dispatch via lax.scan.
+
+    The per-dispatch loop (``_bench_device_tick``) pays the host->device
+    dispatch overhead per tick — on a tunneled dev TPU that is a network
+    round trip that can dwarf the ~1 ms compute (measured 13 ms/tick
+    through a churned tunnel vs 1.2 ms in a fresh process). Scanning the
+    step on device amortizes one dispatch across the whole sequence, so
+    this number is the CHIP's tracking throughput — what a PCIe-attached
+    robot host gets — independent of the dev link's health.
+
+    Each trial perturbs the initial pose (and the warm-up uses a third
+    value): the relay layer on hosted TPUs memoizes identical
+    executions, so repeating inputs would time the cache, not the chip.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from thor_slam_tpu.engine import tracker as trk
+    from thor_slam_tpu.utils.flagship import render_sequence
+
+    seq = render_sequence(sources, seq_len, xp=jnp)
+    seq = jax.block_until_ready(seq.astype(jnp.float32))
+    idx = jnp.asarray([_palindrome(i, seq_len) for i in range(frames)], jnp.int32)
+
+    @jax.jit
+    def run(state, seq, idx):
+        def body(st, i):
+            st, out = trk.track_step(params, setup, st, seq[i])
+            return st, (out.world_t_body, out.num_inliers)
+        return jax.lax.scan(body, state, idx)
+
+    def fresh_state(trial):
+        w0 = np.eye(4, dtype=np.float32)
+        w0[:3, 3] = 1e-4 * (trial + 1)
+        return trk.init_state(params, world_t_body0=jnp.asarray(w0))
+
+    # device_get, not block_until_ready, closes the timing window: through
+    # the hosted-TPU relay block_until_ready can return before the device
+    # has executed (measured "300k fps"); a host fetch cannot.
+    _, (poses, _) = run(fresh_state(99), seq, idx)
+    jax.device_get(poses)
+    best = 0.0
+    inl = 0
+    for trial in range(3):
+        state = fresh_state(trial)
+        t0 = time.perf_counter()
+        _, (poses, inliers) = run(state, seq, idx)
+        vals = jax.device_get((poses[-1], inliers[-1]))
+        best = max(best, frames / (time.perf_counter() - t0))
+        inl = int(vals[1])
+    return best, inl
 
 
 def _bench_device_tick(params, setup, sources, warmup, frames, seq_len):
@@ -170,7 +231,11 @@ def _bench_e2e(calibration, host_seq, seq_len, warmup, frames, mode):
         config = SlamConfig(num_cameras=2 * n_src, enable_loop_closure=False)
         with_imu = False
     else:
-        engine = TpuSlamEngine(params=dict(max_keypoints=256))  # all defaults
+        # The SHIPPED configuration (config/slam_config.yaml backend):
+        # BA + IMU + loop closure on, pipelined depth-1 (the reference's
+        # async-pose semantics — upload overlaps device compute, pose
+        # arrives one tick late).
+        engine = TpuSlamEngine(params=dict(max_keypoints=256), pipelined=True)
         config = SlamConfig(num_cameras=2 * n_src, enable_loop_closure=True)
         with_imu = True
 
@@ -305,7 +370,9 @@ def main() -> None:
         log(f"default {e2e_default:.1f} fps (bound {bounds['post_default'][1]:.1f}); device-tick phase...")
 
     tick_fps, tick_inliers = _bench_device_tick(params, setup, sources, warmup, frames, seq_len)
-    log(f"device tick {tick_fps:.1f} fps")
+    log(f"device tick (per-dispatch) {tick_fps:.1f} fps; scanned phase...")
+    scan_fps, scan_inliers = _bench_device_scan(params, setup, sources, frames, seq_len)
+    log(f"device scan {scan_fps:.1f} fps (chip rate, {frames} ticks/dispatch)")
 
     # The reference's deployed resolution: 4x640x400 (ref config/slam_config.yaml).
     e2e_lowres = None
@@ -328,10 +395,15 @@ def main() -> None:
     # the e2e phases actually ran against.
     bound_720 = bounds["post_stream"]
     result = {
-        "metric": f"{num_cams}x{width}x{height}-stereo tracked FPS/chip (device tick)",
-        "value": round(tick_fps, 2),
+        "metric": (
+            f"{num_cams}x{width}x{height}-stereo tracked FPS/chip "
+            f"(lax.scan, {frames} ticks/dispatch)"
+        ),
+        "value": round(scan_fps, 2),
         "unit": "fps",
-        "vs_baseline": round(tick_fps / 60.0, 3),
+        "vs_baseline": round(scan_fps / 60.0, 3),
+        "device_tick_fps": round(tick_fps, 2),
+        "num_inliers_scan_last": scan_inliers,
         "e2e_fps": round(e2e_stream, 2),
         "e2e_vs_baseline": round(e2e_stream / 60.0, 3),
         "e2e_deferred_fps": round(e2e_deferred, 2),

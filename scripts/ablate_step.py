@@ -5,6 +5,13 @@ Monkeypatches individual stages to no-ops and re-times the full fused step
 (fresh jit per variant). The difference full - ablated is that stage's true
 in-context cost, including fusion effects that per-stage microbenchmarks
 miss. Not part of the test suite.
+
+Methodology matches bench.py's device-tick phase: a palindrome over a
+RENDERED moving-scene sequence with threaded state, so every call sees
+fresh (state, image) inputs. Repeating inputs are a trap on hosted TPUs —
+the relay memoizes identical executions, and on featureless random noise
+the tracker state saturates to a fixed point, turning the loop into pure
+cache hits (measured 0.27 "ms" for a step that really takes ~13 ms).
 """
 
 from __future__ import annotations
@@ -14,17 +21,24 @@ import time
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 
-def time_step(step, state, f0, f1, reps=10):
-    state, out = step(state, f0)
-    state, out = step(state, f1)
-    jax.block_until_ready(out.world_t_body)
+def _palindrome(i: int, n: int) -> int:
+    j = i % (2 * n - 2)
+    return j if j < n else 2 * n - 2 - j
+
+
+def time_step(step, state, seq, reps=30):
+    n = seq.shape[0]
+    for i in range(4):
+        state, out = step(state, seq[_palindrome(i, n)])
+    jax.device_get(out.world_t_body)
     t0 = time.perf_counter()
-    for i in range(reps):
-        state, out = step(state, f0 if i % 2 else f1)
-    jax.block_until_ready(out.world_t_body)
+    for i in range(4, 4 + reps):
+        state, out = step(state, seq[_palindrome(i, n)])
+    # device_get, not block_until_ready: through the hosted-TPU relay
+    # block_until_ready can return before execution; a fetch cannot.
+    jax.device_get(out.world_t_body)
     return (time.perf_counter() - t0) / reps * 1000.0
 
 
@@ -35,16 +49,17 @@ def main():
     from thor_slam_tpu.engine import pnp, tracker as trk
     from thor_slam_tpu.ops import brief, fast, klt, match
     from thor_slam_tpu.ops import stereo as stereo_ops
-    from thor_slam_tpu.utils.flagship import flagship_rig
+    from thor_slam_tpu.utils.flagship import flagship_rig, render_sequence
 
-    params, setup, *_ = flagship_rig(num_cams=4, width=w, height=h, max_keypoints=512)
-    rng = np.random.default_rng(0)
-    f0 = jnp.asarray(rng.uniform(0, 1, (4, 2, h, w)).astype(np.float32))
-    f1 = jnp.asarray(rng.uniform(0, 1, (4, 2, h, w)).astype(np.float32))
+    params, setup, _, sources, _, _ = flagship_rig(
+        num_cams=4, width=w, height=h, max_keypoints=512
+    )
+    seq = render_sequence(sources, 12, xp=jnp)  # (T, C, 2, H, W)
+    seq = jax.block_until_ready(seq.astype(jnp.float32))
 
     def run(label):
         step = trk.make_track_step(params, setup)
-        ms = time_step(step, trk.init_state(params), f0, f1)
+        ms = time_step(step, trk.init_state(params), seq)
         print(f"{label:32s} {ms:8.2f} ms", flush=True)
         return ms
 

@@ -65,6 +65,7 @@ def run(
         enable_ba=cfg.backend.enable_ba,
         use_imu=cfg.backend.use_imu,
         prewarm_degraded=cfg.watchdog_timeout_s is not None,
+        pipelined=cfg.backend.pipelined,
         devices=cfg.backend.devices,
     )
     rig = CameraRig(
@@ -170,6 +171,7 @@ def run(
                 last_status = now
     finally:
         rig.stop()
+        engine.flush()  # finalize the in-flight pipelined tick
         m = engine.get_map()
         print(
             f"Done: {frame_count} frames | map: {len(m.points)} points, "

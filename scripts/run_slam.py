@@ -170,6 +170,7 @@ def run(
         enable_ba=cfg.backend.enable_ba,
         use_imu=cfg.backend.use_imu,
         prewarm_degraded=cfg.watchdog_timeout_s is not None,
+        pipelined=cfg.backend.pipelined,
         devices=cfg.backend.devices,
     )
     rig = CameraRig(
@@ -216,6 +217,9 @@ def run(
                 last_status = now
     finally:
         rig.stop()
+        final = engine.flush()  # finalize the in-flight pipelined tick
+        if final is not None:
+            pose_topic.publish(final)
         if save_map_path:
             ok = engine.save_map(save_map_path)
             logger.info("Map save to %s: %s", save_map_path, "ok" if ok else "FAILED")

@@ -263,12 +263,17 @@ class TestPipelinedMode:
         world = SyntheticWorld(half_extents=(4.0, 4.0, 2.0))
         traj = OrbitTrajectory(radius=1.5, angular_rate=0.5)
         sources, rig_ext, _, _ = make_synthetic_rig(spec, world=world, trajectory=traj)
+        # Defaults on (BA + IMU): the shipped config runs this exact
+        # combination pipelined, so equivalence must hold with the full
+        # feature set, not the pure-VO subset.
         engine = TpuSlamEngine(
             params=dict(max_keypoints=128, keyframe_min_inliers=40),
             pipelined=pipelined,
         )
         poses = []
-        with CameraRig(sources, rig_extrinsics=rig_ext) as rig:
+        with CameraRig(
+            sources, rig_extrinsics=rig_ext, imu_source=sources[0].name
+        ) as rig:
             engine.initialize(rig.calibration, SlamConfig(num_cameras=4))
             for _ in range(12):
                 sync = rig.get_synchronized_frames()

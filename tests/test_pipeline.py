@@ -196,6 +196,7 @@ nvblox_cameras: ["192.168.2.21"]
 backend:
   max_keypoints: 256
   enable_ba: true
+  pipelined: false
 synthetic:
   enabled: true
   num_cameras: 2
@@ -209,6 +210,7 @@ synthetic:
         assert cfg.rgbd_camera_ips() == ["192.168.2.21"]
         assert cfg.backend.max_keypoints == 256
         assert cfg.backend.enable_ba
+        assert not cfg.backend.pipelined
         assert cfg.synthetic.enabled and cfg.synthetic.num_cameras == 2
 
     def test_rgbd_fallback_to_flags(self):
@@ -221,6 +223,8 @@ synthetic:
         cfg = load_config("config/slam_config.yaml")
         assert cfg.num_cameras >= 2
         assert cfg.backend.max_keypoints == 512
+        # The shipped config runs the reference's async-pose semantics.
+        assert cfg.backend.pipelined
 
 
 class TestProfiling:

@@ -69,6 +69,11 @@ class BackendConfig:
     enable_ba: bool = True
     enable_loop_closure: bool = True
     use_imu: bool = True
+    #: Overlap host staging/upload with device compute (one-tick pose
+    #: latency). This is the reference's own semantics — its adapter
+    #: returns a cached pose set asynchronously by the odometry callback
+    #: (reference isaac_ros.py:308-325) — and what a robot should ship.
+    pipelined: bool = True
     #: SPMD: track over an N-device jax mesh (1 = single chip).
     devices: int = 1
     tracker: dict[str, Any] = field(default_factory=dict)
@@ -126,6 +131,7 @@ class RunConfig:
             enable_ba=bool(backend_d.get("enable_ba", True)),
             enable_loop_closure=bool(backend_d.get("enable_loop_closure", True)),
             use_imu=bool(backend_d.get("use_imu", True)),
+            pipelined=bool(backend_d.get("pipelined", True)),
             devices=int(backend_d.get("devices", 1)),
             tracker=dict(backend_d.get("tracker", {})),
         )
