@@ -215,6 +215,16 @@ def run(
             if now - last_status >= 2.0:  # reference cadence (run_slam.py:349)
                 print(stats.status_line(frame_count), flush=True)
                 last_status = now
+                if ros_bridge is not None and pose is not None:
+                    # RViz parity: cuVSLAM's landmark/observation clouds
+                    # (reference config/thor_visual_slam.rviz:78,110) at
+                    # status cadence — the map changes at keyframe rate.
+                    ros_bridge.publish_observations(
+                        engine.get_map().to_point_cloud(), pose.timestamp
+                    )
+                    ros_bridge.publish_landmarks(
+                        engine.get_landmark_cloud(), pose.timestamp
+                    )
     finally:
         rig.stop()
         final = engine.flush()  # finalize the in-flight pipelined tick

@@ -49,9 +49,11 @@ def vo_run(tmp_path_factory):
                 confs.append(pose.confidence)
                 covs.append(pose.covariance)
         slam_map = engine.get_map()
+        landmark_cloud = engine.get_landmark_cloud()
         save_path = str(tmp_path_factory.mktemp("maps") / "map.npz")
         saved = engine.save_map(save_path)
     return {
+        "landmark_cloud": landmark_cloud,
         "est": np.array(est),
         "gt": np.array(gt),
         "states": states,
@@ -123,6 +125,17 @@ class TestVisualOdometry:
         # box (triangulation noise can push outliers past it) and spread out.
         assert np.mean(np.abs(cloud[:, 0]) < 4.5) > 0.9
         assert cloud.std(axis=0).max() > 0.5
+
+    def test_landmark_cloud_superset_of_live_map(self, vo_run):
+        """get_landmark_cloud = live bank + place-DB history (the RViz
+        landmarks_cloud feed); at least as large as the live tracked set
+        and in the same (map) frame."""
+        cloud = vo_run["landmark_cloud"]
+        live = vo_run["map"].to_point_cloud()
+        assert cloud.shape[1] == 3
+        assert cloud.shape[0] >= live.shape[0] > 100
+        # Same world: cloud points also concentrate inside the room box.
+        assert np.mean(np.all(np.abs(cloud) < 5.0, axis=1)) > 0.8
 
     def test_save_map(self, vo_run):
         assert vo_run["saved"]

@@ -227,6 +227,28 @@ synthetic:
         assert cfg.backend.pipelined
 
 
+class TestRosBridgeHelpers:
+    """Pure parts of the ROS edge (no rclpy needed)."""
+
+    def test_pack_xyz_cloud_layout_and_frame(self):
+        from thor_slam_tpu import geometry
+        from thor_slam_tpu.slam.adapters.ros_bridge import pack_xyz_cloud
+
+        pts = np.array([[1.0, 2.0, 3.0], [-0.5, 0.25, 4.0]])
+        data, step, count = pack_xyz_cloud(pts)
+        assert (step, count) == (12, 2)
+        assert len(data) == step * count
+        unpacked = np.frombuffer(data, np.float32).reshape(-1, 3)
+        expected = pts @ geometry.FLU_FROM_RDF[:3, :3].T
+        np.testing.assert_allclose(unpacked, expected.astype(np.float32))
+
+    def test_pack_xyz_cloud_empty(self):
+        from thor_slam_tpu.slam.adapters.ros_bridge import pack_xyz_cloud
+
+        data, step, count = pack_xyz_cloud(np.zeros((0, 3)))
+        assert count == 0 and data == b""
+
+
 class TestProfiling:
     def test_rate_counter(self):
         rc = RateCounter()

@@ -1079,6 +1079,29 @@ class TpuSlamEngine(SlamEngine):
             timestamp=self._last_timestamp or 0.0,
         )
 
+    def get_landmark_cloud(self) -> np.ndarray:
+        """(M, 3) map-frame landmark cloud: live bank + place-DB history.
+
+        The live bank holds only the landmarks currently tracked (it is
+        the working set, bounded by ``max_keypoints``); keyframes retired
+        from tracking leave their landmarks behind in the place DB. The
+        union is the accumulated sparse map — the role of cuVSLAM's
+        ``/visual_slam/vis/landmarks_cloud`` (reference
+        config/thor_visual_slam.rviz:78), which the ROS bridge publishes
+        for RViz. ``get_map()`` remains the live tracked set (what
+        ``observations_cloud`` shows).
+        """
+        if self._tracker_state is None:
+            return np.zeros((0, 3))
+        clouds = []
+        pos = np.asarray(self._tracker_state.lm_pos_w, np.float64).reshape(-1, 3)
+        valid = np.asarray(self._tracker_state.lm_valid).reshape(-1)
+        m = self._map_t_odom
+        clouds.append(pos[valid] @ m[:3, :3].T + m[:3, 3])
+        for e in self._loop_db:
+            clouds.append(np.asarray(e["lm_w"], np.float64)[np.asarray(e["valid"])])
+        return np.concatenate(clouds) if clouds else np.zeros((0, 3))
+
     def save_map(self, path: str) -> bool:
         if self._tracker_state is None:
             return False

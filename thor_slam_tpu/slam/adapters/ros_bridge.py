@@ -31,7 +31,7 @@ try:  # pragma: no cover - ROS stack
     from geometry_msgs.msg import TransformStamped
     from nav_msgs.msg import Odometry
     from rclpy.node import Node
-    from sensor_msgs.msg import CameraInfo, Image
+    from sensor_msgs.msg import CameraInfo, Image, PointCloud2, PointField
     from tf2_ros import TransformBroadcaster
 
     HAVE_ROS = True
@@ -44,6 +44,20 @@ def _ros_time(ts: float):  # pragma: no cover - ROS stack
     t.sec = int(ts)
     t.nanosec = int((ts - int(ts)) * 1e9)
     return t
+
+
+def pack_xyz_cloud(points: np.ndarray) -> tuple[bytes, int, int]:
+    """Pack an (N, 3) array into PointCloud2 wire format.
+
+    RDF-world points are converted to the FLU world the ROS side uses
+    (same basis change as poses). Returns ``(data, point_step, count)``
+    for an unordered float32 xyz cloud — the layout cuVSLAM publishes on
+    its vis topics. Pure function (no ROS imports) so the packing is
+    unit-testable without rclpy.
+    """
+    pts = np.asarray(points, np.float64).reshape(-1, 3)
+    pts = pts @ geometry.FLU_FROM_RDF[:3, :3].T
+    return pts.astype(np.float32).tobytes(), 12, pts.shape[0]
 
 
 class RosBridge:  # pragma: no cover - ROS stack
@@ -64,6 +78,15 @@ class RosBridge:  # pragma: no cover - ROS stack
         )
         self._tf = TransformBroadcaster(self._node)
         self._rgbd_pubs: dict[str, tuple] = {}
+        # The reference's RViz layout displays cuVSLAM's landmark /
+        # observation clouds (reference config/thor_visual_slam.rviz:78,
+        # 110); ours come from the TPU engine instead.
+        self._landmarks_pub = self._node.create_publisher(
+            PointCloud2, "/visual_slam/vis/landmarks_cloud", 2
+        )
+        self._observations_pub = self._node.create_publisher(
+            PointCloud2, "/visual_slam/vis/observations_cloud", 2
+        )
 
     def publish_pose(self, pose: SlamPose) -> None:
         """Odometry + TF in FLU (converted from our RDF-consistent world)."""
@@ -112,6 +135,35 @@ class RosBridge:  # pragma: no cover - ROS stack
         (tf.transform.rotation.x, tf.transform.rotation.y,
          tf.transform.rotation.z, tf.transform.rotation.w) = quat
         self._tf.sendTransform(tf)
+
+    def _publish_cloud(self, pub, points: np.ndarray, timestamp: float) -> None:
+        data, step, count = pack_xyz_cloud(points)
+        msg = PointCloud2()
+        msg.header.stamp = _ros_time(timestamp)
+        msg.header.frame_id = "map"
+        msg.height = 1
+        msg.width = count
+        msg.fields = [
+            PointField(name=n, offset=4 * i, datatype=PointField.FLOAT32, count=1)
+            for i, n in enumerate("xyz")
+        ]
+        msg.is_bigendian = False
+        msg.point_step = step
+        msg.row_step = step * count
+        msg.is_dense = True
+        msg.data = data
+        pub.publish(msg)
+
+    def publish_landmarks(self, points: np.ndarray, timestamp: float) -> None:
+        """Accumulated sparse map on ``/visual_slam/vis/landmarks_cloud``
+        (feed with :meth:`TpuSlamEngine.get_landmark_cloud`)."""
+        self._publish_cloud(self._landmarks_pub, points, timestamp)
+
+    def publish_observations(self, points: np.ndarray, timestamp: float) -> None:
+        """Currently tracked landmarks on
+        ``/visual_slam/vis/observations_cloud`` (feed with
+        ``engine.get_map().to_point_cloud()``)."""
+        self._publish_cloud(self._observations_pub, points, timestamp)
 
     def publish_rgbd(self, index: int, frame: RGBDFrame) -> None:
         """nvblox feed: /camera_{i}/{rgb,depth}/{image_raw,camera_info}."""
