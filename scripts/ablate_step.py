@@ -91,17 +91,19 @@ def main():
     stereo_ops.refine_disparity_photometric = orig_ref
 
     # --- ablate detection (fixed grid keypoints) ---
-    orig_detect = fast.detect_keypoints
-    def fake_detect(im, threshold=0.0, max_keypoints=512, **kw):
+    orig_detect = fast.detect_keypoints_batched
+    def fake_detect(ims, threshold=0.0, max_keypoints=512, **kw):
+        c, h, w = ims.shape
         n = max_keypoints
-        xs = (jnp.arange(n) * 37 % (im.shape[1] - 60) + 30).astype(jnp.float32)
-        ys = (jnp.arange(n) * 23 % (im.shape[0] - 60) + 30).astype(jnp.float32)
+        xs = (jnp.arange(n) * 37 % (w - 60) + 30).astype(jnp.float32)
+        ys = (jnp.arange(n) * 23 % (h - 60) + 30).astype(jnp.float32)
+        xy = jnp.broadcast_to(jnp.stack([xs, ys], -1), (c, n, 2))
         return fast.Keypoints(
-            xy=jnp.stack([xs, ys], -1), score=jnp.ones(n), valid=jnp.ones(n, bool)
+            xy=xy, score=jnp.ones((c, n)), valid=jnp.ones((c, n), bool)
         )
-    fast.detect_keypoints = fake_detect
+    fast.detect_keypoints_batched = fake_detect
     run("no FAST detect")
-    fast.detect_keypoints = orig_detect
+    fast.detect_keypoints_batched = orig_detect
 
     # --- ablate descriptors+matching ---
     orig_match = match.match_descriptors

@@ -480,16 +480,16 @@ def run_keyframe_frontend(
     left_sm = jax.vmap(lambda im: gaussian_blur(im, 2.0, radius=4))(left)
     right_sm = jax.vmap(lambda im: gaussian_blur(im, 2.0, radius=4))(right)
 
-    detect = lambda im: fast.detect_keypoints(
-        im,
+    detect = lambda ims: fast.detect_keypoints_batched(
+        ims,
         threshold=p.fast_threshold,
         max_keypoints=p.max_keypoints,
         cell_size=p.cell_size,
         per_cell=p.per_cell,
         border_margin=p.border_margin,
     )
-    kp_l = jax.vmap(detect)(left)
-    kp_r = jax.vmap(detect)(right)
+    kp_l = detect(left)
+    kp_r = detect(right)
     describe = lambda im, xy, v: brief.compute_descriptors(
         im, xy, v, oriented=p.oriented_descriptors
     )

@@ -97,32 +97,20 @@ def _mask_border(score: jnp.ndarray, margin: int) -> jnp.ndarray:
     return jnp.where(inside, score, 0.0)
 
 
-@partial(jax.jit, static_argnames=("max_keypoints", "cell_size", "per_cell", "border_margin"))
-def detect_keypoints(
-    image: jnp.ndarray,
-    threshold: float = 0.06,
-    max_keypoints: int = 512,
-    cell_size: int = 32,
-    per_cell: int = 8,
-    border_margin: int = 20,
+def _select_keypoints(
+    raw: jnp.ndarray,
+    score: jnp.ndarray,
+    max_keypoints: int,
+    cell_size: int,
+    per_cell: int,
+    border_margin: int,
 ) -> Keypoints:
-    """FAST-9 detection -> NMS -> grid bucketing -> global top-N.
+    """Bucketing + top-N + subpixel selection from dense response maps.
 
-    Args:
-        image: (H, W) float32 in [0, 1].
-        threshold: Intensity contrast threshold (in [0,1] units; 0.06 ~ 15/255).
-        max_keypoints: Output capacity N (static).
-        cell_size: Bucketing cell side in pixels (static).
-        per_cell: Keypoints kept per cell before the global cut (static).
-        border_margin: Suppress detections within this many pixels of the
-            border (descriptor patches must fit).
-
-    Returns:
-        A :class:`Keypoints` of capacity ``max_keypoints``.
+    ``raw`` is the pre-NMS response (for the parabola fits), ``score`` the
+    NMS'd one. Shared by the XLA and Pallas score backends.
     """
-    h, w = image.shape
-    raw = fast_score_map(image, threshold)  # kept for subpixel refinement
-    score = nms3x3(raw)
+    h, w = raw.shape
     score = _mask_border(score, border_margin)
 
     # Pad to cell multiples, carve into cells, take per-cell top-k.
@@ -132,7 +120,19 @@ def detect_keypoints(
     padded = padded.at[:h, :w].set(score)
     cells = padded.reshape(gh, cell_size, gw, cell_size).transpose(0, 2, 1, 3)
     cells = cells.reshape(gh * gw, cell_size * cell_size)
-    cell_scores, cell_idx = jax.lax.top_k(cells, per_cell)  # (gh*gw, per_cell)
+    # Per-cell top-k as k rounds of (argmax, mask) on the VPU: identical
+    # results to lax.top_k (same tie order: first-lowest-index), but ~6x
+    # faster on TPU where top_k lowers to a full sort of every cell.
+    iota = jnp.arange(cells.shape[1], dtype=jnp.int32)[None, :]
+    remaining = cells
+    scores_rounds, idx_rounds = [], []
+    for _ in range(per_cell):
+        i = jnp.argmax(remaining, axis=1).astype(jnp.int32)
+        scores_rounds.append(jnp.max(remaining, axis=1))
+        idx_rounds.append(i)
+        remaining = jnp.where(iota == i[:, None], -1.0, remaining)
+    cell_scores = jnp.stack(scores_rounds, axis=1)  # (gh*gw, per_cell)
+    cell_idx = jnp.stack(idx_rounds, axis=1)
 
     # Cell-local flat index -> global (y, x).
     cell_ids = jnp.arange(gh * gw, dtype=jnp.int32)[:, None]
@@ -176,3 +176,83 @@ def detect_keypoints(
     xy = jnp.stack([xi.astype(jnp.float32) + dx, yi.astype(jnp.float32) + dy], axis=-1)
     valid = top_scores > 0.0
     return Keypoints(xy=jnp.where(valid[:, None], xy, 0.0), score=jnp.where(valid, top_scores, 0.0), valid=valid)
+
+
+@partial(jax.jit, static_argnames=("max_keypoints", "cell_size", "per_cell", "border_margin"))
+def detect_keypoints(
+    image: jnp.ndarray,
+    threshold: float = 0.06,
+    max_keypoints: int = 512,
+    cell_size: int = 32,
+    per_cell: int = 8,
+    border_margin: int = 20,
+) -> Keypoints:
+    """FAST-9 detection -> NMS -> grid bucketing -> global top-N.
+
+    Args:
+        image: (H, W) float32 in [0, 1].
+        threshold: Intensity contrast threshold (in [0,1] units; 0.06 ~ 15/255).
+        max_keypoints: Output capacity N (static).
+        cell_size: Bucketing cell side in pixels (static).
+        per_cell: Keypoints kept per cell before the global cut (static).
+        border_margin: Suppress detections within this many pixels of the
+            border (descriptor patches must fit).
+
+    Returns:
+        A :class:`Keypoints` of capacity ``max_keypoints``.
+    """
+    raw = fast_score_map(image, threshold)  # kept for subpixel refinement
+    score = nms3x3(raw)
+    return _select_keypoints(raw, score, max_keypoints, cell_size, per_cell, border_margin)
+
+
+def _pallas_backend() -> bool:
+    """True when the TPU Pallas score kernel should be used."""
+    import os
+
+    if os.environ.get("THOR_SLAM_DISABLE_PALLAS"):
+        return False
+    return jax.default_backend() not in ("cpu", "gpu")
+
+
+@partial(
+    jax.jit,
+    static_argnames=("max_keypoints", "cell_size", "per_cell", "border_margin"),
+)
+def detect_keypoints_batched(
+    images: jnp.ndarray,
+    threshold: float = 0.06,
+    max_keypoints: int = 512,
+    cell_size: int = 32,
+    per_cell: int = 8,
+    border_margin: int = 20,
+) -> Keypoints:
+    """:func:`detect_keypoints` over a (C, H, W) camera batch.
+
+    The tracker's hot entry point: on TPU the dense score maps come from the
+    fused Pallas stencil (:mod:`thor_slam_tpu.ops.fast_pallas`) when the
+    shape qualifies; elsewhere (CPU tests, odd shapes) from the XLA
+    formulation. Selection semantics are identical either way — the Pallas
+    kernel zeroes a 4 px border that ``border_margin`` (>= 20 in production)
+    already suppresses.
+    """
+    _, h, w = images.shape
+    use_pallas = _pallas_backend() and border_margin >= fast_pallas_border()
+    if use_pallas:
+        from thor_slam_tpu.ops import fast_pallas
+
+        use_pallas = fast_pallas.supports(h, w)
+    if use_pallas:
+        raw, score = fast_pallas.fast_scores_batched(images, threshold)
+    else:
+        raw = jax.vmap(lambda im: fast_score_map(im, threshold))(images)
+        score = jax.vmap(nms3x3)(raw)
+    select = lambda r, s: _select_keypoints(
+        r, s, max_keypoints, cell_size, per_cell, border_margin
+    )
+    return jax.vmap(select)(raw, score)
+
+
+def fast_pallas_border() -> int:
+    """The Pallas kernel's zeroed border width (import-cycle-free accessor)."""
+    return 4
