@@ -490,11 +490,11 @@ def run_keyframe_frontend(
     )
     kp_l = detect(left)
     kp_r = detect(right)
-    describe = lambda im, xy, v: brief.compute_descriptors(
-        im, xy, v, oriented=p.oriented_descriptors
+    describe = lambda ims, xy, v: brief.compute_descriptors_batched(
+        ims, xy, v, oriented=p.oriented_descriptors
     )
-    desc_l = jax.vmap(describe)(left_sm, kp_l.xy, kp_l.valid)
-    desc_r = jax.vmap(describe)(right_sm, kp_r.xy, kp_r.valid)
+    desc_l = describe(left_sm, kp_l.xy, kp_l.valid)
+    desc_r = describe(right_sm, kp_r.xy, kp_r.valid)
 
     # Stereo association on RECTIFIED COORDINATES (the images stay raw):
     # keypoints are lifted through undistortion + the rectifying rotation,

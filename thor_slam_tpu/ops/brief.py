@@ -128,25 +128,8 @@ def _bilinear_patch_sample(patches: jnp.ndarray, px: jnp.ndarray, py: jnp.ndarra
     return (v00 * (1 - fx) + v01 * fx) * (1 - fy) + (v10 * (1 - fx) + v11 * fx) * fy
 
 
-@partial(jax.jit, static_argnames=("oriented",))
-def compute_descriptors(
-    image: jnp.ndarray, xy: jnp.ndarray, valid: jnp.ndarray, oriented: bool = True
-) -> Descriptors:
-    """BRIEF-256 for keypoints ``xy`` on a (pre-smoothed) image.
-
-    Args:
-        image: (H, W) float32, ideally Gaussian-smoothed (sigma ~ 2).
-        xy: (N, 2) float32 keypoint positions.
-        valid: (N,) bool slot mask.
-        oriented: Steer the test pattern by the intensity-centroid angle
-            (rotation invariance). Upright BRIEF (False) is more precise and
-            is the right choice for stereo VO where in-plane rotation between
-            association candidates is small.
-
-    Returns:
-        :class:`Descriptors` with (N, 8) uint32 packed bits.
-    """
-    patches = extract_patches(image, xy)  # (N, P, P)
+def _describe_patches(patches: jnp.ndarray, valid: jnp.ndarray, oriented: bool) -> Descriptors:
+    """Descriptor computation from pre-extracted (N, P, P) patches."""
     n = patches.shape[0]
 
     if oriented:
@@ -179,3 +162,60 @@ def compute_descriptors(
     weights = (jnp.uint32(1) << jnp.arange(32, dtype=jnp.uint32))[None, None, :]
     packed = jnp.sum(bits.reshape(-1, NUM_WORDS, 32) * weights, axis=-1, dtype=jnp.uint32)
     return Descriptors(bits=packed, angle=angle, valid=valid)
+
+
+@partial(jax.jit, static_argnames=("oriented",))
+def compute_descriptors(
+    image: jnp.ndarray, xy: jnp.ndarray, valid: jnp.ndarray, oriented: bool = True
+) -> Descriptors:
+    """BRIEF-256 for keypoints ``xy`` on a (pre-smoothed) image.
+
+    Args:
+        image: (H, W) float32, ideally Gaussian-smoothed (sigma ~ 2).
+        xy: (N, 2) float32 keypoint positions.
+        valid: (N,) bool slot mask.
+        oriented: Steer the test pattern by the intensity-centroid angle
+            (rotation invariance). Upright BRIEF (False) is more precise and
+            is the right choice for stereo VO where in-plane rotation between
+            association candidates is small.
+
+    Returns:
+        :class:`Descriptors` with (N, 8) uint32 packed bits.
+    """
+    patches = extract_patches(image, xy)  # (N, P, P)
+    return _describe_patches(patches, valid, oriented)
+
+
+def _pallas_backend() -> bool:
+    import os
+
+    if os.environ.get("THOR_SLAM_DISABLE_PALLAS"):
+        return False
+    return jax.default_backend() not in ("cpu", "gpu")
+
+
+@partial(jax.jit, static_argnames=("oriented",))
+def compute_descriptors_batched(
+    images: jnp.ndarray, xy: jnp.ndarray, valid: jnp.ndarray, oriented: bool = True
+) -> Descriptors:
+    """:func:`compute_descriptors` over a (C, H, W) camera batch.
+
+    The tracker's hot entry point: on TPU the (C, N, P, P) patch tensor
+    comes from the Pallas DMA-gather kernel
+    (:mod:`thor_slam_tpu.ops.patches_pallas`) when the geometry qualifies;
+    elsewhere from the one-hot-matmul extraction. Identical numerics —
+    both are exact f32 reads of the smoothed image.
+    """
+    use_pallas = _pallas_backend()
+    if use_pallas:
+        from thor_slam_tpu.ops import patches_pallas
+
+        use_pallas = patches_pallas.supports(
+            images.shape[1], images.shape[2], xy.shape[1]
+        )
+    if use_pallas:
+        centers = jnp.round(xy).astype(jnp.int32)
+        patches = patches_pallas.extract_patches_batched(images, centers, size=PATCH_SIZE)
+    else:
+        patches = jax.vmap(extract_patches)(images, xy)
+    return jax.vmap(lambda p, v: _describe_patches(p, v, oriented))(patches, valid)
