@@ -66,12 +66,14 @@ def main():
     base = run("FULL")
 
     # --- ablate KLT ---
-    orig_klt = klt.track_points
+    orig_klt = klt.track_points_rig
     def fake_klt(prev_pyr, cur_pyr, pts_prev, pts_init, valid, **kw):
-        return klt.TrackResult(xy=pts_init, residual=jnp.zeros(pts_prev.shape[0]), valid=valid)
-    klt.track_points = fake_klt
+        return klt.TrackResult(
+            xy=pts_init, residual=jnp.zeros(pts_prev.shape[:2]), valid=valid
+        )
+    klt.track_points_rig = fake_klt
     run("no KLT")
-    klt.track_points = orig_klt
+    klt.track_points_rig = orig_klt
 
     # --- ablate RANSAC PnP ---
     orig_pnp = pnp.ransac_pnp

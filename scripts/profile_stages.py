@@ -105,10 +105,10 @@ def main():
     pyr1 = jax.vmap(downsample2)(img1)
     pyr2 = jax.vmap(downsample2)(pyr1)
     total += bench_fn(
-        "KLT track (MXU windows)",
-        lambda p0, p1, p2, pts: jax.vmap(
-            lambda a, b, cc, xy: klt.track_points((a, b, cc), (a, b, cc), xy, xy, jnp.ones(n, bool))
-        )(p0, p1, p2, pts),
+        "KLT track (rig-flat DMA)",
+        lambda p0, p1, p2, pts: klt.track_points_rig(
+            (p0, p1, p2), (p0, p1, p2), pts, pts, jnp.ones((c, n), bool)
+        ),
         img1, pyr1, pyr2, kp.xy,
     )
     from thor_slam_tpu.engine import pnp

@@ -227,7 +227,15 @@ def ransac_pnp(
     # Sample hypothesis subsets proportional to validity (gumbel top-k).
     gumbel = -jnp.log(-jnp.log(jax.random.uniform(key, (num_hypotheses, n)) + 1e-12) + 1e-12)
     scores = jnp.where(valid[None, :], gumbel, -jnp.inf)
-    _, subset_idx = jax.lax.top_k(scores, sample_size)  # (H, S)
+    # top-k as S rounds of (argmax, mask): lax.top_k lowers to a full row
+    # sort on TPU; S is tiny (6) so the iterative form is ~free.
+    iota_n = jnp.arange(n, dtype=jnp.int32)[None, :]
+    cols = []
+    for _ in range(sample_size):
+        i = jnp.argmax(scores, axis=1).astype(jnp.int32)
+        cols.append(i)
+        scores = jnp.where(iota_n == i[:, None], -jnp.inf, scores)
+    subset_idx = jnp.stack(cols, axis=1)  # (H, S)
 
     # Gather each hypothesis's subset and solve GN on (H, S) instead of
     # masking over (H, N): the gather is H*S ~ 100 rows (negligible even on

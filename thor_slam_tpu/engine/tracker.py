@@ -437,17 +437,13 @@ def run_hot_frontend(
 
     cur_pyr1 = jax.vmap(downsample2)(left)
     cur_pyr2 = jax.vmap(downsample2)(cur_pyr1)
-    tracks = jax.vmap(
-        lambda p0, p1, p2, c0, c1, c2, pts, init, v: klt.track_points(
-            (p0, p1, p2), (c0, c1, c2), pts, init, v,
-            num_levels=p.klt_levels, radius=p.klt_radius, iters=p.klt_iters,
-            max_residual=p.klt_max_residual,
-        )
-    )(
-        state.prev_left0, state.prev_left1, state.prev_left2,
-        left, cur_pyr1, cur_pyr2,
+    tracks = klt.track_points_rig(
+        (state.prev_left0, state.prev_left1, state.prev_left2),
+        (left, cur_pyr1, cur_pyr2),
         state.lm_px, uv_pred,
         state.lm_valid & in_front,
+        num_levels=p.klt_levels, radius=p.klt_radius, iters=p.klt_iters,
+        max_residual=p.klt_max_residual,
     )
 
     # Per-landmark 2D-3D correspondences: undistorted normalized coords in

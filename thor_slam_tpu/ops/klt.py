@@ -41,16 +41,46 @@ class TrackResult(NamedTuple):
     valid: jnp.ndarray
 
 
-def _extract_windows(image: jnp.ndarray, centers: jnp.ndarray, wr: int) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """(N, S, S) windows around integer centers; returns (windows, centers_clipped).
+def _pallas_backend() -> bool:
+    import os
 
-    One-hot-matmul extraction (MXU) — see ops.image.extract_patches_mxu.
+    if os.environ.get("THOR_SLAM_DISABLE_PALLAS"):
+        return False
+    return jax.default_backend() not in ("cpu", "gpu")
+
+
+def _extract_windows(
+    images: jnp.ndarray, cam: jnp.ndarray, centers: jnp.ndarray, wr: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """(M, S, S) windows around integer centers from a (C, H, W) stack.
+
+    ``cam`` is the per-window camera index and MUST be camera-major
+    (``repeat(arange(C), N)`` — the MXU fallback regroups by it). Returns
+    (windows, centers_clipped). On TPU the windows come from the Pallas
+    DMA gather (:mod:`thor_slam_tpu.ops.patches_pallas`) — the one-hot-
+    matmul extraction re-reads H*W*S MACs per window and dominated the
+    whole tracking tick before; the DMA engine moves just the patch bytes.
     """
-    h, w = image.shape
+    c, h, w = images.shape
+    size = 2 * wr + 1
     cx = jnp.clip(centers[:, 0], wr, w - wr - 1)
     cy = jnp.clip(centers[:, 1], wr, h - wr - 1)
-    win = extract_patches_mxu(image, jnp.stack([cx, cy], axis=-1), 2 * wr + 1)
-    return win, jnp.stack([cx, cy], axis=-1)
+    ctr = jnp.stack([cx, cy], axis=-1)
+    use_pallas = _pallas_backend()
+    if use_pallas:
+        from thor_slam_tpu.ops import patches_pallas
+
+        use_pallas = patches_pallas.supports(h, w, ctr.shape[0], size)
+    if use_pallas:
+        from thor_slam_tpu.ops import patches_pallas
+
+        win = patches_pallas.extract_patches_flat(images, cam, ctr, size)
+    else:
+        n = ctr.shape[0] // c
+        win = jax.vmap(lambda img, ct: extract_patches_mxu(img, ct, size))(
+            images, ctr.reshape(c, n, 2)
+        ).reshape(-1, size, size)
+    return win, ctr
 
 
 def _shifted_views(win: jnp.ndarray, radius: int, m: int) -> jnp.ndarray:
@@ -119,19 +149,24 @@ def _sample(views: jnp.ndarray, d: jnp.ndarray, m: int) -> jnp.ndarray:
 def _lk_level(
     prev: jnp.ndarray,
     cur: jnp.ndarray,
+    cam: jnp.ndarray,
     pts_prev: jnp.ndarray,
     pts_cur: jnp.ndarray,
     radius: int,
     iters: int,
     m: int,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Inverse-compositional LK at one level. Returns (positions, residual)."""
+    """Inverse-compositional LK at one level, flat over all rig tracks.
+
+    ``prev``/``cur`` are (C, h, w) stacks; ``cam`` maps each of the M
+    tracks to its camera (camera-major). Returns (positions, residual).
+    """
     wr = radius + m + 1
 
     c_prev = jnp.round(pts_prev).astype(jnp.int32)
     c_cur = jnp.round(pts_cur).astype(jnp.int32)
-    win_p, cp = _extract_windows(prev, c_prev, wr)
-    win_c, cc = _extract_windows(cur, c_cur, wr)
+    win_p, cp = _extract_windows(prev, cam, c_prev, wr)
+    win_c, cc = _extract_windows(cur, cam, c_cur, wr)
     # Force the extracted windows to materialize: without the barrier XLA
     # may fuse the gather (and everything upstream of the track positions)
     # into each of the (2m+2)^2 shifted-view slices, re-executing it ~100x
@@ -187,6 +222,78 @@ def _lk_level(
 
 
 @partial(jax.jit, static_argnames=("num_levels", "radius", "iters", "search"))
+def track_points_rig(
+    prev_pyramid: tuple[jnp.ndarray, ...],
+    cur_pyramid: tuple[jnp.ndarray, ...],
+    pts_prev: jnp.ndarray,
+    pts_init: jnp.ndarray,
+    valid: jnp.ndarray,
+    num_levels: int = 3,
+    radius: int = 4,
+    iters: int = 8,
+    max_residual: float = 0.08,
+    border: int = 4,
+    search: int = 4,
+) -> TrackResult:
+    """Track all rig points from the previous frame into the current one.
+
+    The whole rig is one flat batch of C*N tracks (per-track camera index),
+    so the Pallas window gather runs as a single kernel launch per level —
+    camera batching costs nothing and there is no vmap-of-pallas.
+
+    Args:
+        prev_pyramid: Tuple of (C, H/2^l, W/2^l) stacks, level 0 first.
+        cur_pyramid: Same structure for the current frame.
+        pts_prev: (C, N, 2) template positions in the previous frame.
+        pts_init: (C, N, 2) initial guesses in the current frame (e.g. the
+            pose-predicted reprojections).
+        valid: (C, N) bool input mask.
+        num_levels: Pyramid levels to use (static).
+        radius: Patch half-size (static).
+        iters: LK iterations per level (static).
+        max_residual: Mean-absolute-error acceptance gate (intensity units).
+        border: Reject tracks closer than this to the image border.
+        search: Per-level search half-range m in pixels (static). Total
+            capture range ~ search * (2^num_levels - 1) around pts_init.
+
+    Returns:
+        A :class:`TrackResult` with (C, N)-shaped fields.
+    """
+    assert len(prev_pyramid) >= num_levels and len(cur_pyramid) >= num_levels
+    c, n = pts_prev.shape[0], pts_prev.shape[1]
+    cam = jnp.repeat(jnp.arange(c, dtype=jnp.int32), n)
+    pts_prev = pts_prev.reshape(c * n, 2)
+    pts_init = pts_init.reshape(c * n, 2)
+
+    scale_top = 2.0 ** (num_levels - 1)
+    xy = pts_init / scale_top
+    resid = jnp.zeros(c * n)
+    for lvl in range(num_levels - 1, -1, -1):
+        s = 2.0**lvl
+        xy, resid = _lk_level(
+            prev_pyramid[lvl], cur_pyramid[lvl], cam, pts_prev / s, xy, radius, iters, search
+        )
+        if lvl > 0:
+            xy = xy * 2.0
+
+    h, w = cur_pyramid[0].shape[1:]
+    # The level-0 window must have fit: tracks closer to the border than the
+    # window radius were never photometrically verified. (jnp.maximum:
+    # ``border`` may arrive as a tracer through the single-camera wrapper.)
+    border = jnp.maximum(border, radius + search + 1)
+    in_bounds = (
+        (xy[:, 0] >= border)
+        & (xy[:, 0] < w - border)
+        & (xy[:, 1] >= border)
+        & (xy[:, 1] < h - border)
+    )
+    ok = valid.reshape(c * n) & in_bounds & (resid <= max_residual)
+    return TrackResult(
+        xy=xy.reshape(c, n, 2), residual=resid.reshape(c, n), valid=ok.reshape(c, n)
+    )
+
+
+@partial(jax.jit, static_argnames=("num_levels", "radius", "iters", "search"))
 def track_points(
     prev_pyramid: tuple[jnp.ndarray, ...],
     cur_pyramid: tuple[jnp.ndarray, ...],
@@ -200,48 +307,35 @@ def track_points(
     border: int = 4,
     search: int = 4,
 ) -> TrackResult:
-    """Track points from the previous frame into the current one.
+    """Single-camera :func:`track_points_rig` (same arguments, (N,)-shaped).
 
     Args:
         prev_pyramid: Tuple of (H/2^l, W/2^l) images, level 0 first.
         cur_pyramid: Same structure for the current frame.
         pts_prev: (N, 2) template positions in the previous frame.
-        pts_init: (N, 2) initial guesses in the current frame (e.g. the
-            pose-predicted reprojections).
+        pts_init: (N, 2) initial guesses in the current frame.
         valid: (N,) bool input mask.
         num_levels: Pyramid levels to use (static).
         radius: Patch half-size (static).
         iters: LK iterations per level (static).
         max_residual: Mean-absolute-error acceptance gate (intensity units).
         border: Reject tracks closer than this to the image border.
-        search: Per-level search half-range m in pixels (static). Total
-            capture range ~ search * (2^num_levels - 1) around pts_init.
+        search: Per-level search half-range m in pixels (static).
 
     Returns:
         A :class:`TrackResult`.
     """
-    assert len(prev_pyramid) >= num_levels and len(cur_pyramid) >= num_levels
-
-    scale_top = 2.0 ** (num_levels - 1)
-    xy = pts_init / scale_top
-    resid = jnp.zeros(pts_prev.shape[0])
-    for lvl in range(num_levels - 1, -1, -1):
-        s = 2.0**lvl
-        xy, resid = _lk_level(
-            prev_pyramid[lvl], cur_pyramid[lvl], pts_prev / s, xy, radius, iters, search
-        )
-        if lvl > 0:
-            xy = xy * 2.0
-
-    h, w = cur_pyramid[0].shape
-    # The level-0 window must have fit: tracks closer to the border than the
-    # window radius were never photometrically verified.
-    border = max(border, radius + search + 1)
-    in_bounds = (
-        (xy[:, 0] >= border)
-        & (xy[:, 0] < w - border)
-        & (xy[:, 1] >= border)
-        & (xy[:, 1] < h - border)
+    out = track_points_rig(
+        tuple(lv[None] for lv in prev_pyramid),
+        tuple(lv[None] for lv in cur_pyramid),
+        pts_prev[None],
+        pts_init[None],
+        valid[None],
+        num_levels=num_levels,
+        radius=radius,
+        iters=iters,
+        max_residual=max_residual,
+        border=border,
+        search=search,
     )
-    ok = valid & in_bounds & (resid <= max_residual)
-    return TrackResult(xy=xy, residual=resid, valid=ok)
+    return TrackResult(xy=out.xy[0], residual=out.residual[0], valid=out.valid[0])

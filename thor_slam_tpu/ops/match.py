@@ -123,11 +123,13 @@ def match_descriptors(
         gate = gate & allowed
     dist = jnp.where(gate, dist, _INF)
 
-    # Best and second best along B for the ratio test.
-    neg_top2, idx_top2 = jax.lax.top_k(-dist, 2)  # (N, 2)
-    best = -neg_top2[:, 0]
-    second = -neg_top2[:, 1]
-    best_idx = idx_top2[:, 0]
+    # Best and second best along B for the ratio test — two rounds of
+    # (min, argmin, mask) on the VPU instead of lax.top_k, which lowers to
+    # a full row sort on TPU. Tie order matches top_k (first lowest index).
+    best = jnp.min(dist, axis=1)
+    best_idx = jnp.argmin(dist, axis=1).astype(jnp.int32)
+    iota_b = jnp.arange(dist.shape[1], dtype=jnp.int32)[None, :]
+    second = jnp.min(jnp.where(iota_b == best_idx[:, None], _INF, dist), axis=1)
 
     # Mutual check: A-row i must also be B-column best_idx[i]'s argmin.
     b_best_of_a = jnp.argmin(dist, axis=0)  # (M,)

@@ -196,7 +196,14 @@ def _distributed_ransac_pnp(
     key = jax.random.fold_in(key, jax.lax.axis_index(axis_name))
     gumbel = -jnp.log(-jnp.log(jax.random.uniform(key, (hyp_per_device, n)) + 1e-12) + 1e-12)
     scores = jnp.where(valid[None, :], gumbel, -jnp.inf)
-    _, subset_idx = jax.lax.top_k(scores, sample_size)  # (Hl, S)
+    # Iterative top-k (see engine/pnp.py): avoids lax.top_k's full row sort.
+    iota_n = jnp.arange(n, dtype=jnp.int32)[None, :]
+    cols = []
+    for _ in range(sample_size):
+        i = jnp.argmax(scores, axis=1).astype(jnp.int32)
+        cols.append(i)
+        scores = jnp.where(iota_n == i[:, None], -jnp.inf, scores)
+    subset_idx = jnp.stack(cols, axis=1)  # (Hl, S)
 
     sub_pts = points_w[subset_idx]
     sub_obs = obs[subset_idx]
