@@ -179,12 +179,21 @@ def _lk_level(
     cc = cc.astype(jnp.float32)
 
     # Template + gradients at the (sub-pixel) previous position — fixed.
+    # All five template samples (t, central differences for gx/gy) ride ONE
+    # pass over views_p as a (5, K^2) x (K^2, P^2) matmul per track.
     d_t = jnp.clip(pts_prev - cp, -1.0, 1.0)
-    t = _sample(views_p, d_t, m)
     ex = jnp.array([1.0, 0.0])
     ey = jnp.array([0.0, 1.0])
-    gx = 0.5 * (_sample(views_p, d_t + ex, m) - _sample(views_p, d_t - ex, m))
-    gy = 0.5 * (_sample(views_p, d_t + ey, m) - _sample(views_p, d_t - ey, m))
+    w5 = jnp.stack(
+        [_interp_weights(d_t + o, m) for o in (0.0, ex, -ex, ey, -ey)], axis=1
+    )  # (M, 5, K^2)
+    tp = jnp.einsum(
+        "nks,nsp->nkp", w5, views_p,
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+    )
+    t = tp[:, 0]
+    gx = 0.5 * (tp[:, 1] - tp[:, 2])
+    gy = 0.5 * (tp[:, 3] - tp[:, 4])
 
     gxx = jnp.sum(gx * gx, axis=1)
     gxy = jnp.sum(gx * gy, axis=1)
@@ -193,12 +202,24 @@ def _lk_level(
     inv_ok = det > 1e-8
     det_safe = jnp.where(inv_ok, det, 1.0)
 
+    # The LK update needs only e.gx and e.gy, and sampling is linear:
+    #   (w2 @ views_c).gx = w2 @ (views_c @ gx).
+    # Projecting views_c onto (gx, gy) ONCE turns every iteration's
+    # (M, K^2, P^2) re-read — the tick's dominant HBM traffic — into a
+    # (M, K^2) contraction. The full patch is only materialized again for
+    # the final residual.
+    vproj = jnp.einsum(
+        "nsp,nkp->nsk", views_c, jnp.stack([gx, gy], axis=1),
+        preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST,
+    )  # (M, K^2, 2)
+    tgx = jnp.sum(t * gx, axis=1)
+    tgy = jnp.sum(t * gy, axis=1)
+
     def body(_, xy):
         d = jnp.clip(xy - cc, -m * 1.0, m * 1.0)
-        c = _sample(views_c, d, m)
-        e = c - t
-        bx = jnp.sum(e * gx, axis=1)
-        by = jnp.sum(e * gy, axis=1)
+        w2 = _interp_weights(d, m)
+        bx = jnp.sum(w2 * vproj[:, :, 0], axis=1) - tgx
+        by = jnp.sum(w2 * vproj[:, :, 1], axis=1) - tgy
         ux = (gyy * bx - gxy * by) / det_safe
         uy = (gxx * by - gxy * bx) / det_safe
         step = jnp.clip(jnp.stack([ux, uy], axis=-1), -radius * 1.0, radius * 1.0)
