@@ -117,3 +117,48 @@ class TestSyntheticMotion:
         motion = np.linalg.norm(np.asarray(res.xy)[ok] - np.asarray(kps.xy)[ok], axis=1)
         assert np.median(motion) < 6.0  # small inter-frame flow
         assert np.median(motion) > 0.05  # but nonzero (camera moved)
+
+
+class TestRigBatch:
+    def test_rig_flat_matches_per_camera(self):
+        """track_points_rig(C) must agree with C independent track_points calls.
+
+        The rig entry flattens all cameras into one batch with a per-track
+        camera index (one Pallas gather launch on TPU, regrouped MXU
+        fallback elsewhere); per-camera results must not bleed across the
+        camera axis.
+        """
+        import cv2
+
+        prev, cur, pts = [], [], []
+        shifts = [(2.0, -1.0), (-1.5, 0.5), (0.7, 2.2)]
+        for ci, (dx, dy) in enumerate(shifts):
+            img = textured(seed=10 + ci)
+            m = np.float32([[1, 0, dx], [0, 1, dy]])
+            prev.append(img)
+            cur.append(cv2.warpAffine(img, m, (160, 120)))
+            pts.append([[40.0 + 5 * ci, 40.0], [100.0, 60.0 + 4 * ci]])
+
+        pyr_p = [tuple(build_pyramid(jnp.asarray(p), 3)) for p in prev]
+        pyr_c = [tuple(build_pyramid(jnp.asarray(c), 3)) for c in cur]
+        singles = [
+            klt.track_points(pyr_p[ci], pyr_c[ci], jnp.asarray(pts[ci]),
+                             jnp.asarray(pts[ci]), jnp.ones(2, bool))
+            for ci in range(3)
+        ]
+
+        stack = lambda ps, lvl: jnp.stack([p[lvl] for p in ps])
+        rig = klt.track_points_rig(
+            tuple(stack(pyr_p, l) for l in range(3)),
+            tuple(stack(pyr_c, l) for l in range(3)),
+            jnp.asarray(pts), jnp.asarray(pts), jnp.ones((3, 2), bool),
+        )
+        for ci, single in enumerate(singles):
+            np.testing.assert_allclose(np.asarray(rig.xy[ci]), np.asarray(single.xy), atol=1e-5)
+            np.testing.assert_array_equal(np.asarray(rig.valid[ci]), np.asarray(single.valid))
+            assert bool(rig.valid[ci].all())
+            np.testing.assert_allclose(
+                np.asarray(rig.xy[ci]),
+                np.asarray(pts[ci]) + np.asarray(shifts[ci]),
+                atol=0.25,
+            )

@@ -172,9 +172,14 @@ def _lk_level(
     # into each of the (2m+2)^2 shifted-view slices, re-executing it ~100x
     # (measured: 74 ms vs 0.4 ms for the whole KLT call).
     win_p, win_c = jax.lax.optimization_barrier((win_p, win_c))
+    # No barrier on the views: views_p has exactly one consumer (the fused
+    # template matmul) and views_c two (gradient projection + final
+    # residual), so the worst case is re-running the cheap im2col on the
+    # small materialized windows — far cheaper than writing + re-reading
+    # the (M, K^2, P^2) tensors through HBM. (The barrier above still
+    # protects the Pallas gather from being re-executed per consumer.)
     views_p = _shifted_views(win_p, radius, m)
     views_c = _shifted_views(win_c, radius, m)
-    views_p, views_c = jax.lax.optimization_barrier((views_p, views_c))
     cp = cp.astype(jnp.float32)
     cc = cc.astype(jnp.float32)
 
