@@ -15,6 +15,8 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+
+from thor_slam_tpu.utils.platform import pallas_backend
 import numpy as np
 
 from thor_slam_tpu.ops.image import extract_patches_mxu
@@ -186,14 +188,6 @@ def compute_descriptors(
     return _describe_patches(patches, valid, oriented)
 
 
-def _pallas_backend() -> bool:
-    import os
-
-    if os.environ.get("THOR_SLAM_DISABLE_PALLAS"):
-        return False
-    return jax.default_backend() not in ("cpu", "gpu")
-
-
 @partial(jax.jit, static_argnames=("oriented",))
 def compute_descriptors_batched(
     images: jnp.ndarray, xy: jnp.ndarray, valid: jnp.ndarray, oriented: bool = True
@@ -206,7 +200,7 @@ def compute_descriptors_batched(
     elsewhere from the one-hot-matmul extraction. Identical numerics —
     both are exact f32 reads of the smoothed image.
     """
-    use_pallas = _pallas_backend()
+    use_pallas = pallas_backend()
     if use_pallas:
         from thor_slam_tpu.ops import patches_pallas
 

@@ -22,6 +22,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from thor_slam_tpu.utils.platform import pallas_backend
+
 # FAST-16 Bresenham circle, radius 3, clockwise from 12 o'clock: (dy, dx).
 CIRCLE_OFFSETS = (
     (-3, 0), (-3, 1), (-2, 2), (-1, 3), (0, 3), (1, 3), (2, 2), (3, 1),
@@ -206,15 +208,6 @@ def detect_keypoints(
     return _select_keypoints(raw, score, max_keypoints, cell_size, per_cell, border_margin)
 
 
-def _pallas_backend() -> bool:
-    """True when the TPU Pallas score kernel should be used."""
-    import os
-
-    if os.environ.get("THOR_SLAM_DISABLE_PALLAS"):
-        return False
-    return jax.default_backend() not in ("cpu", "gpu")
-
-
 @partial(
     jax.jit,
     static_argnames=("max_keypoints", "cell_size", "per_cell", "border_margin"),
@@ -237,7 +230,7 @@ def detect_keypoints_batched(
     already suppresses.
     """
     _, h, w = images.shape
-    use_pallas = _pallas_backend() and border_margin >= fast_pallas_border()
+    use_pallas = pallas_backend() and border_margin >= fast_pallas_border()
     if use_pallas:
         from thor_slam_tpu.ops import fast_pallas
 

@@ -24,6 +24,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from thor_slam_tpu.utils.platform import pallas_backend
+
 from thor_slam_tpu.ops.image import extract_patches_mxu
 
 
@@ -39,14 +41,6 @@ class TrackResult(NamedTuple):
     xy: jnp.ndarray
     residual: jnp.ndarray
     valid: jnp.ndarray
-
-
-def _pallas_backend() -> bool:
-    import os
-
-    if os.environ.get("THOR_SLAM_DISABLE_PALLAS"):
-        return False
-    return jax.default_backend() not in ("cpu", "gpu")
 
 
 def _extract_windows(
@@ -66,7 +60,7 @@ def _extract_windows(
     cx = jnp.clip(centers[:, 0], wr, w - wr - 1)
     cy = jnp.clip(centers[:, 1], wr, h - wr - 1)
     ctr = jnp.stack([cx, cy], axis=-1)
-    use_pallas = _pallas_backend()
+    use_pallas = pallas_backend()
     if use_pallas:
         from thor_slam_tpu.ops import patches_pallas
 

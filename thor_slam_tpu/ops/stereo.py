@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from thor_slam_tpu.ops.match import popcount_u32
+from thor_slam_tpu.utils.platform import pallas_backend
 
 # Python scalar, NOT jnp.float32: module-level device arrays captured in
 # executables poison h2d throughput on hosted TPUs (see ops/match.py).
@@ -202,15 +203,30 @@ def sgm_disparity(
     # branch costs nothing.
     exact_in_bf16 = p1 == int(p1) and p2 == int(p2) and 24 + p2 < 250
     cost16 = cost.astype(jnp.bfloat16) if exact_in_bf16 else cost
-    agg = _sgm_scan_one_direction(cost16, p1, p2, axis=2, reverse=False).astype(jnp.float32)
-    agg = agg + _sgm_scan_one_direction(cost16, p1, p2, axis=2, reverse=True).astype(jnp.float32)
-    if num_paths >= 4:
-        agg = agg + _sgm_scan_one_direction(cost16, p1, p2, axis=1, reverse=False).astype(
-            jnp.float32
-        )
-        agg = agg + _sgm_scan_one_direction(cost16, p1, p2, axis=1, reverse=True).astype(
-            jnp.float32
-        )
+
+    # On TPU the aggregation runs as the Pallas streaming scan (exact
+    # recurrence, one HBM pass per direction; measured 29 -> 9 ms for all
+    # four directions at 720p/96). The XLA blocked-halo scan remains the
+    # CPU / odd-geometry / f32 fallback.
+    use_pallas = exact_in_bf16 and pallas_backend()
+    if use_pallas:
+        from thor_slam_tpu.ops import sgm_pallas
+
+        use_pallas = sgm_pallas.supported_for(num_disparities, *left.shape)
+    if use_pallas:
+        from thor_slam_tpu.ops import sgm_pallas
+
+        agg = sgm_pallas.sgm_aggregate_4dir(cost16, p1, p2, num_paths=num_paths)
+    else:
+        agg = _sgm_scan_one_direction(cost16, p1, p2, axis=2, reverse=False).astype(jnp.float32)
+        agg = agg + _sgm_scan_one_direction(cost16, p1, p2, axis=2, reverse=True).astype(jnp.float32)
+        if num_paths >= 4:
+            agg = agg + _sgm_scan_one_direction(cost16, p1, p2, axis=1, reverse=False).astype(
+                jnp.float32
+            )
+            agg = agg + _sgm_scan_one_direction(cost16, p1, p2, axis=1, reverse=True).astype(
+                jnp.float32
+            )
 
     d_best = jnp.argmin(agg, axis=0)  # (H, W)
     h, w = left.shape

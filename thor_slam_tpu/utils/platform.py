@@ -32,3 +32,16 @@ def force_cpu() -> None:
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+
+
+def pallas_backend() -> bool:
+    """True when the TPU Pallas kernels should run (Mosaic-capable backend).
+
+    ``THOR_SLAM_DISABLE_PALLAS=1`` forces the portable XLA fallbacks —
+    the escape hatch for debugging kernel/XLA discrepancies in place.
+    """
+    if os.environ.get("THOR_SLAM_DISABLE_PALLAS"):
+        return False
+    import jax
+
+    return jax.default_backend() not in ("cpu", "gpu")
