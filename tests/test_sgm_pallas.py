@@ -75,3 +75,62 @@ def test_geometry_gate():
     assert sgm_pallas.supported_for(64, 400, 640)
     assert not sgm_pallas.supported_for(50, 720, 1280)  # D % 16 != 0
     assert not sgm_pallas.supported_for(64, 719, 1280)  # prime-ish path length
+
+
+def test_winner_lr_matches_xla_tail():
+    """The fused winner kernel must reproduce the XLA tail bit-for-bit."""
+    rng = np.random.default_rng(3)
+    d, h, w = 16, 32, 256
+    agg = jnp.asarray(rng.integers(0, 400, (d, h, w)).astype(np.float32))
+
+    db, c0, cm, cp, sec, dra = (
+        np.asarray(v) for v in sgm_pallas.winner_lr(agg, d, interpret=True)
+    )
+
+    a = np.asarray(agg)
+    ref_db = a.argmin(axis=0)
+    idx = np.arange(d)[:, None, None]
+
+    def at(dsel):
+        dc = np.clip(dsel, 0, d - 1)
+        return np.take_along_axis(a, dc[None], axis=0)[0]
+
+    np.testing.assert_array_equal(db, ref_db)
+    np.testing.assert_array_equal(c0, at(ref_db))
+    np.testing.assert_array_equal(cm, at(ref_db - 1))
+    np.testing.assert_array_equal(cp, at(ref_db + 1))
+    masked = np.where(np.abs(idx - ref_db[None]) <= 1, 1e9, a)
+    np.testing.assert_array_equal(sec, masked.min(axis=0))
+
+    big = 1e9
+    agg_r = np.stack(
+        [np.concatenate([a[dd, :, dd:], np.full((h, dd), big, np.float32)], 1) for dd in range(d)]
+    )
+    ref_dbr = agg_r.argmin(axis=0)
+    shifted = np.stack(
+        [np.concatenate([np.zeros((h, dd), np.int64), ref_dbr[:, : w - dd]], 1) for dd in range(d)]
+    )
+    ref_dra = np.take_along_axis(shifted, ref_db[None], axis=0)[0]
+    np.testing.assert_array_equal(dra, ref_dra)
+
+
+def test_sgm_disparity_known_shift():
+    """End-to-end sgm_disparity on a synthetic constant-disparity pair."""
+    from thor_slam_tpu.ops import stereo
+
+    rng = np.random.default_rng(4)
+    h, w, shift = 64, 256, 5
+    base = rng.uniform(0, 1, (h, w + shift)).astype(np.float32)
+    import cv2
+
+    base = cv2.GaussianBlur(base, (5, 5), 1.0)
+    # left[x] = base[x]; right[x] = base[x + shift] => left matches right
+    # at x - shift, i.e. constant disparity = +shift.
+    left = jnp.asarray(base[:, :w])
+    right = jnp.asarray(base[:, shift : shift + w])
+    disp, valid = stereo.sgm_disparity(left, right, num_disparities=16)
+    disp, valid = np.asarray(disp), np.asarray(valid)
+    inner = valid[:, 24:]  # left margin can't match
+    assert inner.mean() > 0.5
+    err = np.abs(disp[:, 24:][inner] - shift)
+    assert np.median(err) < 0.5

@@ -188,3 +188,139 @@ def supported_for(num_disparities: int, height: int, width: int) -> bool:
         and _pick_block(width) >= 32
         and _pick_block(height) >= 32
     )
+
+
+# ---------------------------------------------------------------- winner/LR
+
+_TH = 16  # rows per winner-kernel program
+_WIN = 3 * _LANES  # DMA window width: covers TW + 2*(D-1) for D <= 128
+
+
+def _winner_kernel(
+    agg_hbm, db_ref, c0_ref, cm_ref, cp_ref, sec_ref, dra_ref, blk, sem, *, d
+):
+    """Fused disparity selection from one (D, TH, WIN) aggregated window.
+
+    For the TW output columns of this program, one VMEM-resident window
+    yields: the winning disparity, the parabola neighbors (clipped like
+    ``at_disp``), the second-best outside +/-1 (uniqueness), AND the
+    right-view winner at each left pixel's match (the left-right check) —
+    work the XLA formulation spreads over ~8 full-volume passes and two
+    extra (D, H, W) materializations.
+
+    The input is the aggregated volume PADDED along W with D-1 leading and
+    trailing _BIG columns, so every windowed read is in-bounds and the
+    pad's argmin (0) reproduces the XLA fallback's zero-padded
+    right-disparity semantics exactly.
+    """
+    i = pl.program_id(0)
+    j = pl.program_id(1)
+    pltpu.make_async_copy(
+        agg_hbm.at[:, pl.ds(i * _TH, _TH), pl.ds(j * _LANES, _WIN)], blk, sem
+    ).start()
+    pltpu.make_async_copy(
+        agg_hbm.at[:, pl.ds(i * _TH, _TH), pl.ds(j * _LANES, _WIN)], blk, sem
+    ).wait()
+
+    tw = _LANES
+    big = jnp.float32(_BIG * 8.0)
+
+    # Pass A: winning disparity over the central TW columns.
+    vb = jnp.full((_TH, tw), big, jnp.float32)
+    db = jnp.zeros((_TH, tw), jnp.int32)
+    for dd in range(d):
+        v = blk[dd, :, d - 1 : d - 1 + tw]
+        take = v < vb
+        vb = jnp.where(take, v, vb)
+        db = jnp.where(take, dd, db)
+
+    # Pass B: parabola neighbors (at_disp-clipped) + second-best outside
+    # +/-1 of the winner.
+    dbm = jnp.maximum(db - 1, 0)
+    dbp = jnp.minimum(db + 1, d - 1)
+    c0 = jnp.zeros((_TH, tw), jnp.float32)
+    cm = jnp.zeros((_TH, tw), jnp.float32)
+    cp = jnp.zeros((_TH, tw), jnp.float32)
+    sec = jnp.full((_TH, tw), big, jnp.float32)
+    for dd in range(d):
+        v = blk[dd, :, d - 1 : d - 1 + tw]
+        c0 = jnp.where(db == dd, v, c0)
+        cm = jnp.where(dbm == dd, v, cm)
+        cp = jnp.where(dbp == dd, v, cp)
+        sec = jnp.where(jnp.abs(db - dd) > 1, jnp.minimum(sec, v), sec)
+
+    # Right-view winners for every column a left pixel can match:
+    # dbr[w] = argmin_dd blk[dd, :, w + dd], local w in [0, D-1+TW).
+    wr = d - 1 + tw
+    vbr = jnp.full((_TH, wr), big, jnp.float32)
+    dbr = jnp.zeros((_TH, wr), jnp.int32)
+    for dd in range(d):
+        v = blk[dd, :, dd : dd + wr]
+        take = v < vbr
+        vbr = jnp.where(take, v, vbr)
+        dbr = jnp.where(take, dd, dbr)
+    # Columns left of the image (x_r < 0) read the left pad, where larger
+    # disparities still reach real data — but the XLA tail defines the
+    # right-view disparity there as 0 (its zero-pad). Match it exactly;
+    # these pixels are invalidated by in_range regardless.
+    xr_global = j * tw - (d - 1) + jax.lax.broadcasted_iota(jnp.int32, (_TH, wr), 1)
+    dbr = jnp.where(xr_global >= 0, dbr, 0)
+
+    # d_r_at[y, x] = dbr[y, (D-1) + x - db[y, x]].
+    dra = jnp.zeros((_TH, tw), jnp.int32)
+    for dd in range(d):
+        dra = jnp.where(db == dd, dbr[:, d - 1 - dd : d - 1 - dd + tw], dra)
+
+    db_ref[:] = db
+    c0_ref[:] = c0
+    cm_ref[:] = cm
+    cp_ref[:] = cp
+    sec_ref[:] = sec
+    dra_ref[:] = dra
+
+
+@partial(jax.jit, static_argnames=("num_disparities", "interpret"))
+def winner_lr(
+    agg: jnp.ndarray, num_disparities: int, interpret: bool = False
+) -> tuple[jnp.ndarray, ...]:
+    """Disparity winners + LR-check data from a (D, H, W) f32 volume.
+
+    Returns (d_best i32, c0, c_minus, c_plus, second f32, d_r_at i32), all
+    (H, W) — everything :func:`thor_slam_tpu.ops.stereo.sgm_disparity`
+    needs after aggregation, in one pass over the volume.
+    """
+    d, h, w = agg.shape
+    if not (d == num_disparities and d % 8 == 0 and d <= 128 and h % _TH == 0):
+        raise ValueError(f"unsupported winner geometry: D={d}, H={h}, W={w}")
+    nw = pl.cdiv(w, _LANES)
+    # Pad W so every (3*LANES)-wide window is in-bounds; _BIG columns never
+    # win and reproduce the fallback's zero-pad LR semantics.
+    w_ext = (nw - 1) * _LANES + _WIN
+    agg_pad = jnp.pad(
+        agg, ((0, 0), (0, 0), (d - 1, w_ext - w - (d - 1))), constant_values=_BIG * 8.0
+    )
+
+    out_shapes = [
+        jax.ShapeDtypeStruct((h, w), jnp.int32),
+        jax.ShapeDtypeStruct((h, w), jnp.float32),
+        jax.ShapeDtypeStruct((h, w), jnp.float32),
+        jax.ShapeDtypeStruct((h, w), jnp.float32),
+        jax.ShapeDtypeStruct((h, w), jnp.float32),
+        jax.ShapeDtypeStruct((h, w), jnp.int32),
+    ]
+    out_spec = pl.BlockSpec((_TH, _LANES), lambda i, j: (i, j), memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        partial(_winner_kernel, d=d),
+        grid=(h // _TH, nw),
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        out_specs=[out_spec] * 6,
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((d, _TH, _WIN), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(agg_pad)

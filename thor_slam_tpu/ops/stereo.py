@@ -228,22 +228,60 @@ def sgm_disparity(
                 jnp.float32
             )
 
-    d_best = jnp.argmin(agg, axis=0)  # (H, W)
     h, w = left.shape
-    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    use_winner = use_pallas and h % 16 == 0 and num_disparities <= 128
+    if use_winner:
+        from thor_slam_tpu.ops import sgm_pallas
 
-    # Per-pixel volume reads as one-hot reductions over D (XLA gathers are
-    # scalar-bound on TPU; a D-wide masked min/sum is pure VPU bandwidth).
-    d_idx = jax.lax.broadcasted_iota(jnp.int32, agg.shape, 0)
+        # One fused volume pass: winner, at_disp-clipped parabola
+        # neighbors, second-best outside +/-1, and the right-view winner at
+        # each left match (the XLA tail below spreads this over ~8 volume
+        # passes plus two (D, H, W) materializations).
+        d_best, c0, cm, cp, second, d_r_at = sgm_pallas.winner_lr(agg, num_disparities)
+    else:
+        d_best = jnp.argmin(agg, axis=0)  # (H, W)
 
-    def at_disp(vol, d):
-        dc = jnp.clip(d, 0, num_disparities - 1)
-        onehot = d_idx == dc[None]
-        return jnp.sum(jnp.where(onehot, vol, 0.0), axis=0)
+        # Per-pixel volume reads as one-hot reductions over D (XLA gathers
+        # are scalar-bound on TPU; a D-wide masked min/sum is pure VPU
+        # bandwidth).
+        d_idx = jax.lax.broadcasted_iota(jnp.int32, agg.shape, 0)
 
-    c0 = at_disp(agg, d_best)
-    cm = at_disp(agg, d_best - 1)
-    cp = at_disp(agg, d_best + 1)
+        def at_disp(vol, d):
+            dc = jnp.clip(d, 0, num_disparities - 1)
+            onehot = d_idx == dc[None]
+            return jnp.sum(jnp.where(onehot, vol, 0.0), axis=0)
+
+        c0 = at_disp(agg, d_best)
+        cm = at_disp(agg, d_best - 1)
+        cp = at_disp(agg, d_best + 1)
+
+        # Uniqueness: best must beat the second-best (outside +/-1) clearly.
+        masked = jnp.where(jnp.abs(d_idx - d_best[None]) <= 1, _BIG, agg)
+        second = jnp.min(masked, axis=0)
+
+        # Left-right check from the same volume: cost_R[d, y, x] =
+        # cost_L[d, y, x + d] — a per-disparity SHIFT, expressed as D static
+        # slices (a take_along_axis here is a whole-volume gather: measured
+        # ~160 ms).
+        agg_r = jnp.stack(
+            [
+                jnp.concatenate([agg[dd, :, dd:], jnp.full((h, dd), _BIG)], axis=1)
+                for dd in range(num_disparities)
+            ]
+        )
+        d_best_r = jnp.argmin(agg_r, axis=0)  # (H, W) right-image disparities
+        # For each left pixel: right-view disparity at (x - d_L). Shift each
+        # candidate disparity's map right by d and select (static slices).
+        d_r_shifted = jnp.stack(
+            [
+                jnp.concatenate(
+                    [jnp.zeros((h, dd), d_best_r.dtype), d_best_r[:, : w - dd]], axis=1
+                )
+                for dd in range(num_disparities)
+            ]
+        )  # (D, H, W): d_r_shifted[d, y, x] = d_best_r[y, x - d]
+        onehot_best = d_idx == d_best[None]
+        d_r_at = jnp.sum(jnp.where(onehot_best, d_r_shifted, 0), axis=0)
 
     # Subpixel parabola: offset = (cm - cp) / (2*(cm - 2c0 + cp)).
     denom = cm - 2.0 * c0 + cp
@@ -253,33 +291,9 @@ def sgm_disparity(
         (d_best > 0) & (d_best < num_disparities - 1), offset, 0.0
     )
 
-    # Uniqueness: best must beat the second-best (outside +/-1) clearly.
-    masked = jnp.where(jnp.abs(d_idx - d_best[None]) <= 1, _BIG, agg)
-    second = jnp.min(masked, axis=0)
     unique_ok = c0 <= uniqueness * second
-
-    # Left-right check from the same volume: cost_R[d, y, x] = cost_L[d, y,
-    # x + d] — a per-disparity SHIFT, expressed as D static slices (a
-    # take_along_axis here is a whole-volume gather: measured ~160 ms).
-    agg_r = jnp.stack(
-        [
-            jnp.concatenate([agg[dd, :, dd:], jnp.full((h, dd), _BIG)], axis=1)
-            for dd in range(num_disparities)
-        ]
-    )
-    d_best_r = jnp.argmin(agg_r, axis=0)  # (H, W) disparity map of right image
-    # For each left pixel: right-view disparity at (x - d_L). Shift each
-    # candidate disparity's map right by d and select (static slices again).
-    d_r_shifted = jnp.stack(
-        [
-            jnp.concatenate([jnp.zeros((h, dd), d_best_r.dtype), d_best_r[:, : w - dd]], axis=1)
-            for dd in range(num_disparities)
-        ]
-    )  # (D, H, W): d_r_shifted[d, y, x] = d_best_r[y, x - d]
-    onehot_best = d_idx == d_best[None]
-    d_r_at = jnp.sum(jnp.where(onehot_best, d_r_shifted, 0), axis=0)
     lr_ok = jnp.abs(d_best - d_r_at) <= lr_threshold
-
+    xs = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     in_range = xs >= d_best  # matched pixel inside the right image
     valid = unique_ok & lr_ok & in_range & (d_best > 0)
     return jnp.where(valid, disp, 0.0), valid
