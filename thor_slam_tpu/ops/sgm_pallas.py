@@ -92,6 +92,37 @@ def _scan_kernel(cost_ref, out_ref, carry, *, step_block, reverse, p1, p2):
     jax.lax.fori_loop(0, step_block, body, 0)
 
 
+def _scan_add_kernel(cost_ref, add_ref, out_ref, carry, *, step_block, reverse, p1, p2):
+    """:func:`_scan_kernel` that also adds a same-layout volume into the
+    output — fuses the opposite direction's result into this pass, so a
+    forward/backward pair costs no separate sum round trip. The pair sum of
+    two <=128 integral costs stays exact in bf16 (<= 256)."""
+    first_chunk = pl.program_id(1) == 0
+
+    @pl.when(first_chunk)
+    def _():
+        carry[:] = jnp.zeros_like(carry)
+
+    p1 = jnp.bfloat16(p1)
+    p2 = jnp.bfloat16(p2)
+    big = jnp.full((1, carry.shape[1]), _BIG, carry.dtype)
+
+    def body(i, _):
+        xi = step_block - 1 - i if reverse else i
+        c = cost_ref[xi]
+        prev = carry[:]
+        prev_min = jnp.min(prev, axis=0, keepdims=True)
+        up = jnp.concatenate([prev[1:], big], axis=0)
+        down = jnp.concatenate([big, prev[:-1]], axis=0)
+        best = jnp.minimum(jnp.minimum(prev, jnp.minimum(up, down) + p1), prev_min + p2)
+        l = c + (best - prev_min)
+        carry[:] = l
+        out_ref[xi] = l + add_ref[xi]
+        return 0
+
+    jax.lax.fori_loop(0, step_block, body, 0)
+
+
 @partial(jax.jit, static_argnames=("p1", "p2", "reverse", "step_block", "interpret"))
 def sgm_aggregate_dir(
     cost_sdx: jnp.ndarray,
@@ -100,6 +131,7 @@ def sgm_aggregate_dir(
     reverse: bool,
     step_block: int = 128,
     interpret: bool = False,
+    add_to: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Exact SGM path aggregation along axis 0 of a (S, D, X) bf16 volume.
 
@@ -110,9 +142,12 @@ def sgm_aggregate_dir(
         reverse: Aggregate along decreasing step index.
         step_block: Steps per grid chunk (static; must divide S).
         interpret: Run in interpreter mode (tests).
+        add_to: Optional same-shape bf16 volume summed into the output
+            in-kernel (the opposite direction's result) — saves the
+            separate pair-sum round trip over HBM.
 
     Returns:
-        (S, D, X) bfloat16 aggregated path costs L_r.
+        (S, D, X) bfloat16 aggregated path costs L_r (+ ``add_to``).
     """
     s, d, x = cost_sdx.shape
     assert cost_sdx.dtype == jnp.bfloat16
@@ -121,8 +156,6 @@ def sgm_aggregate_dir(
     nx = pl.cdiv(x, _LANES)
     nc = s // step_block
 
-    kernel = partial(_scan_kernel, step_block=step_block, reverse=reverse, p1=p1, p2=p2)
-
     def idx(i, j):
         # X tiles on the outer (parallel) axis; step chunks sequential on
         # the inner axis so the carry walks the path. Reverse walks the
@@ -130,20 +163,27 @@ def sgm_aggregate_dir(
         jj = nc - 1 - j if reverse else j
         return (jj, 0, i)
 
+    spec = pl.BlockSpec((step_block, d, _LANES), idx, memory_space=pltpu.VMEM)
+    if add_to is None:
+        kernel = partial(_scan_kernel, step_block=step_block, reverse=reverse, p1=p1, p2=p2)
+        in_specs = [spec]
+        args = (cost_sdx,)
+    else:
+        kernel = partial(_scan_add_kernel, step_block=step_block, reverse=reverse, p1=p1, p2=p2)
+        in_specs = [spec, spec]
+        args = (cost_sdx, add_to)
     return pl.pallas_call(
         kernel,
         grid=(nx, nc),
-        in_specs=[
-            pl.BlockSpec((step_block, d, _LANES), idx, memory_space=pltpu.VMEM)
-        ],
-        out_specs=pl.BlockSpec((step_block, d, _LANES), idx, memory_space=pltpu.VMEM),
+        in_specs=in_specs,
+        out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((s, d, x), jnp.bfloat16),
         scratch_shapes=[pltpu.VMEM((d, _LANES), jnp.bfloat16)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=interpret,
-    )(cost_sdx)
+    )(*args)
 
 
 def sgm_aggregate_4dir(
@@ -160,22 +200,32 @@ def sgm_aggregate_4dir(
     """
     d, h, w = cost_dhw.shape
     cost_wdh = cost_dhw.transpose(2, 0, 1)
-    fb = _pick_block(w)
-    agg = sgm_aggregate_dir(cost_wdh, p1, p2, False, fb, interpret).astype(jnp.float32)
-    agg = agg + sgm_aggregate_dir(cost_wdh, p1, p2, True, fb, interpret).astype(jnp.float32)
-    agg = agg.transpose(1, 2, 0)  # (W, D, H) -> (D, H, W)
+    # Each direction pair sums IN the reverse kernel (bf16-exact: two
+    # <=128 integral costs), so only the two pair volumes cross HBM.
+    fwd = sgm_aggregate_dir(cost_wdh, p1, p2, False, _pick_block(w, d, 2), interpret)
+    pair_h = sgm_aggregate_dir(
+        cost_wdh, p1, p2, True, _pick_block(w, d, 3), interpret, add_to=fwd
+    )
+    agg = pair_h.transpose(1, 2, 0).astype(jnp.float32)  # (W, D, H) -> (D, H, W)
     if num_paths >= 4:
         cost_hdw = cost_dhw.transpose(1, 0, 2)
-        vb = _pick_block(h)
-        v = sgm_aggregate_dir(cost_hdw, p1, p2, False, vb, interpret).astype(jnp.float32)
-        v = v + sgm_aggregate_dir(cost_hdw, p1, p2, True, vb, interpret).astype(jnp.float32)
-        agg = agg + v.transpose(1, 0, 2)  # (H, D, W) -> (D, H, W)
+        vf = sgm_aggregate_dir(cost_hdw, p1, p2, False, _pick_block(h, d, 2), interpret)
+        pair_v = sgm_aggregate_dir(
+            cost_hdw, p1, p2, True, _pick_block(h, d, 3), interpret, add_to=vf
+        )
+        agg = agg + pair_v.transpose(1, 0, 2).astype(jnp.float32)  # (H, D, W) -> (D, H, W)
     return agg
 
 
-def _pick_block(steps: int) -> int:
-    """Largest chunk <= 160 dividing the path length (VMEM-bounded)."""
-    for b in range(min(steps, 160), 0, -1):
+def _pick_block(steps: int, d: int, streams: int) -> int:
+    """Largest chunk dividing the path length that fits VMEM.
+
+    ``streams`` = distinct (block, D, 128) bf16 buffers the call keeps in
+    flight (in/out [+ add], each double-buffered by the pipeline); budget
+    ~14 MB of the 16 MB VMEM.
+    """
+    cap = int(14e6 // (2 * streams * d * _LANES * 2))
+    for b in range(min(steps, cap, 256), 0, -1):
         if steps % b == 0:
             return b
     return 1
@@ -185,8 +235,8 @@ def supported_for(num_disparities: int, height: int, width: int) -> bool:
     """Geometry gate used by :func:`thor_slam_tpu.ops.stereo.sgm_disparity`."""
     return (
         num_disparities % 16 == 0
-        and _pick_block(width) >= 32
-        and _pick_block(height) >= 32
+        and _pick_block(width, num_disparities, 3) >= 16
+        and _pick_block(height, num_disparities, 3) >= 16
     )
 
 
