@@ -321,6 +321,32 @@ def _render_host_frames(num_cams, width, height, seq_len) -> "np.ndarray":
     return np.load(path)
 
 
+def _bench_sgm(width=640, height=400, num_disparities=64, reps=12):
+    """Dense SGM depth rate at the reference's deployed RGB-D geometry.
+
+    The RGB-D product path's hot op (the OAK StereoDepth ASIC's role,
+    reference luxonis.py:513-536). Varied inputs per rep (the hosted-TPU
+    relay memoizes identical executions); one trailing fetch closes the
+    timing (the device stream is ordered).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from thor_slam_tpu.ops import stereo as stereo_ops
+
+    rng = np.random.default_rng(0)
+    lefts = jnp.asarray(rng.uniform(0, 1, (4, height, width)).astype(np.float32))
+    rights = jnp.roll(lefts, -7, axis=2)
+    f = jax.jit(lambda l, r: stereo_ops.sgm_disparity(l, r, num_disparities=num_disparities)[0])
+    jax.device_get(jnp.ravel(f(lefts[0], rights[0]))[:2])
+    t0 = time.perf_counter()
+    for i in range(reps):
+        out = f(lefts[i % 4], rights[i % 4])
+    jax.device_get(jnp.ravel(out)[:2])
+    return (time.perf_counter() - t0) / reps * 1000.0
+
+
 def main() -> None:
     width = int(os.environ.get("BENCH_WIDTH", "1280"))
     height = int(os.environ.get("BENCH_HEIGHT", "720"))
@@ -369,6 +395,9 @@ def main() -> None:
         bounds["post_default"] = _h2d_probe(num_cams, width, height)
         log(f"default {e2e_default:.1f} fps (bound {bounds['post_default'][1]:.1f}); device-tick phase...")
 
+    sgm_ms = _bench_sgm()
+    log(f"sgm 640x400/64 {sgm_ms:.1f} ms; device-tick phase...")
+
     tick_fps, tick_inliers = _bench_device_tick(params, setup, sources, warmup, frames, seq_len)
     log(f"device tick (per-dispatch) {tick_fps:.1f} fps; scanned phase...")
     scan_fps, scan_inliers = _bench_device_scan(params, setup, sources, frames, seq_len)
@@ -413,6 +442,7 @@ def main() -> None:
         "transfer_bound_640x400_fps": None if low_bound is None else round(low_bound[1], 1),
         "h2d_MBps": {k: round(v[0], 1) for k, v in bounds.items()},
         "num_inliers_last": diag_s.get("num_inliers", tick_inliers),
+        "sgm_640x400_64_ms": round(sgm_ms, 2),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))
