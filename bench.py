@@ -247,16 +247,23 @@ def _bench_e2e(calibration, host_seq, seq_len, warmup, frames, mode):
     engine.flush()
     base = warmup
     best = 0.0
-    for _trial in range(2):
+    mid_bound = None
+    n_src = len(calibration.source_names)
+    h, w = host_seq.shape[-2:]
+    for trial in range(2):
         t0 = time.perf_counter()
         for i in range(base, base + frames):
             engine.process_frames(make_sync(i))
         engine.flush()
         best = max(best, frames / (time.perf_counter() - t0))
         base += frames
+        if trial == 0:
+            # Probe BETWEEN the trials: the link state the phase itself
+            # ran against, not the pre/post neighborhood.
+            mid_bound = _h2d_probe(n_src, w, h)
     diag = dict(engine.last_diagnostics)
     engine.shutdown()
-    return best, diag
+    return best, diag, mid_bound
 
 
 def _bench_e2e_deferred(calibration, host_seq, seq_len, warmup, frames):
@@ -385,13 +392,15 @@ def main() -> None:
     bounds["post_deferred"] = _h2d_probe(num_cams, width, height)
     log(f"deferred {e2e_deferred:.1f} fps (bound {bounds['post_deferred'][1]:.1f}); stream e2e phase...")
 
-    e2e_stream, diag_s = _bench_e2e(calibration, host_seq, seq_len, warmup, frames, "stream")
+    e2e_stream, diag_s, mid_stream = _bench_e2e(calibration, host_seq, seq_len, warmup, frames, "stream")
+    bounds["mid_stream"] = mid_stream
     bounds["post_stream"] = _h2d_probe(num_cams, width, height)
     log(f"stream {e2e_stream:.1f} fps (bound {bounds['post_stream'][1]:.1f}); default-engine e2e phase...")
 
     e2e_default = None
     if not skip_default:
-        e2e_default, diag_d = _bench_e2e(calibration, host_seq, seq_len, warmup, frames, "default")
+        e2e_default, diag_d, mid_default = _bench_e2e(calibration, host_seq, seq_len, warmup, frames, "default")
+        bounds["mid_default"] = mid_default
         bounds["post_default"] = _h2d_probe(num_cams, width, height)
         log(f"default {e2e_default:.1f} fps (bound {bounds['post_default'][1]:.1f}); device-tick phase...")
 
@@ -413,8 +422,8 @@ def main() -> None:
         )
         host4 = _render_host_frames(num_cams, 640, 400, seq_len)
         low_bound = _h2d_probe(num_cams, 640, 400)
-        e2e_lowres, _ = _bench_e2e(calib4, host4, seq_len, warmup, frames, "stream")
-        low_bound = max(low_bound, _h2d_probe(num_cams, 640, 400), key=lambda b: b[0])
+        e2e_lowres, _, mid_low = _bench_e2e(calib4, host4, seq_len, warmup, frames, "stream")
+        low_bound = max(low_bound, mid_low, _h2d_probe(num_cams, 640, 400), key=lambda b: b[0])
         log(f"640x400 stream {e2e_lowres:.1f} fps (bound {low_bound[1]:.1f})")
 
     # The bound each e2e figure answers to is the ADJACENT probe — the
@@ -422,7 +431,8 @@ def main() -> None:
     # 1433 MB/s fresh -> ~30 MB/s after the large-transfer phases), so a
     # fresh-link or best-case bound would misrepresent the steady state
     # the e2e phases actually ran against.
-    bound_720 = bounds["post_stream"]
+    # The stream phase answers to the link state measured INSIDE it.
+    bound_720 = max(bounds["mid_stream"], bounds["post_stream"], key=lambda b: b[0])
     result = {
         "metric": (
             f"{num_cams}x{width}x{height}-stereo tracked FPS/chip "
