@@ -67,6 +67,38 @@ class BAResult(NamedTuple):
     final_rms: jnp.ndarray
 
 
+def _inv3x3(m: jnp.ndarray) -> jnp.ndarray:
+    """Batched closed-form 3x3 inverse (adjugate / determinant).
+
+    jnp.linalg.inv lowers small batched inverses to LU with sequential
+    pivoting on TPU; the adjugate is dense vector math. Inputs here are
+    damped SPD blocks, so the determinant is safely positive.
+    """
+    a, b, c = m[..., 0, 0], m[..., 0, 1], m[..., 0, 2]
+    d, e, f = m[..., 1, 0], m[..., 1, 1], m[..., 1, 2]
+    g, h, i = m[..., 2, 0], m[..., 2, 1], m[..., 2, 2]
+    co00 = e * i - f * h
+    co01 = c * h - b * i
+    co02 = b * f - c * e
+    co10 = f * g - d * i
+    co11 = a * i - c * g
+    co12 = c * d - a * f
+    co20 = d * h - e * g
+    co21 = b * g - a * h
+    co22 = a * e - b * d
+    det = a * co00 + b * co10 + c * co20
+    inv_det = 1.0 / jnp.where(jnp.abs(det) > 1e-20, det, 1e-20)
+    adj = jnp.stack(
+        [
+            jnp.stack([co00, co01, co02], axis=-1),
+            jnp.stack([co10, co11, co12], axis=-1),
+            jnp.stack([co20, co21, co22], axis=-1),
+        ],
+        axis=-2,
+    )
+    return adj * inv_det[..., None, None]
+
+
 def _residuals_jacobians(poses, landmarks, obs, cam_rot, cam_trans):
     """Dense residuals + Jacobians over the full (K, C, L) grid.
 
@@ -168,27 +200,31 @@ def _bundle_adjust_f32(problem, iters, huber_delta, damping, landmark_damping):
         g_p = jnp.einsum("kclai,kcla->ki", jp_w, r)  # (K, 6)
         g_l = jnp.einsum("kclai,kcla->li", jl_w, r)  # (L, 3)
 
-        # Invert landmark blocks (batched 3x3, damped; empty slots -> ~0 update).
+        # Invert landmark blocks (batched 3x3, damped; empty slots -> ~0
+        # update). Closed-form adjugate, NOT jnp.linalg.inv: batched LU
+        # lowers to sequential pivoting loops on TPU while the adjugate is
+        # ~20 dense VPU ops over the (L, 3, 3) batch.
         h_ll = h_ll + landmark_damping * jnp.eye(3)
-        h_ll_inv = jnp.linalg.inv(h_ll) * problem.lm_mask[:, None, None]
+        h_ll_inv = _inv3x3(h_ll) * problem.lm_mask[:, None, None]
 
         # Schur complement: S = Hpp - Hpl Hll^-1 Hlp (dense 6K x 6K).
         hpl_hinv = jnp.einsum("klij,ljm->klim", h_pl, h_ll_inv)  # (K, L, 6, 3)
         s_off = jnp.einsum("klim,qlnm->kqin", hpl_hinv, h_pl)  # (K, K, 6, 6)
-        s = -s_off
-        s = s.at[jnp.arange(k), jnp.arange(k)].add(h_pp)
+        # Diagonal insertions as dense masked adds — `.at[diag].add` is a
+        # scatter (TPU scalar unit).
+        eye_k = jnp.eye(k)[:, :, None, None]
+        s = -s_off + eye_k * h_pp[:, None]
         b = g_p - jnp.einsum("klim,lm->ki", hpl_hinv, g_l)  # (K, 6)
 
         # Gauge + missing poses: project out pose 0 and masked poses.
         free = problem.pose_mask.at[0].set(0.0)  # (K,)
         sel = (free[:, None] * free[None, :])[:, :, None, None]
-        s = s * sel
-        s = s.at[jnp.arange(k), jnp.arange(k)].add(
-            (1.0 - free)[:, None, None] * jnp.eye(6)
-        )
+        s = s * sel + eye_k * ((1.0 - free)[:, None, None, None] * jnp.eye(6))
         b = b * free[:, None]
 
         s_mat = s.transpose(0, 2, 1, 3).reshape(k * 6, k * 6) + damping * jnp.eye(k * 6)
+        # The 60x60 LU is NOT the per-iteration bottleneck (measured: a
+        # Jacobi-CG replacement was time-neutral); keep the exact solve.
         delta_p = -jnp.linalg.solve(s_mat, b.reshape(k * 6)).reshape(k, 6)
         delta_p = jnp.where(jnp.all(jnp.isfinite(delta_p)), delta_p, jnp.zeros_like(delta_p))
 
