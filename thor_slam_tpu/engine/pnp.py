@@ -21,7 +21,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from thor_slam_tpu.ops import lie
+from thor_slam_tpu.ops import lie, linalg
 
 
 class PnPResult(NamedTuple):
@@ -72,7 +72,7 @@ def pose_covariance(
     n_eff = jnp.sum(w)
     dof = jnp.maximum(2.0 * n_eff - 6.0, 1.0)
     sigma2 = jnp.sum(w[:, None] * r**2) / dof
-    cov = sigma2 * jnp.linalg.inv(h)
+    cov = sigma2 * linalg.spd_inverse(h)
     # Symmetrize (inv of a near-symmetric matrix drifts) and guard NaN.
     cov = 0.5 * (cov + cov.T)
     return jnp.where(jnp.all(jnp.isfinite(cov)), cov, jnp.eye(6) * 1e6)
@@ -171,7 +171,9 @@ def gauss_newton_pnp(
         jw = j * w[:, None, None]
         h = jnp.einsum("nai,naj->ij", jw, j) + damping * jnp.eye(6)
         g = jnp.einsum("nai,na->i", jw, r)
-        delta = -jnp.linalg.solve(h, g)
+        # Unrolled Cholesky, not linalg.solve: the 6x6 LU's pivoting loops
+        # run ~11x per tick (hypothesis batch + polish) on the scalar unit.
+        delta = -linalg.spd_solve(h, g)
         # Guard: reject non-finite updates (singular systems).
         delta = jnp.where(jnp.all(jnp.isfinite(delta)), delta, jnp.zeros(6))
         return lie.se3_exp(delta) @ x

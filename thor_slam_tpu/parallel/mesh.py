@@ -44,7 +44,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from thor_slam_tpu.engine import tracker as trk
-from thor_slam_tpu.ops import lie
+from thor_slam_tpu.ops import lie, linalg
 
 #: Mesh axis name used by every collective in this module.
 AXIS = "d"
@@ -140,7 +140,7 @@ def _distributed_robust_pnp(
         g_local = jnp.einsum("nai,na->i", jw, r)
         h = jax.lax.psum(h_local, axis_name) + damping * jnp.eye(6)
         g = jax.lax.psum(g_local, axis_name)
-        delta = -jnp.linalg.solve(h, g)
+        delta = -linalg.spd_solve(h, g)
         delta = jnp.where(jnp.all(jnp.isfinite(delta)), delta, jnp.zeros(6))
         return lie.se3_exp(delta) @ x
 
@@ -158,7 +158,7 @@ def _distributed_robust_pnp(
     h = jax.lax.psum(jnp.einsum("nai,naj->ij", jw, j), axis_name) + damping * jnp.eye(6)
     dof = jnp.maximum(2.0 * num_inliers.astype(jnp.float32) - 6.0, 1.0)
     sigma2 = jax.lax.psum(jnp.sum(wi[:, None] * r**2), axis_name) / dof
-    cov = sigma2 * jnp.linalg.inv(h)
+    cov = sigma2 * linalg.spd_inverse(h)
     cov = 0.5 * (cov + cov.T)
     cov = jnp.where(jnp.all(jnp.isfinite(cov)), cov, jnp.eye(6) * 1e6)
     return x, inliers, num_inliers, rms, cov
