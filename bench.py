@@ -232,10 +232,15 @@ def _bench_e2e(calibration, host_seq, seq_len, warmup, frames, mode):
         with_imu = False
     else:
         # The SHIPPED configuration (config/slam_config.yaml backend):
-        # BA + IMU + loop closure on, pipelined depth-1 (the reference's
-        # async-pose semantics — upload overlaps device compute, pose
-        # arrives one tick late).
-        engine = TpuSlamEngine(params=dict(max_keypoints=256), pipelined=True)
+        # BA + IMU + loop closure on, deep-pipelined. Every host backend
+        # consumes finalized-tick data and corrections land as async
+        # device deltas, so the FULL feature set streams at depth > 1 —
+        # per-tick host syncs (the old 3.6 FPS limiter on tunneled TPUs)
+        # are batched across the pipeline instead.
+        depth = int(os.environ.get("BENCH_PIPELINE_DEPTH", "6"))
+        engine = TpuSlamEngine(
+            params=dict(max_keypoints=256), pipelined=True, pipeline_depth=depth,
+        )
         config = SlamConfig(num_cameras=2 * n_src, enable_loop_closure=True)
         with_imu = True
 

@@ -171,6 +171,7 @@ def run(
         use_imu=cfg.backend.use_imu,
         prewarm_degraded=cfg.watchdog_timeout_s is not None,
         pipelined=cfg.backend.pipelined,
+        pipeline_depth=cfg.backend.pipeline_depth,
         devices=cfg.backend.devices,
     )
     rig = CameraRig(

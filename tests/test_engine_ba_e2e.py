@@ -92,5 +92,5 @@ def test_ba_obs_ids_exact_beyond_float24():
         lm_id=ids, lm_valid=jnp.ones((c, n), bool), robs_valid=jnp.zeros((c, n), bool),
         covariance=jnp.eye(6),
     )
-    rec = trk.unpack_ba_obs(trk.pack_ba_obs(out))
+    rec = trk.unpack_ba_obs(trk.pack_ba_obs(out, jnp.zeros((c, n, 3))))
     assert rec["ids"][0].tolist() == [16777217, 16777219, 2000000001, -1]

@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from thor_slam_tpu import geometry
 from thor_slam_tpu.camera.rig import RigCalibration
 from thor_slam_tpu.camera.types import SynchronizedFrameSet
 from thor_slam_tpu.engine import ba, loop, posegraph
@@ -85,8 +86,10 @@ class TpuSlamEngine(SlamEngine):
             ``lm_id`` — immune to the keyframe-boundary id hops that made
             the earlier keyframe-snapshot backend net-neutral; measured
             -28% ATE on the synthetic orbit benchmark
-            (tests/test_engine_ba_e2e.py). Incompatible with
-            pipeline_depth > 1 / defer_sync (throughput modes).
+            (tests/test_engine_ba_e2e.py). Runs at any pipeline depth:
+            the window consumes only finalized-tick data and corrections
+            land on the device as async delta updates (incompatible only
+            with defer_sync, which never finalizes mid-stream).
         ba_window: Ticks per BA window (static pose count K).
         ba_landmarks: Landmark slots per BA window (static shape L).
         ba_tick_stride: Collect every Nth tick into the window (keyframe
@@ -106,8 +109,12 @@ class TpuSlamEngine(SlamEngine):
             latency = depth ticks). Depth > 1 is throughput mode for
             remote/tunneled TPUs where every host sync costs a network
             RTT: output fetches are batched across ready ticks
-            (:meth:`_finalize_ready`). Pure VO streaming only — requires
-            ``enable_ba=False, use_imu=False`` and forces loop closure off.
+            (:meth:`_finalize_ready`). The FULL feature set runs at any
+            depth — every host backend (IMU prediction, track-level BA,
+            loop closure) consumes only finalized-tick data (packed
+            outputs / ba_obs / kf_sig) and pushes corrections to the
+            device as async delta updates, so nothing ever syncs on an
+            in-flight tick.
         defer_sync: Offline/batch evaluation mode (dataset replay): no
             device sync happens until :meth:`flush`, which fetches every
             tick's outputs in one transfer and replays the host state
@@ -160,17 +167,19 @@ class TpuSlamEngine(SlamEngine):
             raise ValueError("pipeline_depth must be >= 1")
         if defer_sync and not pipelined:
             raise ValueError("defer_sync requires pipelined=True")
-        if pipeline_depth > 1 or defer_sync:
-            # Deep pipelining defers the host's view of the tracker by up
-            # to `depth` ticks (or the whole stream with defer_sync); host
-            # subsystems that read tracker state at the tick they finalize
-            # (IMU prediction, BA snapshots) would silently read the wrong
-            # tick — reject instead.
-            mode = "defer_sync" if defer_sync else "pipeline_depth > 1"
+        if defer_sync:
+            # defer_sync never finalizes mid-stream, so no host subsystem
+            # that needs per-tick finalized data (IMU prediction shadows,
+            # the BA window, loop closure) can run — it is the pure-VO
+            # dataset-replay mode. Deep pipelining (depth > 1) has no such
+            # restriction: every host subsystem consumes only FINALIZED
+            # tick data (packed outputs, ba_obs, kf_sig) and pushes
+            # corrections to the device as async delta updates, so BA +
+            # IMU + loop closure all run at any depth.
             if enable_ba:
-                raise ValueError(f"{mode} is incompatible with enable_ba")
+                raise ValueError("defer_sync is incompatible with enable_ba")
             if use_imu:
-                raise ValueError(f"{mode} is incompatible with use_imu")
+                raise ValueError("defer_sync is incompatible with use_imu")
         self._pipeline_depth = pipeline_depth
         self._defer_sync = defer_sync
         self._uploader = None
@@ -210,6 +219,25 @@ class TpuSlamEngine(SlamEngine):
         # map->odom factorization the reference's TF tree expresses
         # (reference scripts/publish_odom_tf.py:35-99).
         self._map_t_odom = np.eye(4)
+        # ODOM-frame correction accumulated by track-level BA and applied
+        # to the DEVICE state as async left-multiplied deltas
+        # (_apply_ba_update). Each in-flight tick records the value at its
+        # dispatch ("corr_epoch"); finalize left-applies the corrections
+        # the device had not yet seen at that dispatch, so finalized poses
+        # are consistent at any pipeline depth (identity at depth 1, where
+        # every correction lands before the next dispatch). Replaced, never
+        # mutated — records hold references.
+        self._ba_corr_total = np.eye(4)
+        # Host-side shadow of the most recent FINALIZED pose: what IMU
+        # prediction and the velocity estimate read instead of the live
+        # device state (reading the live state would sync on in-flight
+        # ticks and, at depth > 1, read the wrong tick).
+        self._fin_pose: np.ndarray | None = None
+        self._fin_ts: float | None = None
+        self._fin_vel = np.zeros(3)
+        # IMU prediction preintegrates (fin_ts, tick_ts] — a window that
+        # spans `depth` ticks of samples when pipelined.
+        self._imu_pred_capacity = 64 * max(1, pipeline_depth)
         #: Per-frame tracking diagnostics (updated by process_frames).
         self.last_diagnostics: dict = {}
         #: Count of IMU preintegration windows that contained no samples
@@ -221,6 +249,8 @@ class TpuSlamEngine(SlamEngine):
         self._state_enum = TrackingState.NOT_INITIALIZED
         self._config = SlamConfig()
         self._step = None
+        self._want_kf_sig = False
+        self._apply_ba_update = None
         self._tracker_state = None
         self._assemble = None
         self._zero_img = None
@@ -237,13 +267,11 @@ class TpuSlamEngine(SlamEngine):
     def initialize(self, calibration: RigCalibration, config: SlamConfig | None = None) -> None:
         if config is not None:
             self._config = config
-        if self._pipeline_depth > 1 and self._config.enable_loop_closure:
-            # Loop closure rewrites the live tracker state at the finalized
-            # tick; with a deep pipeline that state is ticks ahead. Disable
-            # rather than corrupt (throughput mode is pure VO streaming).
+        if self._defer_sync and self._config.enable_loop_closure:
+            # defer_sync never finalizes mid-stream; the loop-closure hook
+            # (which consumes finalized keyframe signatures) cannot run.
             logger.warning(
-                "pipeline_depth=%d: disabling loop closure (incompatible "
-                "with deep pipelining)", self._pipeline_depth,
+                "defer_sync: disabling loop closure (no mid-stream finalize)"
             )
             import dataclasses
 
@@ -265,8 +293,16 @@ class TpuSlamEngine(SlamEngine):
         # donate: stream ticks reuse state buffers in place (per-tick churn
         # of the ~50 MB state otherwise degrades hosted-TPU h2d throughput
         # after ~60 ticks). pack: the host syncs on one fresh 228-byte
-        # vector, never on the raw output tuple. See make_track_step.
-        pack_mode = "ba" if self._enable_ba else True
+        # vector, never on the raw output tuple. "ba" adds the BA
+        # measurement stream, "kf" the loop-closure keyframe signature —
+        # all finalized-tick data, so every host backend runs without
+        # touching the live device state. See make_track_step.
+        want_kf_sig = self._config.enable_loop_closure
+        if self._enable_ba:
+            pack_mode = "ba+kf" if want_kf_sig else "ba"
+        else:
+            pack_mode = "kf" if want_kf_sig else True
+        self._want_kf_sig = want_kf_sig
         if self._devices > 1:
             from thor_slam_tpu.parallel import mesh as mesh_mod
 
@@ -314,13 +350,52 @@ class TpuSlamEngine(SlamEngine):
 
             if self._uploader is not None:
                 self._uploader.close()
-            self._uploader = DoubleBufferedUploader(stage_fn=self._stage_list)
+            target = None
+            if self._devices > 1:
+                # SPMD: land the staged images mesh-replicated (an
+                # explicit single-device put would COMMIT them to device 0
+                # and conflict with the sharded step's inputs). Slot mode
+                # consumes replicated images anyway; cam mode reshards
+                # with a local slice — no collective.
+                from jax.sharding import NamedSharding, PartitionSpec
+
+                target = NamedSharding(self._mesh, PartitionSpec())
+            self._uploader = DoubleBufferedUploader(
+                stage_fn=self._stage_list, device=target
+            )
         self._keyframe_poses = []
         self._ba_ticks.clear()
         self._low_inlier_streak = 0
         self._last_timestamp = None
         self._frame_count = 0
+        self._ba_corr_total = np.eye(4)
+        self._fin_pose = None
+        self._fin_ts = None
+        self._fin_vel = np.zeros(3)
         self._state_enum = TrackingState.INITIALIZING
+
+        if self._enable_ba:
+            # Async BA write-back: corrections land on the LIVE state as a
+            # left-multiplied world-frame delta plus a by-id landmark
+            # scatter — dispatched, never synced, so it is legal at any
+            # pipeline depth (the delta transports through the relative
+            # motion of ticks dispatched since the window's last tick).
+            l_cap = self._ba_landmarks
+
+            def _apply(state, t_corr, upd_ids, upd_pos, upd_ok):
+                idx = jnp.clip(
+                    jnp.searchsorted(upd_ids, state.lm_id), 0, l_cap - 1
+                )
+                hit = (upd_ids[idx] == state.lm_id) & state.lm_valid & upd_ok[idx]
+                return state._replace(
+                    world_t_body=t_corr @ state.world_t_body,
+                    prev_world_t_body=t_corr @ state.prev_world_t_body,
+                    kf_world_t_body=t_corr @ state.kf_world_t_body,
+                    velocity_w=t_corr[:3, :3] @ state.velocity_w,
+                    lm_pos_w=jnp.where(hit[..., None], upd_pos[idx], state.lm_pos_w),
+                )
+
+            self._apply_ba_update = jax.jit(_apply, donate_argnums=(0,))
 
         # jit warm-up so the first real tick doesn't pay compilation.
         # uint8 is the runtime dtype (camera drivers and dataset replay all
@@ -393,11 +468,11 @@ class TpuSlamEngine(SlamEngine):
         if self._defer_sync and self._pending_q:
             records = list(self._pending_q)
             self._pending_q.clear()
-            values = jax.device_get(tuple(r["packed"] for r in records))
+            self._fetch_records(records)
             pose = None
             self.last_flush_poses = []
-            for rec, vals in zip(records, values):
-                pose = self._finalize_values(rec, vals)
+            for rec in records:
+                pose = self._finalize_values(rec, rec["packed"])
                 self.last_flush_poses.append(pose)
             return pose
         pose = None
@@ -411,8 +486,14 @@ class TpuSlamEngine(SlamEngine):
         Returns the pending record for :meth:`_finalize_tick`; the device
         computes while the host goes on (JAX dispatch is asynchronous).
         """
-        if self._want_reloc and self._attempt_relocalization(frame_set):
-            self._want_reloc = False
+        if self._want_reloc:
+            # Relocalization rewrites the live state wholesale: finalize
+            # every in-flight tick first so no pending record's outputs
+            # straddle the discontinuity.
+            while self._pending_q:
+                self._finalize_ready()
+            if self._attempt_relocalization(frame_set):
+                self._want_reloc = False
 
         pose_prediction = None
         if self._use_imu and frame_set.sensor_data is not None:
@@ -429,35 +510,51 @@ class TpuSlamEngine(SlamEngine):
 
         # The raw output tuple may alias donated state buffers (invalid
         # after the NEXT dispatch) — only the packed vectors are retained.
+        outs = self._step(self._tracker_state, images, pose_prediction, cam_active)
+        self._tracker_state = outs[0]
+        packed = outs[2]
+        i = 3
+        ba_obs = kf_sig = None
         if self._enable_ba:
-            self._tracker_state, _out, packed, ba_obs = self._step(
-                self._tracker_state, images, pose_prediction, cam_active
-            )
-        else:
-            self._tracker_state, _out, packed = self._step(
-                self._tracker_state, images, pose_prediction, cam_active
-            )
-            ba_obs = None
+            ba_obs = outs[i]
+            i += 1
+        if self._want_kf_sig:
+            kf_sig = outs[i]
         return {
             "packed": packed,
             "ba_obs": ba_obs,
+            "kf_sig": kf_sig,
+            "corr_epoch": self._ba_corr_total,
             "ts": frame_set.timestamp,
             "stale_sources": frame_set.stale_sources,
         }
 
-    def _finalize_tick(self, pending: dict) -> SlamPose | None:
-        """Back half of a tick: fetch outputs, run the host state machine.
+    #: Device-array record keys fetched at finalize, in order.
+    _FETCH_KEYS = ("packed", "ba_obs", "kf_sig")
 
-        ONE host transfer of one 228-byte packed vector: fetching any member
-        of the raw output tuple can materialize the full ~50 MB output
-        buffer set on remote TPUs (measured ~0.5 s/tick).
+    def _fetch_records(self, records: list[dict]) -> None:
+        """ONE batched device_get of every record's device outputs.
+
+        Only the fresh packed vectors are fetched — touching any member of
+        the raw output tuple can materialize the full ~50 MB output buffer
+        set on remote TPUs (measured ~0.5 s/tick). The fetched numpy
+        arrays replace the device arrays in each record in place.
         """
-        fetch = (pending["packed"],)
-        if pending.get("ba_obs") is not None:
-            fetch = (pending["packed"], pending["ba_obs"])
-        vals = jax.device_get(fetch)
-        pending["ba_obs"] = vals[1] if len(vals) > 1 else None
-        return self._finalize_values(pending, vals[0])
+        keys = [
+            [k for k in self._FETCH_KEYS if rec.get(k) is not None]
+            for rec in records
+        ]
+        values = jax.device_get(
+            tuple(tuple(rec[k] for k in ks) for rec, ks in zip(records, keys))
+        )
+        for rec, ks, vals in zip(records, keys, values):
+            for k, v in zip(ks, vals):
+                rec[k] = v
+
+    def _finalize_tick(self, pending: dict) -> SlamPose | None:
+        """Back half of a tick: fetch outputs, run the host state machine."""
+        self._fetch_records([pending])
+        return self._finalize_values(pending, pending["packed"])
 
     def _finalize_ready(self) -> SlamPose | None:
         """Finalize the oldest pending tick — and, in the SAME device
@@ -472,16 +569,10 @@ class TpuSlamEngine(SlamEngine):
         while take < len(q) and q[take]["packed"].is_ready():
             take += 1
         records = [q.popleft() for _ in range(take)]
-        values = jax.device_get(
-            tuple(
-                (r["packed"], r["ba_obs"]) if r.get("ba_obs") is not None else (r["packed"],)
-                for r in records
-            )
-        )
+        self._fetch_records(records)
         pose = None
-        for rec, vals in zip(records, values):
-            rec["ba_obs"] = vals[1] if len(vals) > 1 else None
-            pose = self._finalize_values(rec, vals[0])
+        for rec in records:
+            pose = self._finalize_values(rec, rec["packed"])
         return pose
 
     def _finalize_values(self, pending: dict, packed_vec) -> SlamPose | None:
@@ -495,6 +586,30 @@ class TpuSlamEngine(SlamEngine):
         covariance = vals["covariance"]
         refreshed = bool(refreshed)
         world_t_body = np.asarray(world_t_body, np.float64)
+
+        # Corrections the device had NOT yet seen when this tick was
+        # dispatched (BA deltas applied to the live state after it):
+        # left-apply them so every finalized pose is expressed in the same
+        # odom frame regardless of pipeline depth. At depth 1 the epoch is
+        # always current (`is` fast path — corrections land before the
+        # next dispatch) and this is a no-op.
+        epoch = pending.get("corr_epoch")
+        if epoch is not None and epoch is not self._ba_corr_total:
+            missing = self._ba_corr_total @ np.linalg.inv(epoch)
+            world_t_body = missing @ world_t_body
+            covariance = geometry.rotate_cov6(missing[:3, :3], covariance)
+            # The landmark-position channels shipped with this tick are in
+            # the same pre-correction frame — lift them too (channel
+            # layouts: pack_ba_obs pos = 7:10, pack_kf_sig pos = 11:14).
+            for key, sl in (("ba_obs", slice(7, 10)), ("kf_sig", slice(11, 14))):
+                arr = pending.get(key)
+                if arr is not None:
+                    arr = np.array(arr)  # device_get arrays are read-only
+                    arr[..., sl] = arr[..., sl] @ missing[:3, :3].T.astype(
+                        arr.dtype
+                    ) + missing[:3, 3].astype(arr.dtype)
+                    pending[key] = arr
+
         self.last_diagnostics = {
             "num_inliers": num_inliers,
             "num_landmarks": int(n_lm),
@@ -503,21 +618,17 @@ class TpuSlamEngine(SlamEngine):
             "stale_sources": sorted(pending["stale_sources"]),
         }
 
-        # Velocity estimate for the constant-velocity model. Depth-1 only:
-        # with a deeper pipeline the live tracker state is ahead of the
-        # tick being finalized, so differencing against it mixes ticks
-        # (and reading its arrays would sync on in-flight compute).
+        # Velocity estimate for the constant-velocity model — differenced
+        # from the FINALIZED pose shadow (never the live device state,
+        # which would sync on in-flight compute and, at depth > 1, read
+        # the wrong tick). Consumed host-side by _imu_pose_prediction.
         ts = pending["ts"]
-        if (
-            self._pipeline_depth == 1
-            and self._last_timestamp is not None
-            and ts > self._last_timestamp
-        ):
-            dt = ts - self._last_timestamp
-            vel = (world_t_body[:3, 3] - np.asarray(self._tracker_state.prev_world_t_body)[:3, 3]) / dt
-            self._tracker_state = self._tracker_state._replace(
-                velocity_w=jnp.asarray(vel, jnp.float32)
+        if self._fin_ts is not None and ts > self._fin_ts:
+            self._fin_vel = (world_t_body[:3, 3] - self._fin_pose[:3, 3]) / (
+                ts - self._fin_ts
             )
+        self._fin_pose = world_t_body
+        self._fin_ts = ts
         self._last_timestamp = ts
         self._frame_count += 1
 
@@ -548,6 +659,10 @@ class TpuSlamEngine(SlamEngine):
 
         if refreshed and self._state_enum == TrackingState.TRACKING and self._enable_ba:
             world_t_body = self._run_tracklevel_ba(world_t_body, covariance)  # odom
+            # Keep the shadow on the corrected pose: the device state just
+            # received the same delta, and the next IMU prediction must
+            # integrate from where the device actually is.
+            self._fin_pose = world_t_body
 
         # MAP-side bookkeeping: keyframes and the place DB live in the map
         # frame (the smooth odom pose lifted through the accumulated
@@ -559,7 +674,7 @@ class TpuSlamEngine(SlamEngine):
                 SlamPose.from_4x4_matrix(map_pose, timestamp=ts)
             )
             if self._config.enable_loop_closure:
-                self._loop_closure_tick(map_pose, ts)
+                self._loop_closure_tick(map_pose, ts, pending.get("kf_sig"))
             if len(self._keyframe_poses) > 10000:
                 self._keyframe_poses = self._keyframe_poses[-10000:]
 
@@ -684,13 +799,17 @@ class TpuSlamEngine(SlamEngine):
         (reference fusion role: launch/thor_visual_slam.launch.py:80) and
         translation stays extrapolated.
         """
-        if self._last_timestamp is None or len(self._imu_ts) < 2:
+        if self._fin_ts is None or len(self._imu_ts) < 2:
             return None
         from thor_slam_tpu.engine import imu as imu_mod
 
+        # Window starts at the last FINALIZED tick (the pose shadow's
+        # timestamp): at pipeline depth d the window spans d+1 ticks of
+        # samples, so the prediction always integrates from a pose the
+        # host actually has (never the in-flight live state).
         g, a, d, m = imu_mod.pack_imu_window(
             self._imu_ts, self._imu_gyro, self._imu_accel,
-            t_start=self._last_timestamp, t_end=ts, capacity=64,
+            t_start=self._fin_ts, t_end=ts, capacity=self._imu_pred_capacity,
         )
         if m.sum() < 1:
             # A dead IMU path must be VISIBLE: with use_imu=True the engine
@@ -710,41 +829,51 @@ class TpuSlamEngine(SlamEngine):
         rbi = self._body_r_imu
         delta_r_body = rbi @ delta_r_imu @ rbi.T
 
-        st = self._tracker_state
-        cur = np.asarray(st.world_t_body, np.float64)
-        prev = np.asarray(st.prev_world_t_body, np.float64)
+        # Integrate forward from the finalized-pose SHADOW: reading the
+        # live device state here would block on every in-flight tick (a
+        # full network RTT per tick on tunneled TPUs) and at depth > 1
+        # would read a pose ticks ahead of the IMU window's start.
+        fin = self._fin_pose
         pred = np.eye(4)
-        pred[:3, :3] = cur[:3, :3] @ delta_r_body
-        pred[:3, 3] = 2.0 * cur[:3, 3] - prev[:3, 3]  # constant velocity
+        pred[:3, :3] = fin[:3, :3] @ delta_r_body
+        pred[:3, 3] = fin[:3, 3] + self._fin_vel * (ts - self._fin_ts)
         return jnp.asarray(pred, jnp.float32)
 
     # ----------------------------------------------------- loop closure
 
-    def _loop_closure_tick(self, world_t_body: np.ndarray, ts: float) -> None:
+    def _loop_closure_tick(
+        self, world_t_body: np.ndarray, ts: float, kf_sig: np.ndarray | None
+    ) -> None:
         """Keyframe hook: update the place DB, detect + close loops.
 
-        ``world_t_body`` is the MAP-frame keyframe pose. A closure is
-        applied by composing the pose-graph's correction into
-        ``_map_t_odom`` and rewriting the MAP-side artifacts (place DB,
-        keyframe trajectory); the live tracker state (odom frame) is never
-        touched — the front-end keeps tracking against an unperturbed
-        landmark bank, and the odometry stream stays smooth. Keyframes
-        older than the DB window need no seam correction: the pose graph
-        gauge-anchors the window's oldest node (posegraph.optimize), so
-        the rewritten window connects to the pre-window trajectory
-        continuously by construction (verified by
+        ``world_t_body`` is the MAP-frame keyframe pose; ``kf_sig`` the
+        tick's fetched camera-0 signature (``pack_kf_sig``) — the
+        FINALIZED tick's own bank, so this hook never reads the live
+        device state (which would sync on in-flight ticks and, under deep
+        pipelining, belong to a later frame than the keyframe being
+        recorded). A closure is applied by composing the pose-graph's
+        correction into ``_map_t_odom`` and rewriting the MAP-side
+        artifacts (place DB, keyframe trajectory); the live tracker state
+        (odom frame) is never touched — the front-end keeps tracking
+        against an unperturbed landmark bank, and the odometry stream
+        stays smooth. Keyframes older than the DB window need no seam
+        correction: the pose graph gauge-anchors the window's oldest node
+        (posegraph.optimize), so the rewritten window connects to the
+        pre-window trajectory continuously by construction (verified by
         tests/test_engine_loop_e2e.py long-run continuity).
         """
-        st = self._tracker_state
+        if kf_sig is None:
+            return
+        sig = trk.unpack_kf_sig(kf_sig)
         m = self._map_t_odom
         # Camera-0 slice of the fresh keyframe is the place signature.
         # Landmark positions are stored in the MAP frame so verification
         # against them yields map-frame constraints directly.
         entry = {
-            "desc": np.asarray(st.lm_desc[0]),
-            "valid": np.asarray(st.lm_valid[0]),
-            "lm_w": np.asarray(st.lm_pos_w[0], np.float64) @ m[:3, :3].T + m[:3, 3],
-            "obs_px": np.asarray(st.lm_obs_px[0]),
+            "desc": sig["desc"],
+            "valid": sig["valid"],
+            "lm_w": sig["pos"] @ m[:3, :3].T + m[:3, 3],
+            "obs_px": sig["obs_px"],
             "world_t_body": world_t_body.copy(),
             "ts": ts,
         }
@@ -917,12 +1046,16 @@ class TpuSlamEngine(SlamEngine):
         c = self._params.num_cams
         l_cap = self._ba_landmarks
 
-        # Current landmark bank (write-back target): ids not alive in the
-        # bank cannot receive corrections, so only optimize those.
-        st = self._tracker_state
-        bank_ids = np.asarray(st.lm_id)
-        bank_valid = np.asarray(st.lm_valid)
-        bank_pos = np.array(st.lm_pos_w)
+        # Landmark snapshot: the window's LAST tick (the refreshed tick
+        # that triggered this solve) ships its own post-tick bank inside
+        # ``ba_obs`` (the "pos" channel) — ids not alive there cannot
+        # receive corrections, so only optimize those. The live device
+        # state is never read: this is what makes BA legal (and sync-free)
+        # at any pipeline depth.
+        last = ticks[-1]
+        bank_ids = last["ids"]
+        bank_valid = last["valid"]
+        bank_pos = np.asarray(last["pos"], np.float64)
         alive = set(bank_ids[bank_valid].tolist())
 
         counts: dict[int, int] = {}
@@ -1031,29 +1164,32 @@ class TpuSlamEngine(SlamEngine):
                 )
                 return world_t_body
 
-        # Write back: refined landmarks into the live bank (by id). A
-        # landmark the solver moved implausibly far disagrees structurally
-        # with the window (wrong association, degenerate depth) — writing
-        # it back would poison every subsequent PnP solve; keep the old
-        # position for those.
+        # Write back: refined landmarks into the live bank (by id) plus
+        # the pose delta, as ONE async on-device update
+        # (_apply_ba_update): the delta transports correctly through any
+        # relative motion the device computed since this window's last
+        # tick, so the same dispatch is exact at depth 1 and valid under
+        # deep pipelining. A landmark the solver moved implausibly far
+        # disagrees structurally with the window (wrong association,
+        # degenerate depth) — writing it back would poison every
+        # subsequent PnP solve; keep the old position for those.
         lm_shift = np.linalg.norm(refined_lms - lms, axis=-1)
         lm_ok = lm_shift <= self._ba_max_correction_m
-        for ci in range(c):
-            sel = bhit[ci]
-            li = bidx[ci, sel]
-            keep = lm_ok[li]
-            bank_pos[ci, sel] = np.where(
-                keep[:, None], refined_lms[li], bank_pos[ci, sel]
-            )
         t_corr = new_world @ np.linalg.inv(np.asarray(world_t_body, np.float64))
-        self._tracker_state = st._replace(
-            lm_pos_w=jnp.asarray(bank_pos, jnp.float32),
-            world_t_body=jnp.asarray(new_world, jnp.float32),
-            prev_world_t_body=jnp.asarray(
-                t_corr @ np.asarray(st.prev_world_t_body, np.float64), jnp.float32
-            ),
-            kf_world_t_body=jnp.asarray(new_world, jnp.float32),
+        upd_ids = np.full(l_cap, np.iinfo(np.int32).max, np.int32)  # sorted pad
+        upd_ids[:l_n] = chosen
+        upd_ok = np.zeros(l_cap, bool)
+        upd_ok[:l_n] = lm_ok[:l_n]
+        self._tracker_state = self._apply_ba_update(
+            self._tracker_state,
+            jnp.asarray(t_corr, jnp.float32),
+            jnp.asarray(upd_ids),
+            jnp.asarray(refined_lms, jnp.float32),
+            jnp.asarray(upd_ok),
         )
+        # Finalized poses of ticks dispatched BEFORE this update get the
+        # missing delta applied at their finalize (epoch transport).
+        self._ba_corr_total = t_corr @ self._ba_corr_total
         # ... and refined poses into the window (the next solve starts warm).
         for ki, t in enumerate(ticks):
             t["body_t_world"] = refined_poses[ki]
@@ -1205,6 +1341,11 @@ class TpuSlamEngine(SlamEngine):
         self._tracker_state = trk.TrackerState(**fields)
         if "map_t_odom" in data:
             self._map_t_odom = np.asarray(data["map_t_odom"], np.float64)
+        # The restored state defines a fresh shadow/correction epoch.
+        self._fin_pose = None
+        self._fin_ts = None
+        self._fin_vel = np.zeros(3)
+        self._ba_corr_total = np.eye(4)
         return True
 
     def relocalize(self) -> bool:
@@ -1302,6 +1443,13 @@ class TpuSlamEngine(SlamEngine):
             ),
         )
         self._ba_ticks.clear()  # window poses are in the pre-reloc frame
+        # The pose shadow is pre-reloc too: invalidate it so IMU
+        # prediction waits for the first post-reloc finalize, and restart
+        # the BA correction epoch (no pending ticks — the caller drained).
+        self._fin_pose = None
+        self._fin_ts = None
+        self._fin_vel = np.zeros(3)
+        self._ba_corr_total = np.eye(4)
         logger.info(
             "Relocalized against keyframe %d (votes=%d inliers=%d)",
             ci, int(cand.votes), int(ver.num_inliers),
@@ -1320,6 +1468,10 @@ class TpuSlamEngine(SlamEngine):
         self._loops_closed = 0
         self._want_reloc = False
         self._map_t_odom = np.eye(4)
+        self._ba_corr_total = np.eye(4)
+        self._fin_pose = None
+        self._fin_ts = None
+        self._fin_vel = np.zeros(3)
         self._imu_ts, self._imu_gyro, self._imu_accel = [], [], []
         self.imu_empty_windows = 0
         self._low_inlier_streak = 0

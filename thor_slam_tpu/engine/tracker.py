@@ -834,12 +834,20 @@ def unpack_output(vec) -> dict:
     }
 
 
-def pack_ba_obs(out: TrackOutput) -> jnp.ndarray:
-    """Fuse the per-tick BA observations into ONE fresh (C, N, 7) array.
+def pack_ba_obs(out: TrackOutput, lm_pos_w: jnp.ndarray) -> jnp.ndarray:
+    """Fuse the per-tick BA observations into ONE fresh (C, N, 10) array.
 
     Channels: obs_norm (2) | robs_norm (2) | lm_id (BITCAST) | lm_valid |
-    robs_valid. Same rationale as :func:`pack_output` — one alias-free
-    buffer, one device->host transfer for the whole tick's measurement set.
+    robs_valid | lm_pos_w (3). Same rationale as :func:`pack_output` — one
+    alias-free buffer, one device->host transfer for the whole tick's
+    measurement set.
+
+    ``lm_pos_w`` is the POST-tick landmark bank (``new_state.lm_pos_w``):
+    shipping the positions with the observations lets the track-level BA
+    backend initialize its landmark block from the finalized tick's own
+    snapshot instead of reading the live device state — which is what
+    makes BA legal (and sync-free) under deep pipelining, where the live
+    state is ticks ahead of the tick being finalized.
 
     The landmark id channel is the int32 id BIT-PATTERN reinterpreted as
     float32 (``bitcast_convert_type``), NOT a numeric cast: float32 is
@@ -854,6 +862,7 @@ def pack_ba_obs(out: TrackOutput) -> jnp.ndarray:
             jax.lax.bitcast_convert_type(out.lm_id, jnp.float32)[..., None],
             out.lm_valid.astype(jnp.float32)[..., None],
             out.robs_valid.astype(jnp.float32)[..., None],
+            lm_pos_w.astype(jnp.float32),
         ],
         axis=-1,
     )
@@ -871,10 +880,60 @@ def unpack_ba_obs(arr) -> dict:
         "ids": np.ascontiguousarray(a[..., 4], np.float32).view(np.int32),
         "valid": a[..., 5] > 0.5,
         "robs_valid": a[..., 6] > 0.5,
+        "pos": a[..., 7:10].astype(np.float32),
     }
 
 
-def make_track_step(params: TrackerParams, setup: CameraSetup, donate: bool = False, pack: bool = False):
+def pack_kf_sig(new_state: TrackerState) -> jnp.ndarray:
+    """Camera-0 keyframe signature as ONE fresh (N, 14) array.
+
+    Channels: desc bits (8, uint32 BITCAST) | obs_px (2) | lm_valid (1) |
+    lm_pos_w (3) — everything the host's loop-closure/place-recognition
+    backend stores per keyframe (the DB ``entry`` of
+    ``TpuSlamEngine._loop_closure_tick``). Shipping it with the tick's
+    outputs means loop closure reads the FINALIZED tick's bank, never the
+    live device state — required under deep pipelining (the live bank is
+    ticks ahead of the keyframe being recorded) and one less device sync
+    per keyframe everywhere else.
+    """
+    return jnp.concatenate(
+        [
+            jax.lax.bitcast_convert_type(new_state.lm_desc[0], jnp.float32),
+            new_state.lm_obs_px[0].astype(jnp.float32),
+            new_state.lm_valid[0].astype(jnp.float32)[..., None],
+            new_state.lm_pos_w[0].astype(jnp.float32),
+        ],
+        axis=-1,
+    )
+
+
+def unpack_kf_sig(arr) -> dict:
+    """Host-side parse of a fetched ``pack_kf_sig`` array."""
+    import numpy as np
+
+    a = np.asarray(arr)
+    return {
+        "desc": np.ascontiguousarray(a[..., 0:8], np.float32).view(np.uint32),
+        "obs_px": a[..., 8:10].astype(np.float32),
+        "valid": a[..., 10] > 0.5,
+        "pos": a[..., 11:14].astype(np.float64),
+    }
+
+
+def _pack_returns(pack: bool | str, new_state: TrackerState, out: TrackOutput):
+    """Assemble the ``(state, out[, packed[, ba_obs][, kf_sig]])`` tuple
+    for a pack mode (shared by the single-chip and SPMD step builders)."""
+    if not pack:
+        return new_state, out
+    rets = [new_state, out, pack_output(out)]
+    if pack in ("ba", "ba+kf"):
+        rets.append(pack_ba_obs(out, new_state.lm_pos_w))
+    if pack in ("kf", "ba+kf"):
+        rets.append(pack_kf_sig(new_state))
+    return tuple(rets)
+
+
+def make_track_step(params: TrackerParams, setup: CameraSetup, donate: bool = False, pack: bool | str = False):
     """Bind params/setup and return a jitted ``(state, images) -> (state, out)``.
 
     The camera setup is closed over as HOST (numpy) arrays, so it traces
@@ -896,8 +955,10 @@ def make_track_step(params: TrackerParams, setup: CameraSetup, donate: bool = Fa
             caller must not reuse a state after passing it.
         pack: Also return ``pack_output(out)`` as a third element — the
             only output the host should sync on (see :func:`pack_output`).
-            With ``pack="ba"``, additionally return ``pack_ba_obs(out)``
-            as a fourth element (the track-level BA measurement stream).
+            ``"ba"`` additionally appends ``pack_ba_obs`` (the track-level
+            BA measurement stream); ``"kf"`` appends ``pack_kf_sig`` (the
+            loop-closure keyframe signature); ``"ba+kf"`` appends both, in
+            that order.
     """
     import numpy as np
 
@@ -905,11 +966,7 @@ def make_track_step(params: TrackerParams, setup: CameraSetup, donate: bool = Fa
 
     def _step(state: TrackerState, images: jnp.ndarray, pose_prediction=None, cam_active=None):
         new_state, out = track_step(params, setup_host, state, images, pose_prediction, cam_active)
-        if pack == "ba":
-            return new_state, out, pack_output(out), pack_ba_obs(out)
-        if pack:
-            return new_state, out, pack_output(out)
-        return new_state, out
+        return _pack_returns(pack, new_state, out)
 
     # Only the state donates: the uint8 images buffer converts to f32
     # inside the graph, so XLA can never alias it ("donated buffers were

@@ -259,7 +259,9 @@ def make_sharded_track_step(
             ``make_track_step``).
         pack: ``True`` appends ``pack_output``; ``"ba"`` additionally
             appends ``pack_ba_obs`` (slot/camera-sharded — one gathered
-            fetch on the host side).
+            fetch on the host side); ``"kf"`` appends ``pack_kf_sig``
+            (the camera-0 loop-closure signature — XLA inserts the
+            cross-shard gather); ``"ba+kf"`` appends both.
     """
     n_dev = mesh.devices.size
     if axis_mode is None:
@@ -431,10 +433,6 @@ def make_sharded_track_step(
             new_state, out = _shard(body_pred, True)(
                 setup_sharded, state, images, cam_active, pose_prediction
             )
-        if pack == "ba":
-            return new_state, out, trk.pack_output(out), trk.pack_ba_obs(out)
-        if pack:
-            return new_state, out, trk.pack_output(out)
-        return new_state, out
+        return trk._pack_returns(pack, new_state, out)
 
     return jax.jit(_step, donate_argnums=(0,) if donate else ())

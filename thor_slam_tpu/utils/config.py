@@ -74,6 +74,11 @@ class BackendConfig:
     #: returns a cached pose set asynchronously by the odometry callback
     #: (reference isaac_ros.py:308-325) — and what a robot should ship.
     pipelined: bool = True
+    #: In-flight ticks when pipelined (pose latency = depth ticks). The
+    #: full feature set (BA + IMU + loop closure) runs at any depth —
+    #: deeper pipelines amortize host<->device round trips, which is the
+    #: throughput lever on remote/tunneled TPUs.
+    pipeline_depth: int = 1
     #: SPMD: track over an N-device jax mesh (1 = single chip).
     devices: int = 1
     tracker: dict[str, Any] = field(default_factory=dict)
@@ -132,6 +137,7 @@ class RunConfig:
             enable_loop_closure=bool(backend_d.get("enable_loop_closure", True)),
             use_imu=bool(backend_d.get("use_imu", True)),
             pipelined=bool(backend_d.get("pipelined", True)),
+            pipeline_depth=int(backend_d.get("pipeline_depth", 1)),
             devices=int(backend_d.get("devices", 1)),
             tracker=dict(backend_d.get("tracker", {})),
         )
