@@ -420,6 +420,8 @@ def main() -> None:
     # The reference's deployed resolution: 4x640x400 (ref config/slam_config.yaml).
     e2e_lowres = None
     low_bound = None
+    e2e_lowres_default = None
+    low_bound_d = None
     if not skip_lowres:
         log("640x400 phase...")
         params4, setup4, calib4, sources4, _, _ = flagship_rig(
@@ -430,6 +432,19 @@ def main() -> None:
         e2e_lowres, _, mid_low = _bench_e2e(calib4, host4, seq_len, warmup, frames, "stream")
         low_bound = max(low_bound, mid_low, _h2d_probe(num_cams, 640, 400), key=lambda b: b[0])
         log(f"640x400 stream {e2e_lowres:.1f} fps (bound {low_bound[1]:.1f})")
+        if not skip_default:
+            # The SHIPPED config at the reference's DEPLOYED resolution —
+            # the single most product-representative row in this file.
+            e2e_lowres_default, _, mid_low_d = _bench_e2e(
+                calib4, host4, seq_len, warmup, frames, "default"
+            )
+            low_bound_d = max(
+                mid_low_d, _h2d_probe(num_cams, 640, 400), key=lambda b: b[0]
+            )
+            log(
+                f"640x400 default {e2e_lowres_default:.1f} fps "
+                f"(bound {low_bound_d[1]:.1f})"
+            )
 
     # The bound each e2e figure answers to is the ADJACENT probe — the
     # tunnel's health drifts an order of magnitude within a run (measured
@@ -453,8 +468,14 @@ def main() -> None:
         "e2e_deferred_fps": round(e2e_deferred, 2),
         "e2e_default_fps": None if e2e_default is None else round(e2e_default, 2),
         "e2e_640x400_fps": None if e2e_lowres is None else round(e2e_lowres, 2),
+        "e2e_640x400_default_fps": (
+            None if e2e_lowres_default is None else round(e2e_lowres_default, 2)
+        ),
         "transfer_bound_fps": round(bound_720[1], 1),
         "transfer_bound_640x400_fps": None if low_bound is None else round(low_bound[1], 1),
+        "transfer_bound_640x400_default_fps": (
+            None if low_bound_d is None else round(low_bound_d[1], 1)
+        ),
         "h2d_MBps": {k: round(v[0], 1) for k, v in bounds.items()},
         "num_inliers_last": diag_s.get("num_inliers", tick_inliers),
         "sgm_640x400_64_ms": round(sgm_ms, 2),

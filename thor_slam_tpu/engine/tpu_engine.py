@@ -428,6 +428,17 @@ class TpuSlamEngine(SlamEngine):
         for pred, mask in warm_variants:
             outs = self._step(self._make_state(), dummy(), pred, mask)
             jax.block_until_ready(outs[2])  # the packed vector
+        if self._enable_ba:
+            # Warm the async BA write-back too (donates its state — use a
+            # fresh throwaway, same rule as the step warm-ups above).
+            warmed = self._apply_ba_update(
+                self._make_state(),
+                jnp.eye(4),
+                jnp.full(self._ba_landmarks, np.iinfo(np.int32).max, jnp.int32),
+                jnp.zeros((self._ba_landmarks, 3)),
+                jnp.zeros(self._ba_landmarks, bool),
+            )
+            jax.block_until_ready(warmed.world_t_body)
         logger.info(
             "TpuSlamEngine initialized: %d cams @ %dx%d (warm-up %.1fs)",
             self._params.num_cams, width, height, time.monotonic() - t0,
