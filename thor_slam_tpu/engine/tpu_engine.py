@@ -52,26 +52,6 @@ def _next_pow2(k: int, floor: int = 8) -> int:
     return cap
 
 
-def _pad_db(db_desc: np.ndarray, db_valid: np.ndarray, mask: np.ndarray):
-    """Pad place-DB arrays to the next power-of-two keyframe count.
-
-    ``loop.find_candidate`` is jitted: a DB that grows by one keyframe per
-    call would trigger a fresh XLA compile at EVERY keyframe until the
-    capacity cap. Bucketing to powers of two bounds the distinct shapes to
-    ~log2(capacity) compiles per run; padded rows are masked out.
-    """
-    k = db_desc.shape[0]
-    cap = _next_pow2(k)
-    if cap == k:
-        return db_desc, db_valid, mask
-    pad = cap - k
-    return (
-        np.concatenate([db_desc, np.zeros((pad, *db_desc.shape[1:]), db_desc.dtype)]),
-        np.concatenate([db_valid, np.zeros((pad, *db_valid.shape[1:]), db_valid.dtype)]),
-        np.concatenate([mask, np.zeros(pad, mask.dtype)]),
-    )
-
-
 class TpuSlamEngine(SlamEngine):
     """Multi-camera stereo visual odometry on TPU (JAX/XLA).
 
@@ -209,6 +189,15 @@ class TpuSlamEngine(SlamEngine):
         self._loop_noise_gate_sigma = loop_noise_gate_sigma
         self._loop_cooldown = 0
         self._loops_closed = 0
+        # Device-resident place-DB descriptor ring (fixed CAP shape,
+        # donated in-place inserts): detection reads it where it lives
+        # instead of re-uploading the multi-MB database per keyframe.
+        self._dev_db_desc = None
+        self._dev_db_valid = None
+        self._db_insert = None
+        self._kf_total = 0
+        #: In-flight async loop detection/verification (see _poll_loop).
+        self._loop_pending: dict | None = None
         self._want_reloc = False
         # MAP-frame correction of the tracker's smooth ODOM frame:
         # world(map)_T_world(odom). Loop closures compose into this
@@ -489,6 +478,9 @@ class TpuSlamEngine(SlamEngine):
         pose = None
         while self._pending_q:
             pose = self._finalize_ready()
+        # Stream end: drain a loop detection still in flight (blocking —
+        # the fetches are tiny) so a closure at the tail isn't dropped.
+        self._poll_loop(block=True)
         return pose
 
     def _dispatch_tick(self, images: jnp.ndarray, frame_set: SynchronizedFrameSet) -> dict:
@@ -588,6 +580,10 @@ class TpuSlamEngine(SlamEngine):
 
     def _finalize_values(self, pending: dict, packed_vec) -> SlamPose | None:
         """Host state machine for one tick, given the fetched packed vector."""
+        # Advance any in-flight loop detection first (non-blocking): a
+        # keyframe's lookup dispatched N ticks ago resolves here without
+        # the host ever syncing on it.
+        self._poll_loop()
         vals = trk.unpack_output(packed_vec)
         world_t_body = vals["world_t_body"]
         num_inliers = vals["num_inliers"]
@@ -852,6 +848,41 @@ class TpuSlamEngine(SlamEngine):
 
     # ----------------------------------------------------- loop closure
 
+    def _ensure_dev_db(self) -> None:
+        """Allocate the device-resident descriptor ring + insert kernel."""
+        if self._dev_db_desc is not None:
+            return
+        cap, n = self._loop_db_capacity, self._params.max_keypoints
+        self._dev_db_desc = jnp.zeros((cap, n, 8), jnp.uint32)
+        self._dev_db_valid = jnp.zeros((cap, n), bool)
+
+        def insert(db_d, db_v, slot, d, v):
+            return (
+                jax.lax.dynamic_update_index_in_dim(db_d, d, slot, 0),
+                jax.lax.dynamic_update_index_in_dim(db_v, v, slot, 0),
+            )
+
+        self._db_insert = jax.jit(insert, donate_argnums=(0, 1))
+
+    def _rebuild_dev_db(self) -> None:
+        """Re-seed the device ring from the host DB (map load / reset)."""
+        self._dev_db_desc = None
+        if not self._loop_db:
+            return
+        self._ensure_dev_db()
+        cap = self._loop_db_capacity
+        n = self._params.max_keypoints
+        desc = np.zeros((cap, n, 8), np.uint32)
+        valid = np.zeros((cap, n), bool)
+        for e in self._loop_db:
+            # A loaded map may have been recorded at a different keypoint
+            # budget — crop/zero-pad its rows into this session's shape.
+            k = min(n, e["desc"].shape[0])
+            desc[e["slot"], :k] = e["desc"][:k]
+            valid[e["slot"], :k] = e["valid"][:k]
+        self._dev_db_desc = jnp.asarray(desc)
+        self._dev_db_valid = jnp.asarray(valid)
+
     def _loop_closure_tick(
         self, world_t_body: np.ndarray, ts: float, kf_sig: np.ndarray | None
     ) -> None:
@@ -880,6 +911,8 @@ class TpuSlamEngine(SlamEngine):
         # Camera-0 slice of the fresh keyframe is the place signature.
         # Landmark positions are stored in the MAP frame so verification
         # against them yields map-frame constraints directly.
+        slot = self._kf_total % self._loop_db_capacity
+        self._kf_total += 1
         entry = {
             "desc": sig["desc"],
             "valid": sig["valid"],
@@ -887,59 +920,127 @@ class TpuSlamEngine(SlamEngine):
             "obs_px": sig["obs_px"],
             "world_t_body": world_t_body.copy(),
             "ts": ts,
+            "slot": slot,
         }
         self._loop_db.append(entry)
         if len(self._loop_db) > self._loop_db_capacity:
+            # Insertion order == slot order, so truncating the host list
+            # drops exactly the entry whose ring slot is being reused.
             self._loop_db = self._loop_db[-self._loop_db_capacity :]
+        # Device-resident descriptor ring: ONE incremental ~10 KB insert
+        # per keyframe instead of re-uploading the whole multi-MB database
+        # at every detection (donated in-place update, fixed CAP shape —
+        # compiles once).
+        self._ensure_dev_db()
+        self._dev_db_desc, self._dev_db_valid = self._db_insert(
+            self._dev_db_desc, self._dev_db_valid,
+            jnp.asarray(slot, jnp.int32),
+            jnp.asarray(entry["desc"]), jnp.asarray(entry["valid"]),
+        )
 
-        k = len(self._loop_db)
         if self._loop_cooldown > 0:
             self._loop_cooldown -= 1
             return
-        if k <= self._loop_exclude_recent + 1:
+        if len(self._loop_db) <= self._loop_exclude_recent + 1:
             return
+        if self._loop_pending is not None:
+            return  # a detection/verification is still in flight
 
-        db_desc = np.stack([e["desc"] for e in self._loop_db[:-1]])
-        db_valid = np.stack([e["valid"] for e in self._loop_db[:-1]])
-        mask = np.ones(k - 1, np.float32)
-        mask[-self._loop_exclude_recent :] = 0.0
-        db_desc, db_valid, mask = _pad_db(db_desc, db_valid, mask)
+        # Eligibility mask over ring slots: present entries minus the
+        # recent temporal neighbors (and the query itself).
+        mask = np.zeros(self._loop_db_capacity, np.float32)
+        for e in self._loop_db[: -self._loop_exclude_recent - 1]:
+            mask[e["slot"]] = 1.0
 
+        # ASYNC detection: dispatch the MXU lookup against the resident
+        # ring and poll `votes.is_ready()` on later finalizes — the host
+        # never blocks on it, so a keyframe costs zero device syncs here
+        # (a closure lands a tick or two after its keyframe; loop
+        # corrections are latency-tolerant by construction).
         cand = loop.find_candidate(
             jnp.asarray(entry["desc"]), jnp.asarray(entry["valid"]),
-            jnp.asarray(db_desc), jnp.asarray(db_valid), jnp.asarray(mask),
+            self._dev_db_desc, self._dev_db_valid, jnp.asarray(mask),
         )
-        votes = int(cand.votes)
-        if votes < self._loop_min_votes:
-            return
-        ci = int(cand.keyframe)
-        cand_e = self._loop_db[ci]
+        self._loop_pending = {
+            "stage": "find",
+            "cand": cand,
+            "query": entry,
+            "query_map_pose": world_t_body.copy(),
+        }
 
-        # Geometric verification: candidate's landmarks vs our observations.
-        k0 = np.asarray(self._setup.k_left[0])
-        d0 = np.asarray(self._setup.dist_left[0])
-        xn = np.stack(
-            [(entry["obs_px"][:, 0] - k0[2]) / k0[0], (entry["obs_px"][:, 1] - k0[3]) / k0[1]], -1
-        )
-        obs_norm = rectify.undistort_normalized(xn, d0).astype(np.float32)
-        ver = loop.verify_candidate(
-            jax.random.PRNGKey(self._frame_count),
-            jnp.asarray(cand_e["lm_w"], jnp.float32),
-            jnp.asarray(cand_e["valid"]),
-            jnp.asarray(cand_e["desc"]),
-            jnp.asarray(obs_norm),
-            jnp.asarray(entry["desc"]),
-            jnp.asarray(entry["valid"]),
-            jnp.asarray(self._setup.cam_r_body[0]),
-            jnp.asarray(self._setup.cam_t_body[0]),
-            jnp.asarray(np.linalg.inv(world_t_body), jnp.float32),
-            min_inliers=self._loop_min_inliers,
-        )
-        if not bool(ver.accepted):
-            return
+    def _poll_loop(self, block: bool = False) -> None:
+        """Advance the async loop-closure machine (non-blocking by default).
 
+        Stages: ``find`` (appearance lookup in flight) -> ``verify``
+        (geometric RANSAC in flight) -> apply (pose graph, host-gated).
+        Called at every finalize; with ``block=True`` (stream flush) it
+        drains to completion.
+        """
+        p = self._loop_pending
+        if p is None:
+            return
+        if p["stage"] == "find":
+            if not (block or p["cand"].votes.is_ready()):
+                return
+            votes_a, slot_a = jax.device_get(
+                (p["cand"].votes, p["cand"].keyframe)
+            )  # one round trip
+            votes = int(votes_a)
+            if votes < self._loop_min_votes:
+                self._loop_pending = None
+                return
+            slot = int(slot_a)
+            cand_e = next((e for e in self._loop_db if e["slot"] == slot), None)
+            if cand_e is None:  # evicted while the lookup was in flight
+                self._loop_pending = None
+                return
+            entry = p["query"]
+            # Geometric verification: candidate's landmarks vs the query's
+            # observations — dispatched async, polled like the lookup.
+            k0 = np.asarray(self._setup.k_left[0])
+            d0 = np.asarray(self._setup.dist_left[0])
+            xn = np.stack(
+                [
+                    (entry["obs_px"][:, 0] - k0[2]) / k0[0],
+                    (entry["obs_px"][:, 1] - k0[3]) / k0[1],
+                ],
+                -1,
+            )
+            obs_norm = rectify.undistort_normalized(xn, d0).astype(np.float32)
+            p["ver"] = loop.verify_candidate(
+                jax.random.PRNGKey(self._frame_count),
+                jnp.asarray(cand_e["lm_w"], jnp.float32),
+                jnp.asarray(cand_e["valid"]),
+                jnp.asarray(cand_e["desc"]),
+                jnp.asarray(obs_norm),
+                jnp.asarray(entry["desc"]),
+                jnp.asarray(entry["valid"]),
+                jnp.asarray(self._setup.cam_r_body[0]),
+                jnp.asarray(self._setup.cam_t_body[0]),
+                jnp.asarray(np.linalg.inv(p["query_map_pose"]), jnp.float32),
+                min_inliers=self._loop_min_inliers,
+            )
+            p["votes"] = votes
+            p["cand_e"] = cand_e
+            p["stage"] = "verify"
+            if not block:
+                return
+        if p["stage"] == "verify":
+            if not (block or p["ver"].accepted.is_ready()):
+                return
+            ver = loop.LoopVerification(*jax.device_get(tuple(p["ver"])))
+            self._loop_pending = None
+            if not bool(ver.accepted):
+                return
+            self._apply_loop_closure(p, ver)
+
+    def _apply_loop_closure(self, p: dict, ver) -> None:
+        """Gate and apply a verified loop constraint (host, MAP side only)."""
+        entry = p["query"]
+        cand_e = p["cand_e"]
+        world_t_body = p["query_map_pose"]
         # Discrepancy gate: the loop constraint must disagree with the
-        # current map-frame pose by more than the constraint's OWN noise
+        # query's map-frame pose by more than the constraint's OWN noise
         # floor — the verification solve's covariance (its residual-scaled
         # inverse Hessian), not an arbitrary constant. A constraint that
         # cannot distinguish the drift from its own noise has nothing to
@@ -954,17 +1055,26 @@ class TpuSlamEngine(SlamEngine):
                 f"disc {disc:.4f} m < floor {noise_floor:.4f} m (sigma {sigma_t:.4f})"
             )
             return
+        try:
+            ci = next(i for i, e in enumerate(self._loop_db) if e is cand_e)
+            qi = next(i for i, e in enumerate(self._loop_db) if e is entry)
+        except StopIteration:
+            return  # evicted while verification was in flight
 
         # Pose-graph over the loop DB trajectory: odometry chain + loop
         # edge. Node/edge arrays are padded to a power of two (masked) so
         # the jitted solve compiles O(log capacity) times, not per-closure.
+        # The loop edge sits between the CURRENT indices of the candidate
+        # and the query (keyframes may have been appended while the
+        # verification was in flight — the query need not be the last
+        # node).
         poses = np.stack([e["world_t_body"] for e in self._loop_db]).astype(np.float32)
         kk = poses.shape[0]
         kk_pad = _next_pow2(kk)
         e_cap = kk_pad  # chain (kk-1 edges) + 1 loop edge + masked padding
         ei, ej, et, w = posegraph.sequential_graph(poses, capacity_edges=e_cap)
-        ei[kk - 1], ej[kk - 1] = ci, kk - 1
-        et[kk - 1] = np.linalg.inv(self._loop_db[ci]["world_t_body"]) @ loop_pose_est
+        ei[kk - 1], ej[kk - 1] = ci, qi
+        et[kk - 1] = np.linalg.inv(cand_e["world_t_body"]) @ loop_pose_est
         w[kk - 1] = 3.0
         poses_pad = np.tile(np.eye(4, dtype=np.float32), (kk_pad, 1, 1))
         poses_pad[:kk] = poses
@@ -1004,7 +1114,7 @@ class TpuSlamEngine(SlamEngine):
         self._loop_cooldown = self._loop_cooldown_kfs
         logger.info(
             "Loop closed: kf %d <-> %d (votes=%d inliers=%d), |corr|=%.3f m",
-            ci, kk - 1, votes, int(ver.num_inliers), float(np.linalg.norm(t_corr[:3, 3])),
+            ci, qi, p["votes"], int(ver.num_inliers), float(np.linalg.norm(t_corr[:3, 3])),
         )
 
     # ----------------------------------------------------- BA backend
@@ -1317,9 +1427,13 @@ class TpuSlamEngine(SlamEngine):
                     "obs_px": np.zeros_like(data["db_lm_w"][i][:, :2]),
                     "world_t_body": data["db_poses"][i],
                     "ts": float(data["db_ts"][i]),
+                    "slot": i % self._loop_db_capacity,
                 }
                 for i in range(data["db_desc"].shape[0])
             ]
+            self._kf_total = len(self._loop_db)
+            self._loop_pending = None
+            self._rebuild_dev_db()
         return True
 
     def save_state(self, path: str) -> bool:
@@ -1402,19 +1516,21 @@ class TpuSlamEngine(SlamEngine):
             oriented=p.oriented_descriptors,
         )
 
-        db_desc = np.stack([e["desc"] for e in self._loop_db])
-        db_valid = np.stack([e["valid"] for e in self._loop_db])
-        db_desc, db_valid, mask = _pad_db(
-            db_desc, db_valid, np.ones(len(self._loop_db), np.float32)
-        )
+        if self._dev_db_desc is None:
+            self._rebuild_dev_db()
+        mask = np.zeros(self._loop_db_capacity, np.float32)
+        for e in self._loop_db:
+            mask[e["slot"]] = 1.0
         cand = loop.find_candidate(
-            desc.bits, desc.valid, jnp.asarray(db_desc), jnp.asarray(db_valid),
+            desc.bits, desc.valid, self._dev_db_desc, self._dev_db_valid,
             jnp.asarray(mask),
         )
         if int(cand.votes) < self._loop_min_votes:
             return False
-        ci = int(cand.keyframe)
-        cand_e = self._loop_db[ci]
+        slot = int(cand.keyframe)
+        cand_e = next((e for e in self._loop_db if e["slot"] == slot), None)
+        if cand_e is None:
+            return False
 
         k0 = np.asarray(self._setup.k_left[0])
         d0 = np.asarray(self._setup.dist_left[0])
@@ -1462,8 +1578,8 @@ class TpuSlamEngine(SlamEngine):
         self._fin_vel = np.zeros(3)
         self._ba_corr_total = np.eye(4)
         logger.info(
-            "Relocalized against keyframe %d (votes=%d inliers=%d)",
-            ci, int(cand.votes), int(ver.num_inliers),
+            "Relocalized against keyframe slot %d (votes=%d inliers=%d)",
+            slot, int(cand.votes), int(ver.num_inliers),
         )
         return True
 
@@ -1477,6 +1593,10 @@ class TpuSlamEngine(SlamEngine):
         self._ba_ticks.clear()
         self._loop_db = []
         self._loops_closed = 0
+        self._loop_pending = None
+        self._kf_total = 0
+        self._dev_db_desc = None
+        self._dev_db_valid = None
         self._want_reloc = False
         self._map_t_odom = np.eye(4)
         self._ba_corr_total = np.eye(4)
