@@ -53,6 +53,30 @@ class TestPreintegrate:
         np.testing.assert_allclose(np.asarray(pre.delta_r), np.eye(3), atol=1e-6)
 
 
+class TestGyroDeltaR:
+    """The vectorized rotation-only host path matches preintegrate_np."""
+
+    def test_matches_preintegrate_np(self):
+        rng = np.random.default_rng(7)
+        n = 90
+        gyro = rng.normal(0, 2.0, (n, 3))
+        dts = np.full(n, 1.0 / 400.0)
+        mask = np.asarray([1.0] * 70 + [0.0] * 20)
+        ref = imu.preintegrate_np(gyro, rng.normal(0, 1, (n, 3)), dts, mask)
+        fast = imu.gyro_delta_r_np(gyro, dts, mask)
+        np.testing.assert_allclose(fast, np.asarray(ref.delta_r), atol=1e-12)
+
+    def test_bias_and_empty(self):
+        bias = np.asarray([0.01, -0.02, 0.005])
+        gyro = np.tile(bias[None], (12, 1))
+        dts = np.full(12, 0.0025)
+        out = imu.gyro_delta_r_np(gyro, dts, np.ones(12), gyro_bias=bias)
+        np.testing.assert_allclose(out, np.eye(3), atol=1e-12)
+        np.testing.assert_allclose(
+            imu.gyro_delta_r_np(gyro, dts, np.zeros(12)), np.eye(3), atol=0
+        )
+
+
 class TestPredictPose:
     def test_free_fall(self):
         """No samples, but gravity propagation over dt... dt=0 here -> identity."""

@@ -159,6 +159,48 @@ def preintegrate_np(gyro, accel, dts, mask, gyro_bias=None, accel_bias=None):
     )
 
 
+def gyro_delta_r_np(gyro, dts, mask, gyro_bias=None):
+    """Rotation-only preintegration on the host: vectorized + scalar fold.
+
+    The per-tick pose *prediction* consumes only ``delta_r``
+    (translation stays constant-velocity — see
+    ``TpuSlamEngine._imu_pose_prediction``), and at pipeline depth d the
+    window re-integrates ~d+1 ticks of samples every tick. The generic
+    :func:`preintegrate_np` loop costs ~0.1 ms of numpy overhead per
+    SAMPLE (measured ~10 ms/tick at depth 6); here the axis-angle ->
+    quaternion map is vectorized over the window and only the inherently
+    sequential Hamilton fold runs per sample, on plain floats.
+
+    Matches ``preintegrate_np``'s delta_r to f64 round-off (same
+    right-composition order r <- r @ R(q_i)).
+    """
+    import numpy as np
+
+    from thor_slam_tpu import geometry
+
+    g = np.asarray(gyro, np.float64).reshape(-1, 3)
+    d = np.asarray(dts, np.float64) * np.asarray(mask, np.float64)
+    if gyro_bias is not None:
+        g = g - np.asarray(gyro_bias, np.float64)
+    phi = g * d[:, None]
+    angles = np.sqrt(np.einsum("ij,ij->i", phi, phi))
+    sel = angles > 0.0
+    if not np.any(sel):
+        return np.eye(3)
+    half = 0.5 * angles[sel]
+    k = np.sin(half) / angles[sel]
+    qs = np.concatenate([phi[sel] * k[:, None], np.cos(half)[:, None]], 1)
+    x, y, z, w = 0.0, 0.0, 0.0, 1.0
+    for qx, qy, qz, qw in qs.tolist():  # Hamilton fold: q <- q * q_i
+        x, y, z, w = (
+            w * qx + x * qw + y * qz - z * qy,
+            w * qy - x * qz + y * qw + z * qx,
+            w * qz + x * qy - y * qx + z * qw,
+            w * qw - x * qx - y * qy - z * qz,
+        )
+    return geometry.quat_to_matrix(np.array([x, y, z, w]))
+
+
 def pack_imu_window(
     samples_ts: list[float] | jnp.ndarray,
     gyros,

@@ -523,7 +523,7 @@ class TpuSlamEngine(SlamEngine):
             i += 1
         if self._want_kf_sig:
             kf_sig = outs[i]
-        return {
+        rec = {
             "packed": packed,
             "ba_obs": ba_obs,
             "kf_sig": kf_sig,
@@ -531,6 +531,16 @@ class TpuSlamEngine(SlamEngine):
             "ts": frame_set.timestamp,
             "stale_sources": frame_set.stale_sources,
         }
+        # Start the d2h copies at DISPATCH: the copy is enqueued behind the
+        # producing computation and lands host-side while the record waits
+        # in the pipeline queue, so the finalize-time fetch reads a cached
+        # host value (~0.3 ms) instead of paying a device round trip
+        # (~27 ms on a tunneled TPU, measured — the e2e limiter).
+        for k in self._FETCH_KEYS:
+            v = rec.get(k)
+            if v is not None:
+                v.copy_to_host_async()
+        return rec
 
     #: Device-array record keys fetched at finalize, in order.
     _FETCH_KEYS = ("packed", "ba_obs", "kf_sig")
@@ -547,9 +557,18 @@ class TpuSlamEngine(SlamEngine):
             [k for k in self._FETCH_KEYS if rec.get(k) is not None]
             for rec in records
         ]
-        values = jax.device_get(
-            tuple(tuple(rec[k] for k in ks) for rec, ks in zip(records, keys))
-        )
+        tree = tuple(tuple(rec[k] for k in ks) for rec, ks in zip(records, keys))
+        # Start every leaf's d2h copy before blocking on any: device_get
+        # materializes leaves sequentially, and on a remote/tunneled TPU
+        # each blocking fetch pays a full network RTT (measured ~16 ms —
+        # 3 leaves/tick made the RTT, not the bytes, the e2e limiter).
+        for rec, ks in zip(records, keys):
+            for k in ks:
+                try:
+                    rec[k].copy_to_host_async()
+                except AttributeError:  # non-jax leaf (already numpy)
+                    pass
+        values = jax.device_get(tree)
         for rec, ks, vals in zip(records, keys, values):
             for k, v in zip(ks, vals):
                 rec[k] = v
@@ -830,9 +849,10 @@ class TpuSlamEngine(SlamEngine):
                     self.imu_empty_windows,
                 )
             return None
-        pre = imu_mod.preintegrate_np(g, a, d, m)  # host: no device round trip
-        # IMU-frame rotation increment -> body frame.
-        delta_r_imu = np.asarray(pre.delta_r, np.float64)
+        # Host (no device round trip), rotation-only: the prediction's
+        # translation is constant-velocity, so the accel integral of the
+        # full preintegration would be discarded.
+        delta_r_imu = imu_mod.gyro_delta_r_np(g, d, m)
         rbi = self._body_r_imu
         delta_r_body = rbi @ delta_r_imu @ rbi.T
 
@@ -844,7 +864,11 @@ class TpuSlamEngine(SlamEngine):
         pred = np.eye(4)
         pred[:3, :3] = fin[:3, :3] @ delta_r_body
         pred[:3, 3] = fin[:3, 3] + self._fin_vel * (ts - self._fin_ts)
-        return jnp.asarray(pred, jnp.float32)
+        # numpy, NOT jnp.asarray(..., f32): an eager dtype-converting
+        # device op costs a dispatch round trip per tick on remote TPUs
+        # (measured ~3.6 ms); the jitted step's call boundary uploads the
+        # 64-byte operand for free.
+        return pred.astype(np.float32)
 
     # ----------------------------------------------------- loop closure
 
