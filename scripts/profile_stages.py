@@ -1,12 +1,20 @@
 """Stage-by-stage TPU timing of the tracker pipeline.
 
-Usage: python -m scripts.profile_stages [WIDTHxHEIGHT] [num_cams] [--e2e]
+Usage: python -m scripts.profile_stages [WIDTHxHEIGHT] [num_cams]
+           [--e2e] [--default] [--cadence-ms N]
 Times each stage jitted in isolation (10 reps after warm-up) to locate
 bottlenecks. With ``--e2e``, additionally attributes the END-TO-END
 ``process_frames`` tick to named host-side stages (stage / upload /
 dispatch+compute / fetch / host state machine) — the breakdown that
 explains any gap between bench.py's ``e2e_fps`` and its measured
-transfer bound. Not part of the test suite.
+transfer bound. ``--default`` runs the e2e attribution with the
+SHIPPED-config engine (BA + IMU + loop closure, deep-pipelined) and
+reports the per-tick fetch wait at max rate vs at a frame cadence
+(``--cadence-ms``, default the reference's 30 fps): on a tunneled TPU
+the uploads saturate the link at max rate and the tiny output fetches
+stall behind them; at the deployed camera cadence the dispatch-time d2h
+copies land in the inter-frame gaps and fetches are ~free. Not part of
+the test suite.
 """
 
 from __future__ import annotations
@@ -140,6 +148,12 @@ def main():
 
     if "--e2e" in sys.argv:
         profile_e2e(w, h, c)
+    if "--default" in sys.argv:
+        cadence_ms = 33.3
+        for a in sys.argv[1:]:
+            if a.startswith("--cadence-ms="):
+                cadence_ms = float(a.split("=", 1)[1])
+        profile_default(w, h, c, cadence_ms)
 
 
 def profile_e2e(w: int, h: int, c: int, ticks: int = 30) -> None:
@@ -202,6 +216,87 @@ def profile_e2e(w: int, h: int, c: int, ticks: int = 30) -> None:
         ms = v / ticks * 1000.0
         print(f"  {k:20s} {ms:8.2f} ms  ({100.0 * v / total:4.1f}%)", flush=True)
     print(f"  {'TOTAL':20s} {total / ticks * 1000.0:8.2f} ms  ({ticks / total:.1f} fps force-synced)", flush=True)
+    engine.shutdown()
+
+
+def profile_default(w: int, h: int, c: int, cadence_ms: float, ticks: int = 40) -> None:
+    """Attribute the DEFAULT-featured pipelined tick; max rate vs cadence.
+
+    The shipped configuration (BA + IMU + loop closure, pipeline depth 6)
+    driven two ways: back-to-back (bench.py's regime — on a tunneled TPU
+    the per-tick image uploads saturate the link, so output fetches queue
+    behind them) and at a fixed frame cadence (the deployed regime — the
+    reference rig delivers 30 fps, reference config/slam_config.yaml, and
+    the dispatch-time d2h copies land in the inter-frame gaps).
+    """
+    from thor_slam_tpu.camera.types import CameraFrame, FrameSet, SynchronizedFrameSet
+    from thor_slam_tpu.engine.tpu_engine import TpuSlamEngine
+    from thor_slam_tpu.slam.interface import SlamConfig
+    from thor_slam_tpu.utils.flagship import flagship_rig, render_sequence
+
+    _, _, calibration, sources, _, _ = flagship_rig(num_cams=c, width=w, height=h, max_keypoints=256)
+    seq = np.clip(np.asarray(render_sequence(sources, 8)) * 255.0, 0, 255).astype(np.uint8)
+    names = list(calibration.source_names)
+
+    def make_sync(i):
+        ts = i / 30.0
+        j = i % (2 * len(seq) - 2)
+        j = j if j < len(seq) else 2 * len(seq) - 2 - j
+        fsets = {
+            name: FrameSet(
+                timestamp=ts,
+                frames=[CameraFrame(seq[j, ci, k], ts, i, f"{name}_{k}") for k in range(2)],
+                source_name=name,
+            )
+            for ci, name in enumerate(names)
+        }
+        n = 13
+        t_imu = ts - 1 / 30.0 + np.arange(1, n + 1) * (1 / 30.0 / n)
+        sd = {
+            "accelerometer": np.tile([0.0, 0.0, 9.81], (n, 1)),
+            "gyroscope": np.tile([0.0, 0.4, 0.0], (n, 1)),
+            "timestamps": t_imu,
+        }
+        return SynchronizedFrameSet(
+            timestamp=ts, frame_sets=fsets, max_time_delta=0.0,
+            sensor_data=sd, sensor_timestamp=ts,
+        )
+
+    engine = TpuSlamEngine(params=dict(max_keypoints=256), pipelined=True, pipeline_depth=6)
+    engine.initialize(calibration, SlamConfig(num_cameras=2 * c, enable_loop_closure=True))
+    for i in range(8):
+        engine.process_frames(make_sync(i))
+    engine.flush()
+
+    fetch_t: list[float] = []
+    orig = engine._fetch_records
+
+    def timed(records):
+        t0 = time.perf_counter()
+        orig(records)
+        fetch_t.append(time.perf_counter() - t0)
+
+    engine._fetch_records = timed
+
+    base = 8
+    print(f"\ndefault-featured e2e ({c} cams @ {w}x{h}, BA+IMU+loop, depth 6):", flush=True)
+    for label, sleep_s in (("max rate", 0.0), (f"{cadence_ms:.0f} ms cadence", cadence_ms / 1e3)):
+        fetch_t.clear()
+        t0 = time.perf_counter()
+        for i in range(base, base + ticks):
+            engine.process_frames(make_sync(i))
+            if sleep_s:
+                time.sleep(sleep_s)
+        engine.flush()
+        wall = time.perf_counter() - t0
+        busy = wall - sleep_s * ticks
+        avg_fetch = sum(fetch_t) / max(1, len(fetch_t)) * 1000.0
+        print(
+            f"  {label:16s} {ticks / wall:6.1f} fps wall | engine {busy / ticks * 1000.0:6.1f} ms/tick"
+            f" | fetch wait {avg_fetch:6.1f} ms over {len(fetch_t)} events",
+            flush=True,
+        )
+        base += ticks
     engine.shutdown()
 
 
