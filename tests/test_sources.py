@@ -139,6 +139,49 @@ class TestRecorded:
             live.get_extrinsics()[1].to_4x4_matrix(),
         )
 
+    def test_record_and_replay_imu(self, tmp_path):
+        """A capture from an IMU-bearing source replays through the full
+        fusion path: sensor extrinsics, per-frame IMU batches (served once
+        each), and the rig's synchronized sensor payload."""
+        spec = SyntheticRigSpec(num_sources=1, stereo=True, width=32, height=24)
+        live = SyntheticCameraSource(
+            "cam0", SyntheticWorld(), OrbitTrajectory(), np.eye(4), spec, emit_imu=True
+        )
+        live.start()
+        # Advance one frame so the first recorded tick has an IMU window.
+        live.get_latest_frames()
+        n = record_frames(live, tmp_path / "rec", num_frames=3)
+        assert n == 3
+
+        replay = RecordedCameraSource(tmp_path / "rec")
+        assert replay.has_sensor_data
+        assert replay.get_sensor_extrinsics() is not None
+        replay.start()
+        # No IMU before any frame is consumed.
+        assert replay.get_timestamped_sensor_data() == (None, None)
+        frames = replay.get_latest_frames()
+        sd, ts = replay.get_timestamped_sensor_data()
+        assert sd is not None and ts is not None
+        assert sd["timestamps"].shape[0] == sd["gyroscope"].shape[0]
+        assert sd["gyroscope"].shape[1] == 3 and sd["accelerometer"].shape[1] == 3
+        # Monotone stamps landing within a frame period of the frame they
+        # were delivered with (the source streams IMU ahead of frames).
+        assert np.all(np.diff(sd["timestamps"]) > 0)
+        assert abs(sd["timestamps"][-1] - frames[0].timestamp) < 1.0 / spec.fps + 1e-9
+        # Served exactly once.
+        assert replay.get_timestamped_sensor_data() == (None, None)
+
+        # Through the rig: the synchronized stream carries the sensor
+        # payload (a replayed batch surfaces on the poll after its frame,
+        # so the first-frame batch rides the second sync — the engine
+        # windows IMU by timestamp, not by arrival tick).
+        replay2 = RecordedCameraSource(tmp_path / "rec", name="cam0")
+        with CameraRig([replay2], imu_source="cam0") as rig:
+            rig.get_synchronized_frames()
+            sync = rig.get_synchronized_frames()
+            assert sync.sensor_data is not None
+            np.testing.assert_array_equal(sync.sensor_data["timestamps"], sd["timestamps"])
+
     def test_replayed_frames_bitexact(self, tmp_path):
         spec = SyntheticRigSpec(num_sources=1, stereo=False, width=32, height=24)
         live = SyntheticCameraSource(

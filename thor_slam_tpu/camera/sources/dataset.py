@@ -230,7 +230,17 @@ class RecordedCameraSource(CameraSource):
             for w, h, k, c in zip(meta["widths"], meta["heights"], meta["matrices"], meta["coeffs"])
         ]
         self._ext = [Extrinsics.from_4x4_matrix(m) for m in meta["extrinsics"]]
+        self._sensor_ext = (
+            Extrinsics.from_4x4_matrix(meta["sensor_extrinsics"])
+            if "sensor_extrinsics" in meta.files
+            else None
+        )
         self._files = sorted(self._root.glob("frame_*.npz"))
+        # IMU presence is a property of the recording, not the replay state:
+        # peek at the first frame file's keys (cheap — npz key listing
+        # reads only the zip directory).
+        self._has_imu = bool(self._files) and "imu_timestamps" in np.load(self._files[0]).files
+        self._pending_imu: tuple[dict, float] | None = None
         self._running = False
         self._idx = 0
 
@@ -258,6 +268,18 @@ class RecordedCameraSource(CameraSource):
             return []
         data = np.load(self._files[self._idx])
         self._idx += 1
+        if "imu_timestamps" in data.files:
+            ts_arr = data["imu_timestamps"]
+            self._pending_imu = (
+                {
+                    "accelerometer": data["imu_accelerometer"],
+                    "gyroscope": data["imu_gyroscope"],
+                    "timestamps": ts_arr,
+                    "timestamp": float(ts_arr[-1]),
+                    "sequence_num": self._idx - 1,
+                },
+                float(ts_arr[-1]),
+            )
         frames = []
         for ci in range(len(self._intr)):
             frames.append(
@@ -282,23 +304,35 @@ class RecordedCameraSource(CameraSource):
         return list(self._ext)
 
     def get_sensor_extrinsics(self) -> Extrinsics | None:
-        return None
+        return self._sensor_ext
 
     def get_timestamped_sensor_data(self) -> tuple[dict | None, float | None]:
-        return None, None
+        # Each frame's IMU batch is served exactly once, after that frame
+        # is consumed — the cadence a live driver's queue drain exhibits.
+        if self._pending_imu is None:
+            return None, None
+        data, ts = self._pending_imu
+        self._pending_imu = None
+        return data, ts
 
     @property
     def has_sensor_data(self) -> bool:
-        return False
+        return self._has_imu
 
 
 def record_frames(source: CameraSource, out_dir: str | Path, num_frames: int) -> int:
-    """Record a live source into the RecordedCameraSource layout."""
+    """Record a live source into the RecordedCameraSource layout.
+
+    Captures frames AND, when the source reports sensor data, the IMU
+    batch delivered alongside each frame group (timestamps, gyroscope,
+    accelerometer) plus the IMU extrinsics — so a field capture replays
+    through the full fusion path, not just the visual one. The reference
+    has no capture/replay tooling at all (SURVEY.md §4).
+    """
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     intr = source.get_intrinsics()
-    np.savez_compressed(
-        out / "calibration.npz",
+    calib: dict = dict(
         name=source.name,
         widths=[i.width for i in intr],
         heights=[i.height for i in intr],
@@ -306,12 +340,22 @@ def record_frames(source: CameraSource, out_dir: str | Path, num_frames: int) ->
         coeffs=[i.coeffs for i in intr],
         extrinsics=[e.to_4x4_matrix() for e in source.get_extrinsics()],
     )
+    sensor_ext = source.get_sensor_extrinsics()
+    if sensor_ext is not None:
+        calib["sensor_extrinsics"] = sensor_ext.to_4x4_matrix()
+    np.savez_compressed(out / "calibration.npz", **calib)
     count = 0
     for k in range(num_frames):
         frames = source.get_latest_frames()
         if not frames:
             break
         arrays = {f"image_{ci}": f.image for ci, f in enumerate(frames)}
+        if source.has_sensor_data:
+            sd, _ = source.try_get_timestamped_sensor_data()
+            if sd is not None and len(np.atleast_1d(sd["timestamps"])):
+                arrays["imu_timestamps"] = np.atleast_1d(sd["timestamps"])
+                arrays["imu_gyroscope"] = np.atleast_2d(sd["gyroscope"])
+                arrays["imu_accelerometer"] = np.atleast_2d(sd["accelerometer"])
         np.savez_compressed(out / f"frame_{k:06d}.npz", timestamp=frames[0].timestamp, **arrays)
         count += 1
     return count
