@@ -29,6 +29,8 @@ logger = logging.getLogger("run_pipeline")
 def run(
     cfg, max_frames: int | None = None, rgbd_every: int = 5, use_ros: bool = False
 ) -> int:
+    import numpy as np
+
     import scripts.run_slam as rs
     from thor_slam_tpu.camera.rig import CameraRig
     from thor_slam_tpu.engine.tpu_engine import TpuSlamEngine
@@ -87,6 +89,34 @@ def run(
     rgbd_topics = {}
     rgbd_fps: dict[str, RateCounter] = {}
 
+    # In-process dense mapper: the nvblox-node role, TPU-native (the
+    # reference needs an external CUDA process for this — reference
+    # launch/thor_nvblox.launch.py:62-91).
+    mapper = None
+    pose_hist: list = []  # (timestamp, world_t_body) ring for TF-style lookup
+    if cfg.mapping.enabled:
+        from thor_slam_tpu.pipeline.mapper import DenseMapper, MapperConfig
+
+        m = cfg.mapping
+        mapper = DenseMapper(
+            MapperConfig(
+                voxel_size_m=m.voxel_size_m,
+                dims=m.dims,
+                truncation_vox=m.truncation_vox,
+                max_integration_distance_m=m.max_integration_distance_m,
+                integrate_color=m.integrate_color,
+                recenter_margin_m=m.recenter_margin_m,
+                slice_axis=m.slice_axis,
+                slice_band_m=m.slice_band_m,
+                esdf_max_distance_m=m.esdf_max_distance_m,
+            )
+        )
+        logger.info(
+            "Dense mapper: %s voxels at %.0f mm (%.1fx%.1fx%.1f m)",
+            "x".join(map(str, m.dims)), m.voxel_size_m * 1000, *mapper.spec.extent_m,
+        )
+    surface_topic = bus.topic("/mapper/surface", queue_size=2, keep_latest_only=True)
+
     frame_count = 0
     try:
         rig.start()
@@ -94,6 +124,7 @@ def run(
         engine.initialize(rig.calibration, SlamConfig(num_cameras=cfg.num_cameras))
 
         cam_cfg_by_ip = {c.ip: c for c in cfg.cameras}
+        product_ext: dict[str, object] = {}
         for i, ip in enumerate(rgbd_ips):
             src = rig.get_source(ip)
             if src is None:
@@ -119,6 +150,11 @@ def run(
             )
             if proc.color_mode:
                 logger.info("RGB-D %s: color-aligned at %dx%d", ip, proc.output_intrinsics.width, proc.output_intrinsics.height)
+            # Pose of the RGB-D product frame in the body: body_T_left
+            # composed with the product's frame (rectified-left or color).
+            body_cams = rig.calibration.get_world_extrinsics(ip)
+            if body_cams:
+                product_ext[ip] = body_cams[0].to_4x4_matrix() @ proc.product_t_in_left
             processors.append(proc)
             rgbd_topics[ip] = (
                 bus.topic(f"/camera_{i}/rgb", queue_size=5),
@@ -143,6 +179,9 @@ def run(
             stats.num_inliers = engine.last_diagnostics.get("num_inliers", 0)
             if pose is not None:
                 pose_topic.publish(pose)
+                pose_hist.append((pose.timestamp, pose.to_4x4_matrix()))
+                if len(pose_hist) > 60:
+                    del pose_hist[:-60]
                 if ros_bridge is not None:
                     ros_bridge.publish_pose(pose)
                     ros_bridge.publish_map_tf(engine.map_t_odom, pose.timestamp)
@@ -162,13 +201,43 @@ def run(
                             rgbd_fps[proc.camera_name].tick()
                             if ros_bridge is not None:
                                 ros_bridge.publish_rgbd(idx, frame)
+                            if (
+                                mapper is not None
+                                and pose_hist
+                                and proc.camera_name in product_ext
+                                and (frame_count // rgbd_every)
+                                % cfg.mapping.integrate_every == 0
+                            ):
+                                # TF-style lookup: nearest pose by stamp
+                                # (the pipelined engine's pose lags the
+                                # frame, like the reference's async
+                                # odometry — reference isaac_ros.py:308).
+                                ts, world_t_body = min(
+                                    pose_hist, key=lambda p: abs(p[0] - frame.timestamp)
+                                )
+                                with stats.stage("map").time():
+                                    mapper.integrate(
+                                        frame,
+                                        np.asarray(world_t_body)
+                                        @ product_ext[proc.camera_name],
+                                    )
 
             now = time.monotonic()
             if now - last_status >= 2.0:
                 rates = " ".join(
                     f"rgbd[{ip[-2:]}]={r.rate_hz:.1f}Hz" for ip, r in rgbd_fps.items()
                 )
-                print(stats.status_line(frame_count) + " | " + rates, flush=True)
+                map_stat = ""
+                if mapper is not None and mapper.stats.integrated_frames:
+                    pts, cols = mapper.surface_cloud(max_points=65536)
+                    surface_topic.publish((pts, cols))
+                    if ros_bridge is not None:
+                        ros_bridge.publish_surface_cloud(pts, cols, sync.timestamp)
+                    map_stat = (
+                        f" | map: {mapper.stats.integrated_frames}f"
+                        f" {len(pts)}pts r{mapper.stats.recenters}"
+                    )
+                print(stats.status_line(frame_count) + " | " + rates + map_stat, flush=True)
                 last_status = now
     finally:
         rig.stop()
@@ -179,6 +248,17 @@ def run(
             f"{len(m.keyframe_poses)} keyframes",
             flush=True,
         )
+        if mapper is not None and mapper.stats.integrated_frames:
+            mesh = mapper.mesh()
+            dist, occ, obs, _ = mapper.esdf_slice()
+            print(
+                f"Dense map: {mapper.stats.integrated_frames} frames integrated | "
+                f"mesh {len(mesh.vertices)}v/{len(mesh.triangles)}t | "
+                f"costmap {int(occ.sum())} occupied / {int(obs.sum())} observed cells",
+                flush=True,
+            )
+            if ros_bridge is not None:
+                ros_bridge.publish_mesh_marker(mesh, time.time())
         engine.shutdown()
         if ros_bridge is not None:
             ros_bridge.shutdown()
@@ -194,6 +274,11 @@ def main() -> int:
     parser.add_argument("--synthetic", action="store_true", help="Force the synthetic rig")
     parser.add_argument("--frames", type=int, default=None, help="Stop after N frames")
     parser.add_argument("--rgbd-every", type=int, default=5, help="RGB-D cadence (ticks)")
+    parser.add_argument(
+        "--map", action="store_true",
+        help="Enable the in-process TPU dense mapper (TSDF/mesh/costmap — "
+        "the nvblox-node role; also via config mapping.enabled)",
+    )
     parser.add_argument(
         "--ros", action="store_true",
         help="Publish odometry/TF + nvblox RGB-D topics to ROS 2 (requires rclpy)",
@@ -218,6 +303,8 @@ def main() -> int:
         return 2
     if args.synthetic:
         cfg.synthetic.enabled = True
+    if args.map:
+        cfg.mapping.enabled = True
     enable_compilation_cache()
 
     signal.signal(signal.SIGINT, _handle_signal)

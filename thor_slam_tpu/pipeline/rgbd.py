@@ -164,6 +164,7 @@ class RGBDProcessor:
             intrinsics[0], intrinsics[1], extrinsics[0], extrinsics[1]
         )
         self._color = color_intrinsics is not None and left_t_color is not None
+        self._left_t_color = left_t_color
         if self._color:
             default_out = (color_intrinsics.width, color_intrinsics.height)
         else:
@@ -249,6 +250,21 @@ class RGBDProcessor:
     @property
     def output_intrinsics(self) -> Intrinsics:
         return self._out_intrinsics
+
+    @property
+    def product_t_in_left(self) -> np.ndarray:
+        """(4, 4) pose of the PRODUCT frame in the raw left-camera frame.
+
+        The RGB-D pair lives in the rectified-left frame (grayscale mode)
+        or the color camera frame (color mode). Downstream consumers that
+        need the product's world pose (the dense mapper) compose
+        ``world_T_body @ body_T_left @ product_t_in_left``.
+        """
+        if self._color:
+            return np.asarray(self._left_t_color, np.float64)
+        m = np.eye(4)
+        m[:3, :3] = np.asarray(self._sr.rect_rotation_left, np.float64).T
+        return m
 
     @property
     def color_mode(self) -> bool:

@@ -60,6 +60,24 @@ def pack_xyz_cloud(points: np.ndarray) -> tuple[bytes, int, int]:
     return pts.astype(np.float32).tobytes(), 12, pts.shape[0]
 
 
+def pack_xyzrgb_cloud(points: np.ndarray, colors: np.ndarray) -> tuple[bytes, int, int]:
+    """Pack (N, 3) points + (N, 3) uint8 colors into PointCloud2 format.
+
+    Same RDF->FLU basis change as :func:`pack_xyz_cloud`, plus the
+    PCL-style packed-float rgb field (r<<16|g<<8|b bit-cast to f32).
+    Pure function (no ROS imports) so the packing is unit-testable.
+    """
+    pts = np.asarray(points, np.float64).reshape(-1, 3)
+    pts = (pts @ geometry.FLU_FROM_RDF[:3, :3].T).astype(np.float32)
+    c = np.asarray(colors, np.uint32).reshape(-1, 3)
+    rgb_u32 = (c[:, 0] << 16) | (c[:, 1] << 8) | c[:, 2]
+    rgb_f32 = rgb_u32.astype(np.uint32).view(np.float32)
+    rec = np.empty((pts.shape[0], 4), np.float32)
+    rec[:, :3] = pts
+    rec[:, 3] = rgb_f32
+    return rec.tobytes(), 16, pts.shape[0]
+
+
 class RosBridge:  # pragma: no cover - ROS stack
     """Publishes SlamPose / RGBDFrame objects as ROS 2 messages."""
 
@@ -164,6 +182,70 @@ class RosBridge:  # pragma: no cover - ROS stack
         ``/visual_slam/vis/observations_cloud`` (feed with
         ``engine.get_map().to_point_cloud()``)."""
         self._publish_cloud(self._observations_pub, points, timestamp)
+
+    def publish_surface_cloud(
+        self, points: np.ndarray, colors: np.ndarray, timestamp: float
+    ) -> None:
+        """Dense-mapper surface on ``/mapper/surface`` (xyz+rgb cloud).
+
+        The nvblox-node output role. Published in the ODOM frame — the
+        mapper integrates there (like the reference's nvblox
+        ``global_frame: odom`` default); rviz places it via map->odom TF.
+        """
+        if not hasattr(self, "_surface_pub"):
+            self._surface_pub = self._node.create_publisher(
+                PointCloud2, "/mapper/surface", 2
+            )
+        data, step, count = pack_xyzrgb_cloud(points, colors)
+        msg = PointCloud2()
+        msg.header.stamp = _ros_time(timestamp)
+        msg.header.frame_id = self._odom_frame
+        msg.height = 1
+        msg.width = count
+        msg.fields = [
+            PointField(name=n, offset=4 * i, datatype=PointField.FLOAT32, count=1)
+            for i, n in enumerate("xyz")
+        ] + [PointField(name="rgb", offset=12, datatype=PointField.FLOAT32, count=1)]
+        msg.is_bigendian = False
+        msg.point_step = step
+        msg.row_step = step * count
+        msg.is_dense = True
+        msg.data = data
+        self._surface_pub.publish(msg)
+
+    def publish_mesh_marker(self, mesh, timestamp: float) -> None:
+        """Surface-Nets mesh as a TRIANGLE_LIST marker on ``/mapper/mesh``.
+
+        The NvbloxMesh-display role (config/nvblox.rviz) without the
+        nvblox_msgs dependency: any stock rviz renders Marker triangles.
+        """
+        from geometry_msgs.msg import Point
+        from std_msgs.msg import ColorRGBA
+        from visualization_msgs.msg import Marker
+
+        if not hasattr(self, "_mesh_pub"):
+            self._mesh_pub = self._node.create_publisher(Marker, "/mapper/mesh", 1)
+        m = Marker()
+        m.header.stamp = _ros_time(timestamp)
+        m.header.frame_id = self._odom_frame
+        m.ns = "mapper"
+        m.type = Marker.TRIANGLE_LIST
+        m.action = Marker.ADD
+        m.pose.orientation.w = 1.0
+        m.scale.x = m.scale.y = m.scale.z = 1.0
+        verts_flu = (
+            np.asarray(mesh.vertices, np.float64) @ geometry.FLU_FROM_RDF[:3, :3].T
+        )
+        cols = np.asarray(mesh.colors, np.float64) / 255.0
+        for tri in mesh.triangles:
+            for vi in tri:
+                p = Point()
+                p.x, p.y, p.z = verts_flu[vi]
+                m.points.append(p)
+                c = ColorRGBA()
+                c.r, c.g, c.b, c.a = (*cols[vi], 1.0)
+                m.colors.append(c)
+        self._mesh_pub.publish(m)
 
     def publish_rgbd(self, index: int, frame: RGBDFrame) -> None:
         """nvblox feed: /camera_{i}/{rgb,depth}/{image_raw,camera_info}."""

@@ -85,6 +85,32 @@ class BackendConfig:
 
 
 @dataclass
+class MappingConfig:
+    """In-process dense mapping (the nvblox-node role, our extension).
+
+    Field defaults mirror the reference's nvblox launch parameters
+    (reference launch/thor_nvblox.launch.py: voxel_size 0.05, truncation
+    4 vox, max integration distance 10 m). Disabled by default — when
+    off, run_pipeline only PUBLISHES the RGB-D feed, exactly like the
+    reference (which needs an external CUDA nvblox process to consume
+    it); when on, the TPU-native mapper consumes it in-process.
+    """
+
+    enabled: bool = False
+    voxel_size_m: float = 0.05
+    dims: tuple[int, int, int] = (256, 256, 128)
+    truncation_vox: float = 4.0
+    max_integration_distance_m: float = 10.0
+    integrate_color: bool = True
+    recenter_margin_m: float = 2.0
+    slice_axis: int = 2
+    slice_band_m: tuple[float, float] = (0.0, 1.0)
+    esdf_max_distance_m: float = 2.0
+    #: Integrate every Nth produced RGB-D frame (1 = all).
+    integrate_every: int = 1
+
+
+@dataclass
 class SyntheticConfig:
     """Hardware-free operation (our extension)."""
 
@@ -113,6 +139,7 @@ class RunConfig:
     nvblox_cameras: list[str] = field(default_factory=list)
     backend: BackendConfig = field(default_factory=BackendConfig)
     synthetic: SyntheticConfig = field(default_factory=SyntheticConfig)
+    mapping: MappingConfig = field(default_factory=MappingConfig)
 
     @property
     def num_cameras(self) -> int:
@@ -154,6 +181,31 @@ class RunConfig:
                 tuple(syn_d["color_resolution"]) if syn_d.get("color_resolution") else None
             ),
         )
+        map_d = d.get("mapping", {}) or {}
+        dims = tuple(int(x) for x in map_d.get("dims", (256, 256, 128)))
+        if len(dims) != 3 or any(n < 8 for n in dims):
+            raise ConfigError(f"mapping.dims must be three voxel counts >= 8, got {dims}")
+        slice_band = tuple(float(x) for x in map_d.get("slice_band_m", (0.0, 1.0)))
+        if len(slice_band) != 2 or slice_band[0] >= slice_band[1]:
+            raise ConfigError(
+                f"mapping.slice_band_m must be (lo, hi) with lo < hi, got {slice_band}"
+            )
+        slice_axis = int(map_d.get("slice_axis", 2))
+        if slice_axis not in (0, 1, 2):
+            raise ConfigError(f"mapping.slice_axis must be 0, 1 or 2, got {slice_axis}")
+        mapping = MappingConfig(
+            enabled=bool(map_d.get("enabled", False)),
+            voxel_size_m=float(map_d.get("voxel_size_m", 0.05)),
+            dims=dims,
+            truncation_vox=float(map_d.get("truncation_vox", 4.0)),
+            max_integration_distance_m=float(map_d.get("max_integration_distance_m", 10.0)),
+            integrate_color=bool(map_d.get("integrate_color", True)),
+            recenter_margin_m=float(map_d.get("recenter_margin_m", 2.0)),
+            slice_axis=slice_axis,
+            slice_band_m=slice_band,
+            esdf_max_distance_m=float(map_d.get("esdf_max_distance_m", 2.0)),
+            integrate_every=int(map_d.get("integrate_every", 1)),
+        )
         return cls(
             cameras=cams,
             fps=float(d.get("fps", 30.0)),
@@ -170,6 +222,7 @@ class RunConfig:
             nvblox_cameras=[str(x) for x in d.get("nvblox_cameras", []) or []],
             backend=backend,
             synthetic=synthetic,
+            mapping=mapping,
         )
 
 
