@@ -359,6 +359,60 @@ def _bench_sgm(width=640, height=400, num_disparities=64, reps=12):
     return (time.perf_counter() - t0) / reps * 1000.0
 
 
+def _bench_mapping(width=640, height=400, reps=10):
+    """Dense-mapping rates at the deployed nvblox geometry.
+
+    The nvblox-node role (reference launch/thor_nvblox.launch.py:62-91):
+    TSDF integration of one 640x400 depth+color frame into the default
+    256x256x128 grid at 5 cm, plus the export ops (Surface-Nets mesh,
+    exact 2D ESDF costmap slice). Poses vary per rep (relay memoization).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from thor_slam_tpu.mapping import (
+        GridSpec, extract_mesh, make_grid, make_integrator,
+    )
+    from thor_slam_tpu.mapping.esdf import esdf_slice_2d
+
+    spec = GridSpec()  # the deployed parameters
+    grid = make_grid(spec, origin_m=(-6.4, -6.4, -3.2))
+    integ = make_integrator(spec)
+    rng = np.random.default_rng(0)
+    depth = jnp.asarray((rng.uniform(0.5, 8.0, (height, width)) * 1000).astype(np.uint16))
+    color = jnp.asarray(rng.integers(0, 255, (height, width, 3), dtype=np.uint8))
+    intr4 = jnp.asarray([420.0, 420.0, width / 2, height / 2], jnp.float32)
+
+    def pose(i):
+        a = 0.05 * i
+        m = np.eye(4, dtype=np.float32)
+        m[0, 0] = m[2, 2] = np.cos(a)
+        m[0, 2], m[2, 0] = np.sin(a), -np.sin(a)
+        return jnp.asarray(m)
+
+    grid = integ(grid, depth, color, pose(0), intr4)
+    jax.block_until_ready(grid.weight)
+    t0 = time.perf_counter()
+    for i in range(1, reps + 1):
+        grid = integ(grid, depth, color, pose(i), intr4)
+    jax.block_until_ready(grid.weight)
+    integrate_ms = (time.perf_counter() - t0) / reps * 1000.0
+
+    extract_mesh(grid, spec, max_vertices=16384, max_quads=16384)  # compile
+    t0 = time.perf_counter()
+    mesh = extract_mesh(grid, spec, max_vertices=16384, max_quads=16384)
+    mesh_ms = (time.perf_counter() - t0) * 1000.0
+
+    args = dict(voxel_size_m=spec.voxel_size_m, z_lo_vox=60, z_hi_vox=80, max_distance_m=2.0)
+    jax.block_until_ready(esdf_slice_2d(grid.tsdf, grid.weight, **args)[0])
+    t0 = time.perf_counter()
+    out = esdf_slice_2d(grid.tsdf, grid.weight, **args)
+    jax.block_until_ready(out[0])
+    esdf_ms = (time.perf_counter() - t0) * 1000.0
+    return integrate_ms, mesh_ms, esdf_ms, len(mesh.vertices)
+
+
 def main() -> None:
     width = int(os.environ.get("BENCH_WIDTH", "1280"))
     height = int(os.environ.get("BENCH_HEIGHT", "720"))
@@ -410,7 +464,13 @@ def main() -> None:
         log(f"default {e2e_default:.1f} fps (bound {bounds['post_default'][1]:.1f}); device-tick phase...")
 
     sgm_ms = _bench_sgm()
-    log(f"sgm 640x400/64 {sgm_ms:.1f} ms; device-tick phase...")
+    log(f"sgm 640x400/64 {sgm_ms:.1f} ms; mapping phase...")
+
+    tsdf_ms, mesh_ms, esdf_ms, _mesh_v = _bench_mapping()
+    log(
+        f"tsdf integrate {tsdf_ms:.1f} ms/frame, mesh {mesh_ms:.1f} ms, "
+        "esdf slice {:.1f} ms; device-tick phase...".format(esdf_ms)
+    )
 
     tick_fps, tick_inliers = _bench_device_tick(params, setup, sources, warmup, frames, seq_len)
     log(f"device tick (per-dispatch) {tick_fps:.1f} fps; scanned phase...")
@@ -479,6 +539,9 @@ def main() -> None:
         "h2d_MBps": {k: round(v[0], 1) for k, v in bounds.items()},
         "num_inliers_last": diag_s.get("num_inliers", tick_inliers),
         "sgm_640x400_64_ms": round(sgm_ms, 2),
+        "tsdf_integrate_640x400_ms": round(tsdf_ms, 2),
+        "mesh_extract_ms": round(mesh_ms, 2),
+        "esdf_slice_ms": round(esdf_ms, 2),
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))
