@@ -13,7 +13,11 @@ topics). Two extractors:
   sign-changing voxel edge. Same watertight surface class, VPU-shaped.
 
 Both run with FIXED budgets (``jnp.nonzero(size=...)`` selection) so the
-jitted programs have static shapes; the host compacts the padded result.
+jitted programs have static shapes. ``nonzero`` prefix-packs its hits, so
+valid entries always occupy a prefix of the padded buffers: the host
+fetches the count (a scalar) and then ONLY the valid prefix — fetch bytes
+scale with actual surface content, not with the budget (load-bearing on
+tunneled TPUs, free on PCIe hosts).
 """
 
 from __future__ import annotations
@@ -65,8 +69,9 @@ def _build_surface_points_fn(spec: GridSpec, max_points: int):
     @jax.jit
     def fn(grid: TsdfGrid):
         near = (grid.weight > 0.0) & (jnp.abs(grid.tsdf) < half)
+        # nonzero prefix-packs hits: valid points are slots [0, count).
         (sel,) = jnp.nonzero(near.reshape(-1), size=max_points, fill_value=-1)
-        valid = sel >= 0
+        count = jnp.sum(sel >= 0)
         idx = jnp.maximum(sel, 0)
         i = idx // (ny * nz)
         j = (idx // nz) % ny
@@ -76,10 +81,10 @@ def _build_surface_points_fn(spec: GridSpec, max_points: int):
             + (jnp.stack([i, j, k], axis=-1).astype(jnp.float32) + 0.5) * spec.voxel_size_m
         )
         if spec.integrate_color:
-            cols = grid.color.reshape(-1, 3)[idx]
+            cols = jnp.clip(grid.color.reshape(-1, 3)[idx], 0.0, 255.0).astype(jnp.uint8)
         else:
-            cols = jnp.zeros((max_points, 3), jnp.float32)
-        return pts, cols, valid
+            cols = jnp.zeros((max_points, 3), jnp.uint8)
+        return pts, cols, count
 
     return fn
 
@@ -92,12 +97,9 @@ def extract_surface_points(
     Returns:
         ``(points, colors)`` — (N, 3) f32 world meters and (N, 3) uint8.
     """
-    pts, cols, valid = _build_surface_points_fn(spec, int(max_points))(grid)
-    mask = np.asarray(valid)
-    return (
-        np.asarray(pts)[mask],
-        np.clip(np.asarray(cols)[mask], 0, 255).astype(np.uint8),
-    )
+    pts, cols, count = _build_surface_points_fn(spec, int(max_points))(grid)
+    n = int(count)  # scalar fetch, then only the valid prefix moves
+    return jax.device_get((pts[:n], cols[:n]))
 
 
 @lru_cache(maxsize=8)
@@ -211,8 +213,14 @@ def _build_mesh_fn(spec: GridSpec, max_vertices: int, max_quads: int):
             tri_valid.extend([qvalid, qvalid])
         triangles = jnp.concatenate(tris, axis=0)
         tvalid = jnp.concatenate(tri_valid, axis=0)
+        # Prefix-pack valid triangles so the host fetches only the count.
+        (tsel,) = jnp.nonzero(tvalid, size=triangles.shape[0], fill_value=-1)
+        triangles = triangles[jnp.maximum(tsel, 0)]
+        n_tris = jnp.sum(tvalid)
+        n_verts = jnp.sum(vert_valid)
+        colors = jnp.clip(colors, 0.0, 255.0).astype(jnp.uint8)
         budget_hit = jnp.sum(active) > max_vertices
-        return verts, colors, vert_valid, triangles, tvalid, budget_hit
+        return verts, colors, n_verts, triangles, n_tris, budget_hit
 
     return fn
 
@@ -225,16 +233,16 @@ def extract_mesh(
 ) -> SurfaceMesh:
     """Extract the Surface-Nets mesh of the current zero level set."""
     fn = _build_mesh_fn(spec, int(max_vertices), int(max_quads))
-    verts, colors, vert_valid, triangles, tvalid, budget_hit = fn(grid)
-    vmask = np.asarray(vert_valid)
-    old_to_new = np.full(vmask.shape[0], -1, np.int64)
-    old_to_new[vmask] = np.arange(int(vmask.sum()))
-    tris = np.asarray(triangles)[np.asarray(tvalid)]
-    tris = old_to_new[tris]
-    tris = tris[(tris >= 0).all(axis=1)].astype(np.int32)
+    verts, colors, n_verts, triangles, n_tris, budget_hit = fn(grid)
+    # Two round trips total (RTT dominates on tunneled TPUs): one batched
+    # scalar fetch, then one batched prefix fetch — valid vertices and
+    # triangles are device-side prefixes, and triangle indices are vertex
+    # slots = packed indices, so no host remapping is needed.
+    nv, nt, hit = (int(x) for x in jax.device_get((n_verts, n_tris, budget_hit)))
+    v, c, t = jax.device_get((verts[:nv], colors[:nv], triangles[:nt]))
     return SurfaceMesh(
-        vertices=np.asarray(verts)[vmask],
-        colors=np.clip(np.asarray(colors)[vmask], 0, 255).astype(np.uint8),
-        triangles=tris,
-        vertex_budget_hit=bool(budget_hit),
+        vertices=v,
+        colors=c,
+        triangles=np.asarray(t, dtype=np.int32),
+        vertex_budget_hit=bool(hit),
     )
