@@ -307,3 +307,88 @@ class TestNoColorMode:
 
 if __name__ == "__main__":  # pragma: no cover
     pytest.main([__file__, "-v"])
+
+
+class TestDecay:
+    def test_weights_shrink_and_voxels_expire(self):
+        from thor_slam_tpu.mapping import make_decay
+
+        spec = GridSpec(dims=(16, 16, 16), voxel_size_m=0.05, max_weight=4.0)
+        grid = make_grid(spec, origin_m=(-0.4, -0.4, 0.0))
+        integ = make_integrator(spec)
+        intr = _intr4(40.0, 40.0, 16.0, 12.0)
+        color = jnp.zeros((24, 32, 3), jnp.uint8)
+        grid = integ(grid, _plane_depth_mm(24, 32, 0.49), color, jnp.eye(4), intr)
+        w0 = np.asarray(grid.weight)
+        decay = make_decay(spec, min_weight=0.5)
+        grid = decay(grid, jnp.float32(0.9))
+        np.testing.assert_allclose(np.asarray(grid.weight)[w0 > 0], 0.9 * w0[w0 > 0])
+        # Decay to below min_weight: everything reverts to unobserved.
+        for _ in range(10):
+            grid = decay(grid, jnp.float32(0.5))
+        assert (np.asarray(grid.weight) == 0).all()
+        np.testing.assert_allclose(np.asarray(grid.tsdf), spec.truncation_m)
+
+
+class TestSaveLoad:
+    def test_grid_round_trip(self, tmp_path):
+        from thor_slam_tpu.mapping import load_grid, save_grid
+
+        spec = GridSpec(dims=(16, 16, 16), voxel_size_m=0.07, truncation_vox=3.0)
+        grid = make_grid(spec, origin_m=(-0.5, -0.5, 0.0))
+        integ = make_integrator(spec)
+        grid = integ(
+            grid, _plane_depth_mm(24, 32, 0.49),
+            jnp.full((24, 32, 3), 77, jnp.uint8), jnp.eye(4),
+            _intr4(40.0, 40.0, 16.0, 12.0),
+        )
+        save_grid(tmp_path / "map.npz", grid, spec)
+        grid2, spec2 = load_grid(tmp_path / "map.npz")
+        assert spec2 == spec
+        np.testing.assert_array_equal(np.asarray(grid2.tsdf), np.asarray(grid.tsdf))
+        np.testing.assert_array_equal(np.asarray(grid2.weight), np.asarray(grid.weight))
+        np.testing.assert_array_equal(np.asarray(grid2.color), np.asarray(grid.color))
+        np.testing.assert_array_equal(np.asarray(grid2.origin), np.asarray(grid.origin))
+
+    def test_mapper_save_load_and_ply(self, tmp_path):
+        from thor_slam_tpu.pipeline.mapper import DenseMapper, MapperConfig
+        from thor_slam_tpu.pipeline.rgbd import RGBDFrame
+        from thor_slam_tpu.camera.types import Intrinsics
+
+        cfg = MapperConfig(voxel_size_m=0.05, dims=(32, 32, 32), recenter_margin_m=0.0)
+        mapper = DenseMapper(cfg)
+        k = np.array([[50.0, 0, 32.0], [0, 50.0, 24.0], [0, 0, 1.0]])
+        frame = RGBDFrame(
+            rgb=np.full((48, 64, 3), (200, 40, 90), np.uint8),
+            depth_mm=np.full((48, 64), 520, np.uint16),
+            intrinsics=Intrinsics(width=64, height=48, matrix=k, coeffs=np.zeros(5)),
+            timestamp=0.0,
+            camera_name="cam0",
+        )
+        mapper.integrate(frame, np.eye(4))
+        mapper.save(tmp_path / "dense.npz")
+
+        fresh = DenseMapper(MapperConfig(dims=(8, 8, 8)))  # different geometry
+        fresh.load(tmp_path / "dense.npz")
+        assert fresh.spec.dims == (32, 32, 32)  # spec rides the file
+        pts, _ = fresh.surface_cloud()
+        assert len(pts) > 0
+        # Loaded maps accept further integration (integrators rebuilt).
+        fresh.integrate(frame, np.eye(4))
+
+        mesh = fresh.mesh(max_vertices=4096, max_quads=4096)
+        mesh.save_ply(tmp_path / "mesh.ply")
+        raw = (tmp_path / "mesh.ply").read_bytes()
+        header, blob = raw.split(b"end_header\n", 1)
+        assert f"element vertex {len(mesh.vertices)}".encode() in header
+        assert f"element face {len(mesh.triangles)}".encode() in header
+        assert len(blob) == len(mesh.vertices) * 15 + len(mesh.triangles) * 13
+        # First vertex record round-trips.
+        v0 = np.frombuffer(blob[:12], np.float32)
+        np.testing.assert_allclose(v0, mesh.vertices[0], rtol=1e-6)
+
+    def test_save_before_integrate_raises(self, tmp_path):
+        from thor_slam_tpu.pipeline.mapper import DenseMapper, MapperConfig
+
+        with pytest.raises(RuntimeError, match="nothing integrated"):
+            DenseMapper(MapperConfig(dims=(8, 8, 8))).save(tmp_path / "x.npz")

@@ -23,9 +23,12 @@ from thor_slam_tpu.mapping.tsdf import (
     GridSpec,
     TsdfGrid,
     centered_origin,
+    load_grid,
+    make_decay,
     make_grid,
     make_integrator,
     make_recenter,
+    save_grid,
 )
 
 __all__ = [
@@ -37,7 +40,10 @@ __all__ = [
     "esdf_slice_2d",
     "extract_mesh",
     "extract_surface_points",
+    "load_grid",
+    "make_decay",
     "make_grid",
     "make_integrator",
     "make_recenter",
+    "save_grid",
 ]

@@ -60,6 +60,32 @@ class SurfaceMesh:
     triangles: np.ndarray
     vertex_budget_hit: bool = False
 
+    def save_ply(self, path) -> None:
+        """Write binary little-endian PLY with per-vertex colors.
+
+        The offline-mesh deliverable (nvblox's save-ply service role);
+        loads in MeshLab/Open3D/Blender.
+        """
+        nv, nt = len(self.vertices), len(self.triangles)
+        header = (
+            "ply\nformat binary_little_endian 1.0\n"
+            f"element vertex {nv}\n"
+            "property float x\nproperty float y\nproperty float z\n"
+            "property uchar red\nproperty uchar green\nproperty uchar blue\n"
+            f"element face {nt}\n"
+            "property list uchar int vertex_indices\nend_header\n"
+        )
+        vrec = np.zeros(nv, dtype=[("xyz", np.float32, 3), ("rgb", np.uint8, 3)])
+        vrec["xyz"] = self.vertices.astype(np.float32)
+        vrec["rgb"] = self.colors
+        frec = np.zeros(nt, dtype=[("n", np.uint8), ("idx", np.int32, 3)])
+        frec["n"] = 3
+        frec["idx"] = self.triangles
+        with open(path, "wb") as f:
+            f.write(header.encode("ascii"))
+            f.write(vrec.tobytes())
+            f.write(frec.tobytes())
+
 
 @lru_cache(maxsize=8)
 def _build_surface_points_fn(spec: GridSpec, max_points: int):
@@ -114,7 +140,6 @@ def _build_mesh_fn(spec: GridSpec, max_vertices: int, max_quads: int):
     @jax.jit
     def fn(grid: TsdfGrid):
         tsdf_flat = grid.tsdf.reshape(-1)
-        w_flat = grid.weight.reshape(-1)
         inside = grid.tsdf < 0.0
         observed = grid.weight > 0.0
 

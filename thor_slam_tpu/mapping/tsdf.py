@@ -216,6 +216,69 @@ def make_integrator(spec: GridSpec):
     return integrate
 
 
+def make_decay(spec: GridSpec, min_weight: float = 1e-2):
+    """Build the jitted weight-decay pass (dynamic-scene maintenance).
+
+    The nvblox ``TsdfDecayIntegrator`` role: observation weights shrink by
+    a factor so stale geometry (moved obstacles, people) fades instead of
+    persisting forever; voxels decayed below ``min_weight`` revert to
+    unobserved. Run at a fixed cadence, independent of integration.
+    """
+
+    @jax.jit
+    def decay(grid: TsdfGrid, factor) -> TsdfGrid:
+        w = grid.weight * factor
+        dead = w < min_weight
+        tsdf = jnp.where(dead, spec.truncation_m, grid.tsdf)
+        w = jnp.where(dead, 0.0, w)
+        if spec.integrate_color:
+            color = jnp.where(dead[..., None], 0.0, grid.color)
+        else:
+            color = grid.color
+        return TsdfGrid(tsdf=tsdf, weight=w, color=color, origin=grid.origin)
+
+    return decay
+
+
+def save_grid(path, grid: TsdfGrid, spec: GridSpec) -> None:
+    """Serialize a grid + its spec to ``.npz`` (the nvblox save-map role)."""
+    np.savez_compressed(
+        path,
+        tsdf=np.asarray(grid.tsdf),
+        weight=np.asarray(grid.weight),
+        color=np.asarray(grid.color),
+        origin=np.asarray(grid.origin),
+        dims=np.asarray(spec.dims, np.int64),
+        voxel_size_m=spec.voxel_size_m,
+        truncation_vox=spec.truncation_vox,
+        max_integration_distance_m=spec.max_integration_distance_m,
+        min_integration_distance_m=spec.min_integration_distance_m,
+        max_weight=spec.max_weight,
+        integrate_color=spec.integrate_color,
+    )
+
+
+def load_grid(path) -> tuple[TsdfGrid, GridSpec]:
+    """Load a grid saved by :func:`save_grid`; the spec rides the file."""
+    d = np.load(path)
+    spec = GridSpec(
+        dims=tuple(int(x) for x in d["dims"]),
+        voxel_size_m=float(d["voxel_size_m"]),
+        truncation_vox=float(d["truncation_vox"]),
+        max_integration_distance_m=float(d["max_integration_distance_m"]),
+        min_integration_distance_m=float(d["min_integration_distance_m"]),
+        max_weight=float(d["max_weight"]),
+        integrate_color=bool(d["integrate_color"]),
+    )
+    grid = TsdfGrid(
+        tsdf=jnp.asarray(d["tsdf"]),
+        weight=jnp.asarray(d["weight"]),
+        color=jnp.asarray(d["color"]),
+        origin=jnp.asarray(d["origin"]),
+    )
+    return grid, spec
+
+
 def make_recenter(spec: GridSpec):
     """Build the jitted rolling-grid shift (the map follows the robot).
 

@@ -34,9 +34,12 @@ from thor_slam_tpu.mapping import (
     esdf_slice_2d,
     extract_mesh,
     extract_surface_points,
+    load_grid,
+    make_decay,
     make_grid,
     make_integrator,
     make_recenter,
+    save_grid,
 )
 from thor_slam_tpu.pipeline.rgbd import RGBDFrame
 
@@ -102,6 +105,7 @@ class DenseMapper:
         self._grid: TsdfGrid | None = None
         self._integrators: dict[tuple[int, int], object] = {}
         self._recenter = make_recenter(self._spec)
+        self._decay = None
         self.stats = MapperStats()
 
     @property
@@ -173,6 +177,33 @@ class DenseMapper:
         self._grid = self._recenter(self._grid, jnp.asarray(shift, jnp.int32))
         self.stats.recenters += 1
         logger.info("mapper: recentered grid by %s voxels", shift.tolist())
+
+    def decay(self, factor: float = 0.95) -> None:
+        """Shrink observation weights (dynamic-scene maintenance).
+
+        The nvblox TsdfDecayIntegrator role: stale geometry fades out
+        instead of persisting; fully-decayed voxels revert to unobserved.
+        Call at a fixed cadence (e.g. 1 Hz), independent of integration.
+        """
+        if self._grid is None:
+            return
+        if self._decay is None:
+            self._decay = make_decay(self._spec)
+        self._grid = self._decay(self._grid, jnp.float32(factor))
+
+    def save(self, path) -> None:
+        """Persist the dense map (the nvblox save-map service role)."""
+        if self._grid is None:
+            raise RuntimeError("no map to save: nothing integrated yet")
+        save_grid(path, self._grid, self._spec)
+
+    def load(self, path) -> None:
+        """Restore a saved dense map; its spec replaces the configured one
+        (grids are only meaningful with the geometry they were built at)."""
+        self._grid, self._spec = load_grid(path)
+        self._integrators.clear()  # spec changed: integrators rebuild lazily
+        self._recenter = make_recenter(self._spec)
+        self._decay = None
 
     # --- the nvblox output surface -------------------------------------
 
