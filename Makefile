@@ -23,6 +23,11 @@ slam-run-synthetic: ## Run SLAM on the hardware-free synthetic rig
 pipeline-run: ## Run SLAM + RGB-D product streams
 	$(PY) -m scripts.run_pipeline --config $(CONFIG) $(if $(FRAMES),--frames $(FRAMES))
 
+.PHONY: map-demo
+map-demo: ## Dense-mapping demo: synthetic rig -> TSDF -> mesh.ply + map.npz (no hardware)
+	$(PY) -m scripts.run_pipeline --synthetic --frames 40 --rgbd-every 2 --map \
+		--save-dense-map /tmp/thor_dense_map.npz --save-ply /tmp/thor_mesh.ply
+
 .PHONY: odom-tf
 odom-tf: ## Broadcast map->odom TF (requires rclpy)
 	$(PY) -m scripts.publish_odom_tf

@@ -27,7 +27,12 @@ logger = logging.getLogger("run_pipeline")
 
 
 def run(
-    cfg, max_frames: int | None = None, rgbd_every: int = 5, use_ros: bool = False
+    cfg,
+    max_frames: int | None = None,
+    rgbd_every: int = 5,
+    use_ros: bool = False,
+    save_dense_map: str | None = None,
+    save_ply: str | None = None,
 ) -> int:
     import numpy as np
 
@@ -257,6 +262,12 @@ def run(
                 f"costmap {int(occ.sum())} occupied / {int(obs.sum())} observed cells",
                 flush=True,
             )
+            if save_dense_map:
+                mapper.save(save_dense_map)
+                print(f"Dense map saved to {save_dense_map}", flush=True)
+            if save_ply:
+                mesh.save_ply(save_ply)
+                print(f"Mesh PLY saved to {save_ply}", flush=True)
             if ros_bridge is not None:
                 ros_bridge.publish_mesh_marker(mesh, time.time())
         engine.shutdown()
@@ -278,6 +289,14 @@ def main() -> int:
         "--map", action="store_true",
         help="Enable the in-process TPU dense mapper (TSDF/mesh/costmap — "
         "the nvblox-node role; also via config mapping.enabled)",
+    )
+    parser.add_argument(
+        "--save-dense-map", default=None, metavar="PATH",
+        help="On exit, save the TSDF grid (.npz; reload with DenseMapper.load)",
+    )
+    parser.add_argument(
+        "--save-ply", default=None, metavar="PATH",
+        help="On exit, export the Surface-Nets mesh as binary PLY",
     )
     parser.add_argument(
         "--ros", action="store_true",
@@ -309,7 +328,17 @@ def main() -> int:
 
     signal.signal(signal.SIGINT, _handle_signal)
     signal.signal(signal.SIGTERM, _handle_signal)
-    return run(cfg, max_frames=args.frames, rgbd_every=args.rgbd_every, use_ros=args.ros)
+    if (args.save_dense_map or args.save_ply) and not cfg.mapping.enabled:
+        logger.error("--save-dense-map/--save-ply require --map (or mapping.enabled)")
+        return 2
+    return run(
+        cfg,
+        max_frames=args.frames,
+        rgbd_every=args.rgbd_every,
+        use_ros=args.ros,
+        save_dense_map=args.save_dense_map,
+        save_ply=args.save_ply,
+    )
 
 
 if __name__ == "__main__":
