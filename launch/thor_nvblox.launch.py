@@ -9,9 +9,11 @@ remaps its inputs to the topics ``scripts.run_pipeline --ros`` publishes:
 ``color``; the reference performs the same rgb->color remapping,
 reference launch/thor_nvblox.launch.py:53-59).
 
-nvblox itself is an external CUDA package and out of scope to rebuild
-(SURVEY.md §2.4) — the contract is its input stream, which the RGB-D
-product path produces TPU-side (aligned rgb + 16UC1 millimeter depth).
+nvblox itself is an external CUDA package; this launch exists for parity
+when a CUDA box sits on the ROS graph. On a TPU-only robot, skip it:
+``run_pipeline --map`` runs the TPU-native dense mapper in-process with
+the same parameters (``thor_slam_tpu/mapping/``), publishing its surface
+cloud and mesh on ``/mapper/{surface,mesh}`` instead.
 
 Usage: ros2 launch launch/thor_nvblox.launch.py [num_cameras:=1]
 """
