@@ -393,9 +393,11 @@ def _bench_mapping(width=640, height=400, reps=10):
 
     grid = integ(grid, depth, color, pose(0), intr4)
     jax.block_until_ready(grid.weight)
+    grids = []  # distinct states for the ESDF phase (relay memoization)
     t0 = time.perf_counter()
     for i in range(1, reps + 1):
         grid = integ(grid, depth, color, pose(i), intr4)
+        grids.append(grid)
     jax.block_until_ready(grid.weight)
     integrate_ms = (time.perf_counter() - t0) / reps * 1000.0
 
@@ -404,12 +406,17 @@ def _bench_mapping(width=640, height=400, reps=10):
     mesh = extract_mesh(grid, spec, max_vertices=16384, max_quads=16384)
     mesh_ms = (time.perf_counter() - t0) * 1000.0
 
+    # ESDF slice rate, amortized over DISTINCT integrated grids so the
+    # relay cannot memoize a repeat and a single dispatch round trip
+    # (30-70 ms RTT on the tunnel) doesn't masquerade as kernel cost —
+    # measured device time is ~0.5 ms, an RTT-dominated single-shot
+    # reading is ~30 ms.
     args = dict(voxel_size_m=spec.voxel_size_m, z_lo_vox=60, z_hi_vox=80, max_distance_m=2.0)
-    jax.block_until_ready(esdf_slice_2d(grid.tsdf, grid.weight, **args)[0])
+    jax.block_until_ready(esdf_slice_2d(grids[0].tsdf, grids[0].weight, **args)[0])
     t0 = time.perf_counter()
-    out = esdf_slice_2d(grid.tsdf, grid.weight, **args)
-    jax.block_until_ready(out[0])
-    esdf_ms = (time.perf_counter() - t0) * 1000.0
+    outs = [esdf_slice_2d(g.tsdf, g.weight, **args)[0] for g in grids]
+    jax.block_until_ready(outs)
+    esdf_ms = (time.perf_counter() - t0) / len(grids) * 1000.0
     return integrate_ms, mesh_ms, esdf_ms, len(mesh.vertices)
 
 
