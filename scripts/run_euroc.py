@@ -40,6 +40,10 @@ def main() -> int:
     parser.add_argument("--frames", type=int, default=None)
     parser.add_argument("--out", default=None, help="Write trajectory CSV")
     parser.add_argument("--no-imu", action="store_true")
+    parser.add_argument(
+        "--no-accel", action="store_true",
+        help="Gyro-only IMU prediction (constant-velocity translation)",
+    )
     parser.add_argument("--no-ba", action="store_true", help="Disable window bundle adjustment")
     parser.add_argument("--no-loop", action="store_true", help="Disable loop closure")
     parser.add_argument(
@@ -83,7 +87,8 @@ def main() -> int:
         print(f"run_euroc: {e}", file=sys.stderr)
         return 2
     engine = TpuSlamEngine(
-        use_imu=not args.no_imu, enable_ba=not args.no_ba, devices=args.devices
+        use_imu=not args.no_imu, use_accel=not args.no_accel,
+        enable_ba=not args.no_ba, devices=args.devices
     )
 
     est_ts, est_pos, world_pos = [], [], []

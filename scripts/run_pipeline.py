@@ -71,6 +71,7 @@ def run(
         params=dict(max_keypoints=cfg.backend.max_keypoints, **cfg.backend.tracker),
         enable_ba=cfg.backend.enable_ba,
         use_imu=cfg.backend.use_imu,
+        use_accel=cfg.backend.use_accel,
         prewarm_degraded=cfg.watchdog_timeout_s is not None,
         pipelined=cfg.backend.pipelined,
         pipeline_depth=cfg.backend.pipeline_depth,

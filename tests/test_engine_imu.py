@@ -186,3 +186,115 @@ class TestIngestRobustness:
             0.3,
         )
         assert eng._imu_ts == [0.1, 0.2, 0.3]
+
+
+class TestPreintegrateFastNp:
+    """The vectorized full host path matches preintegrate_np exactly."""
+
+    def test_matches_loop_reference(self):
+        rng = np.random.default_rng(11)
+        n = 48
+        gyro = rng.normal(0, 1.5, (n, 3))
+        accel = rng.normal(0, 4.0, (n, 3))
+        dts = rng.uniform(0.001, 0.004, n)
+        mask = (rng.uniform(size=n) > 0.25).astype(float)
+        bg = np.array([0.01, -0.02, 0.005])
+        ba = np.array([0.1, 0.0, -0.05])
+        ref = imu.preintegrate_np(gyro, accel, dts, mask, bg, ba)
+        fast = imu.preintegrate_fast_np(gyro, accel, dts, mask, bg, ba)
+        np.testing.assert_allclose(fast.delta_r, ref.delta_r, atol=1e-12)
+        np.testing.assert_allclose(fast.delta_v, ref.delta_v, atol=1e-12)
+        np.testing.assert_allclose(fast.delta_p, ref.delta_p, atol=1e-12)
+        assert abs(fast.dt - ref.dt) < 1e-12
+        assert fast.count == ref.count
+
+    def test_empty_mask_identity(self):
+        fast = imu.preintegrate_fast_np(
+            np.ones((8, 3)), np.ones((8, 3)), np.full(8, 0.01), np.zeros(8)
+        )
+        np.testing.assert_allclose(fast.delta_r, np.eye(3), atol=1e-12)
+        np.testing.assert_allclose(fast.delta_v, 0.0, atol=1e-12)
+        np.testing.assert_allclose(fast.delta_p, 0.0, atol=1e-12)
+        assert fast.dt == 0.0 and fast.count == 0
+
+
+class TestForsterPrediction:
+    """Accel-aided translation prediction vs constant velocity, analytic.
+
+    The engine's full-IMU prediction form (``p + v dt + 1/2 g dt^2 +
+    R delta_p``) must beat constant-velocity extrapolation wherever real
+    acceleration exists — here the centripetal acceleration of a fast
+    orbit (a = r w^2 = 2.9 m/s^2).
+    """
+
+    def test_beats_constant_velocity_on_orbit(self):
+        traj = OrbitTrajectory(radius=2.0, angular_rate=1.2)
+        fps = 30.0
+        worst_cv = worst_full = 0.0
+        for k in range(10):
+            t0, t1 = 1.0 + k / fps, 1.0 + (k + 1) / fps
+            g, a, d, m = window_from_trajectory(traj, t0, t1)
+            pre = imu.preintegrate_fast_np(g, a, d, m)
+            pose0, pose1 = traj.pose(t0), traj.pose(t1)
+            v0 = traj.velocity(t0)
+            dt = t1 - t0
+            p_cv = pose0[:3, 3] + v0 * dt
+            p_full = (
+                pose0[:3, 3]
+                + v0 * dt
+                + 0.5 * GRAVITY_W * pre.dt**2
+                + pose0[:3, :3] @ pre.delta_p
+            )
+            worst_cv = max(worst_cv, float(np.linalg.norm(p_cv - pose1[:3, 3])))
+            worst_full = max(worst_full, float(np.linalg.norm(p_full - pose1[:3, 3])))
+        assert worst_cv > 1e-4  # the regime genuinely accelerates
+        assert worst_full < 0.25 * worst_cv
+
+
+class TestEngineGravityEstimate:
+    """The engine estimates odom-frame gravity online and engages the
+    accel term of the pose prediction (use_accel default ON)."""
+
+    def test_gravity_converges_and_accel_engages(self):
+        from thor_slam_tpu.camera.rig import CameraRig
+        from thor_slam_tpu.camera.sources.synthetic import (
+            OrbitTrajectory as Orbit,
+            SyntheticRigSpec,
+            SyntheticWorld,
+            make_synthetic_rig,
+        )
+        from thor_slam_tpu.engine.tpu_engine import TpuSlamEngine
+        from thor_slam_tpu.slam.interface import SlamConfig
+
+        spec = SyntheticRigSpec(
+            num_sources=1, stereo=True, width=128, height=96, fps=30.0, baseline_m=0.12
+        )
+        world = SyntheticWorld(half_extents=(4.0, 4.0, 2.0))
+        traj = Orbit(radius=1.5, angular_rate=0.8)
+        sources, rig_ext, _, _ = make_synthetic_rig(spec, world=world, trajectory=traj)
+        engine = TpuSlamEngine(
+            params=dict(max_keypoints=128, keyframe_min_inliers=40),
+            enable_ba=False,
+            gravity_min_ticks=20,
+        )
+        gt0 = None
+        with CameraRig(
+            sources, rig_extrinsics=rig_ext, imu_source=sources[0].name
+        ) as rig:
+            engine.initialize(rig.calibration, SlamConfig(num_cameras=2))
+            for _ in range(80):
+                sync = rig.get_synchronized_frames()
+                engine.process_frames(sync)
+                if gt0 is None:
+                    gt0 = traj.pose(sync.timestamp)
+        g_est = engine._gravity_w
+        assert g_est is not None and engine._gravity_n >= 20
+        g_true = np.linalg.inv(gt0)[:3, :3] @ GRAVITY_W
+        cos = float(
+            g_est @ g_true / (np.linalg.norm(g_est) * np.linalg.norm(g_true))
+        )
+        angle_deg = float(np.degrees(np.arccos(np.clip(cos, -1.0, 1.0))))
+        assert angle_deg < 15.0, f"gravity direction off by {angle_deg:.1f} deg"
+        assert 8.0 < float(np.linalg.norm(g_est)) < 12.0
+        assert engine.last_diagnostics.get("accel_pred") is True
+        assert np.isfinite(engine.last_diagnostics.get("imu_pred_err_m", np.nan))

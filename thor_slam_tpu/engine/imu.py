@@ -159,6 +159,80 @@ def preintegrate_np(gyro, accel, dts, mask, gyro_bias=None, accel_bias=None):
     )
 
 
+def _quats_to_matrices(q: "np.ndarray") -> "np.ndarray":
+    """Batched xyzw quaternion -> rotation matrix ((N, 4) -> (N, 3, 3))."""
+    import numpy as np
+
+    x, y, z, w = q[:, 0], q[:, 1], q[:, 2], q[:, 3]
+    out = np.empty((len(q), 3, 3), np.float64)
+    out[:, 0, 0] = 1 - 2 * (y * y + z * z)
+    out[:, 0, 1] = 2 * (x * y - z * w)
+    out[:, 0, 2] = 2 * (x * z + y * w)
+    out[:, 1, 0] = 2 * (x * y + z * w)
+    out[:, 1, 1] = 1 - 2 * (x * x + z * z)
+    out[:, 1, 2] = 2 * (y * z - x * w)
+    out[:, 2, 0] = 2 * (x * z - y * w)
+    out[:, 2, 1] = 2 * (y * z + x * w)
+    out[:, 2, 2] = 1 - 2 * (x * x + y * y)
+    return out
+
+
+def preintegrate_fast_np(gyro, accel, dts, mask, gyro_bias=None, accel_bias=None):
+    """Vectorized host twin of :func:`preintegrate` — full increments.
+
+    Same math as :func:`preintegrate_np` (delta_r AND delta_v/delta_p) at
+    :func:`gyro_delta_r_np` cost: the axis-angle -> quaternion map, the
+    world-frame accel rotation and the velocity/position accumulation are
+    all vectorized over the window; only the inherently sequential
+    quaternion Hamilton fold runs per sample, on plain floats. Feeds the
+    engine's full-IMU pose prediction, which runs every tick on the host
+    (a device dispatch costs a round trip on remote-attached TPUs).
+    """
+    import numpy as np
+
+    from thor_slam_tpu import geometry
+
+    g = np.asarray(gyro, np.float64).reshape(-1, 3)
+    a = np.asarray(accel, np.float64).reshape(-1, 3)
+    m = np.asarray(mask, np.float64)
+    d = np.asarray(dts, np.float64) * m
+    if gyro_bias is not None:
+        g = g - np.asarray(gyro_bias, np.float64)
+    if accel_bias is not None:
+        a = a - np.asarray(accel_bias, np.float64)
+    n = len(d)
+    phi = g * d[:, None]
+    angles = np.sqrt(np.einsum("ij,ij->i", phi, phi))
+    half = 0.5 * angles
+    safe = np.where(angles > 0.0, angles, 1.0)
+    k = np.where(angles > 0.0, np.sin(half) / safe, 0.5)  # -> 0.5 as angle -> 0
+    qs = np.concatenate([phi * k[:, None], np.cos(half)[:, None]], 1)
+    # Cumulative orientations: cum[i] = R(b0 -> frame BEFORE sample i).
+    cum = np.empty((n + 1, 4))
+    cum[0] = (0.0, 0.0, 0.0, 1.0)
+    x, y, z, w = 0.0, 0.0, 0.0, 1.0
+    for i, (qx, qy, qz, qw) in enumerate(qs.tolist()):  # q <- q * q_i
+        x, y, z, w = (
+            w * qx + x * qw + y * qz - z * qy,
+            w * qy - x * qz + y * qw + z * qx,
+            w * qz + x * qy - y * qx + z * qw,
+            w * qw - x * qx - y * qy - z * qz,
+        )
+        cum[i + 1] = (x, y, z, w)
+    r_before = _quats_to_matrices(cum[:-1])
+    acc0 = np.einsum("nij,nj->ni", r_before, a) * (d[:, None] > 0.0)
+    dv = acc0 * d[:, None]
+    v_before = np.concatenate([np.zeros((1, 3)), np.cumsum(dv, 0)[:-1]], 0)
+    delta_p = np.sum(v_before * d[:, None] + 0.5 * acc0 * d[:, None] ** 2, 0)
+    return Preintegrated(
+        delta_r=geometry.quat_to_matrix(cum[-1]),
+        delta_v=dv.sum(0),
+        delta_p=delta_p,
+        dt=float(d.sum()),
+        count=int(m.sum()),
+    )
+
+
 def gyro_delta_r_np(gyro, dts, mask, gyro_bias=None):
     """Rotation-only preintegration on the host: vectorized + scalar fold.
 

@@ -76,6 +76,20 @@ class TpuSlamEngine(SlamEngine):
             ticks always collected — they carry the stereo measurement).
         ba_max_correction_m: Reject a BA pose correction larger than this
             (junk guard).
+        use_accel: Full-IMU translation prediction (default ON, requires
+            ``use_imu``). The engine estimates gravity in its odom frame
+            online — each pair of consecutive finalized windows measures
+            ``g = a_world - R f`` from differenced average velocities and
+            the mean specific force, folded into an EMA; no stationary
+            period is needed and centripetal acceleration cancels exactly.
+            Once converged (``gravity_min_ticks`` observations, plausible
+            norm), the per-tick pose prediction upgrades from
+            constant-velocity translation to the full preintegrated form
+            ``p + v dt + 1/2 g dt^2 + R delta_p`` (the cuVSLAM IMU-fusion
+            role, reference launch/thor_visual_slam.launch.py:80-104).
+            Rotation is always gyro-preintegrated, as before.
+        gravity_min_ticks: Gravity observations required before the accel
+            term engages (constant-velocity fallback until then).
         pipelined: Overlap host staging/upload with device compute via a
             one-slot pipeline (:class:`DoubleBufferedUploader`): each
             ``process_frames(k)`` returns the pose of tick ``k-1`` (None on
@@ -124,6 +138,8 @@ class TpuSlamEngine(SlamEngine):
         ba_tick_stride: int = 2,
         ba_max_correction_m: float = 0.08,
         use_imu: bool = True,
+        use_accel: bool = True,
+        gravity_min_ticks: int = 30,
         imu_buffer_capacity: int = 256,
         loop_db_capacity: int = 256,
         loop_min_votes: int = 60,
@@ -174,6 +190,14 @@ class TpuSlamEngine(SlamEngine):
         self._ba_cam_rot: np.ndarray | None = None
         self._ba_cam_trans: np.ndarray | None = None
         self._use_imu = use_imu
+        self._use_accel = bool(use_accel) and use_imu
+        self._gravity_min_ticks = int(gravity_min_ticks)
+        # Online gravity estimate in the ODOM frame (EMA over per-tick
+        # observations g = a_w - R f; see _observe_gravity). None until the
+        # first observation; accel-aided prediction engages only after
+        # `gravity_min_ticks` observations with a plausible norm.
+        self._gravity_w: np.ndarray | None = None
+        self._gravity_n = 0
         self._imu_capacity = imu_buffer_capacity
         self._imu_ts: list[float] = []
         self._imu_gyro: list[np.ndarray] = []
@@ -224,6 +248,10 @@ class TpuSlamEngine(SlamEngine):
         self._fin_pose: np.ndarray | None = None
         self._fin_ts: float | None = None
         self._fin_vel = np.zeros(3)
+        #: Timestamp of the finalized pose BEFORE the last one (None until
+        #: two windows exist) — the gravity observation differentiates the
+        #: average velocities of two consecutive finalized windows.
+        self._fin_ts_prev: float | None = None
         # IMU prediction preintegrates (fin_ts, tick_ts] — a window that
         # spans `depth` ticks of samples when pipelined.
         self._imu_pred_capacity = 64 * max(1, pipeline_depth)
@@ -361,6 +389,9 @@ class TpuSlamEngine(SlamEngine):
         self._fin_pose = None
         self._fin_ts = None
         self._fin_vel = np.zeros(3)
+        self._fin_ts_prev = None
+        self._gravity_w = None
+        self._gravity_n = 0
         self._state_enum = TrackingState.INITIALIZING
 
         if self._enable_ba:
@@ -530,6 +561,7 @@ class TpuSlamEngine(SlamEngine):
             "corr_epoch": self._ba_corr_total,
             "ts": frame_set.timestamp,
             "stale_sources": frame_set.stale_sources,
+            "pred": pose_prediction,  # diagnostics: residual at finalize
         }
         # Start the d2h copies at DISPATCH: the copy is enqueued behind the
         # producing computation and lands host-side while the record waits
@@ -613,6 +645,20 @@ class TpuSlamEngine(SlamEngine):
         refreshed = bool(refreshed)
         world_t_body = np.asarray(world_t_body, np.float64)
 
+        # Prediction residual BEFORE the epoch lift: the prediction was
+        # expressed in the device's dispatch-time frame, same as the raw
+        # solved pose (both sides of the comparison pre-correction).
+        pred = pending.get("pred")
+        pred_err = (
+            None
+            if pred is None
+            else float(
+                np.linalg.norm(
+                    np.asarray(pred, np.float64)[:3, 3] - world_t_body[:3, 3]
+                )
+            )
+        )
+
         # Corrections the device had NOT yet seen when this tick was
         # dispatched (BA deltas applied to the live state after it):
         # left-apply them so every finalized pose is expressed in the same
@@ -643,6 +689,14 @@ class TpuSlamEngine(SlamEngine):
             "refreshed": refreshed,
             "stale_sources": sorted(pending["stale_sources"]),
         }
+        if pred_err is not None:
+            self.last_diagnostics["imu_pred_err_m"] = pred_err
+        if self._use_accel:
+            self.last_diagnostics["accel_pred"] = self._accel_pred_active()
+            if self._gravity_w is not None:
+                self.last_diagnostics["gravity_norm"] = float(
+                    np.linalg.norm(self._gravity_w)
+                )
 
         # Velocity estimate for the constant-velocity model — differenced
         # from the FINALIZED pose shadow (never the live device state,
@@ -650,9 +704,19 @@ class TpuSlamEngine(SlamEngine):
         # the wrong tick). Consumed host-side by _imu_pose_prediction.
         ts = pending["ts"]
         if self._fin_ts is not None and ts > self._fin_ts:
-            self._fin_vel = (world_t_body[:3, 3] - self._fin_pose[:3, 3]) / (
+            v_new = (world_t_body[:3, 3] - self._fin_pose[:3, 3]) / (
                 ts - self._fin_ts
             )
+            if (
+                self._use_accel
+                and self._fin_ts_prev is not None
+                and num_inliers >= self._params.min_track_inliers
+            ):
+                # Only tracked solves observe gravity: warm-up poses are
+                # noise and double-differencing amplifies them 2/dt^2-fold.
+                self._observe_gravity(v_new, ts)
+            self._fin_ts_prev = self._fin_ts
+            self._fin_vel = v_new
         self._fin_pose = world_t_body
         self._fin_ts = ts
         self._last_timestamp = ts
@@ -816,14 +880,67 @@ class TpuSlamEngine(SlamEngine):
             del self._imu_gyro[: -self._imu_capacity]
             del self._imu_accel[: -self._imu_capacity]
 
-    def _imu_pose_prediction(self, ts: float) -> np.ndarray | None:
-        """Gyro-preintegrated rotation + constant-velocity translation.
+    def _observe_gravity(self, v_new: np.ndarray, ts: float) -> None:
+        """Fold one gravity observation (odom frame) into the EMA.
 
-        Full accelerometer dead reckoning needs a gravity-aligned world
-        frame; the gyro alone gives the part that breaks constant-velocity
-        models (fast rotation), so rotation comes from preintegration
-        (reference fusion role: launch/thor_visual_slam.launch.py:80) and
-        translation stays extrapolated.
+        Between the midpoints of two consecutive finalized windows the
+        differenced average velocities measure the TOTAL world-frame
+        acceleration; subtracting the rotated mean specific force over the
+        same interval leaves gravity: ``f = R^T (a_w - g)`` so
+        ``g = a_w - R f``. Valid under arbitrary motion — centripetal and
+        linear acceleration appear identically in both terms and cancel —
+        so no quasi-static gate is needed; the EMA absorbs the
+        velocity-differencing noise.
+        """
+        m0 = 0.5 * (self._fin_ts_prev + self._fin_ts)
+        m1 = 0.5 * (self._fin_ts + ts)
+        dt = m1 - m0
+        if dt <= 1e-6 or not self._imu_ts:
+            return
+        ts_arr = np.asarray(self._imu_ts)
+        sel = (ts_arr > m0) & (ts_arr <= m1)
+        if not np.any(sel):
+            return
+        f_imu = np.mean(np.asarray(self._imu_accel)[sel], axis=0)
+        a_w = (v_new - self._fin_vel) / dt
+        g_obs = a_w - self._fin_pose[:3, :3] @ (self._body_r_imu @ f_imu)
+        # Junk-only guard (solve glitch, clock skew, teleport). Individual
+        # observations are dominated by double-differencing noise (sigma ~
+        # 2 sigma_p / dt^2 — tens of m/s^2 at millimeter solve noise), but
+        # the noise is zero-mean; a TIGHT norm gate here would clip the
+        # distribution asymmetrically and bias the mean low (measured:
+        # a (4, 16) gate converged to |g| = 6.3).
+        if float(np.linalg.norm(g_obs)) > 60.0:
+            return
+        if self._gravity_w is None:
+            self._gravity_w = g_obs
+        else:
+            # Running mean first (the estimator must average the noise
+            # down, not anchor on the earliest samples), then a slow EMA
+            # so the estimate tracks odom-frame drift.
+            alpha = max(1.0 / (self._gravity_n + 1.0), 0.005)
+            self._gravity_w = (1.0 - alpha) * self._gravity_w + alpha * g_obs
+        self._gravity_n += 1
+
+    def _accel_pred_active(self) -> bool:
+        """Whether the accel term of the pose prediction is engaged."""
+        return (
+            self._use_accel
+            and self._gravity_w is not None
+            and self._gravity_n >= self._gravity_min_ticks
+            and 8.0 < float(np.linalg.norm(self._gravity_w)) < 12.0
+        )
+
+    def _imu_pose_prediction(self, ts: float) -> np.ndarray | None:
+        """Preintegrated IMU pose prediction from the finalized shadow.
+
+        Rotation is always gyro-preintegrated (the part that breaks
+        constant-velocity models). Translation upgrades from
+        constant-velocity extrapolation to the full Forster form
+        ``p + v dt + 1/2 g dt^2 + R delta_p`` once the online odom-frame
+        gravity estimate has converged (see :meth:`_observe_gravity`) —
+        the cuVSLAM IMU-fusion role (reference
+        launch/thor_visual_slam.launch.py:80-104).
         """
         if self._fin_ts is None or len(self._imu_ts) < 2:
             return None
@@ -849,12 +966,16 @@ class TpuSlamEngine(SlamEngine):
                     self.imu_empty_windows,
                 )
             return None
-        # Host (no device round trip), rotation-only: the prediction's
-        # translation is constant-velocity, so the accel integral of the
-        # full preintegration would be discarded.
-        delta_r_imu = imu_mod.gyro_delta_r_np(g, d, m)
+        # Host (no device round trip). Before gravity convergence the
+        # accel integral would be meaningless, so only delta_r is
+        # integrated and translation stays constant-velocity.
         rbi = self._body_r_imu
-        delta_r_body = rbi @ delta_r_imu @ rbi.T
+        accel_active = self._accel_pred_active()
+        if accel_active:
+            pre = imu_mod.preintegrate_fast_np(g, a, d, m)
+            delta_r_body = rbi @ pre.delta_r @ rbi.T
+        else:
+            delta_r_body = rbi @ imu_mod.gyro_delta_r_np(g, d, m) @ rbi.T
 
         # Integrate forward from the finalized-pose SHADOW: reading the
         # live device state here would block on every in-flight tick (a
@@ -864,6 +985,16 @@ class TpuSlamEngine(SlamEngine):
         pred = np.eye(4)
         pred[:3, :3] = fin[:3, :3] @ delta_r_body
         pred[:3, 3] = fin[:3, 3] + self._fin_vel * (ts - self._fin_ts)
+        if accel_active:
+            # Forster propagation: the specific-force double integral
+            # (rotated into the body frame at the window start) plus the
+            # gravity parabola over the integrated span. delta_p spans
+            # pre.dt (the samples' coverage), which may trail ts by a
+            # fraction of a sample period — the constant-velocity term
+            # above already covers the full (fin_ts, ts] gap.
+            pred[:3, 3] += 0.5 * self._gravity_w * pre.dt * pre.dt + fin[
+                :3, :3
+            ] @ (rbi @ pre.delta_p)
         # numpy, NOT jnp.asarray(..., f32): an eager dtype-converting
         # device op costs a dispatch round trip per tick on remote TPUs
         # (measured ~3.6 ms); the jitted step's call boundary uploads the
@@ -1494,6 +1625,9 @@ class TpuSlamEngine(SlamEngine):
         self._fin_pose = None
         self._fin_ts = None
         self._fin_vel = np.zeros(3)
+        self._fin_ts_prev = None
+        self._gravity_w = None
+        self._gravity_n = 0
         self._ba_corr_total = np.eye(4)
         return True
 
@@ -1600,6 +1734,9 @@ class TpuSlamEngine(SlamEngine):
         self._fin_pose = None
         self._fin_ts = None
         self._fin_vel = np.zeros(3)
+        self._fin_ts_prev = None
+        self._gravity_w = None
+        self._gravity_n = 0
         self._ba_corr_total = np.eye(4)
         logger.info(
             "Relocalized against keyframe slot %d (votes=%d inliers=%d)",
@@ -1627,6 +1764,9 @@ class TpuSlamEngine(SlamEngine):
         self._fin_pose = None
         self._fin_ts = None
         self._fin_vel = np.zeros(3)
+        self._fin_ts_prev = None
+        self._gravity_w = None
+        self._gravity_n = 0
         self._imu_ts, self._imu_gyro, self._imu_accel = [], [], []
         self.imu_empty_windows = 0
         self._low_inlier_streak = 0

@@ -69,6 +69,10 @@ class BackendConfig:
     enable_ba: bool = True
     enable_loop_closure: bool = True
     use_imu: bool = True
+    #: Full-IMU translation prediction with online gravity estimation
+    #: (accel preintegration engages once the odom-frame gravity EMA
+    #: converges; constant-velocity fallback until then).
+    use_accel: bool = True
     #: Overlap host staging/upload with device compute (one-tick pose
     #: latency). This is the reference's own semantics — its adapter
     #: returns a cached pose set asynchronously by the odometry callback
@@ -163,6 +167,7 @@ class RunConfig:
             enable_ba=bool(backend_d.get("enable_ba", True)),
             enable_loop_closure=bool(backend_d.get("enable_loop_closure", True)),
             use_imu=bool(backend_d.get("use_imu", True)),
+            use_accel=bool(backend_d.get("use_accel", True)),
             pipelined=bool(backend_d.get("pipelined", True)),
             pipeline_depth=int(backend_d.get("pipeline_depth", 1)),
             devices=int(backend_d.get("devices", 1)),
