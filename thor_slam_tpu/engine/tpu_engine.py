@@ -252,6 +252,15 @@ class TpuSlamEngine(SlamEngine):
         #: two windows exist) — the gravity observation differentiates the
         #: average velocities of two consecutive finalized windows.
         self._fin_ts_prev: float | None = None
+        # Correction-epoch identities at the last two finalizes. The
+        # gravity observation double-differences three finalized poses; a
+        # BA correction landing anywhere across that span would enter a_w
+        # amplified 2/dt^2-fold (a 5 mm nudge at 30 fps reads as ~9 m/s^2
+        # — inside the junk gate, and BA corrections are not zero-mean, so
+        # the EMA would be directionally biased). Epochs are replaced,
+        # never mutated, so identity comparison detects any correction.
+        self._fin_epoch = None
+        self._fin_epoch_prev = None
         # IMU prediction preintegrates (fin_ts, tick_ts] — a window that
         # spans `depth` ticks of samples when pipelined.
         self._imu_pred_capacity = 64 * max(1, pipeline_depth)
@@ -297,9 +306,26 @@ class TpuSlamEngine(SlamEngine):
         setup, self._source_order, height, width = build_camera_setup(calibration)
         self._setup = setup
         if calibration.imu_extrinsics is not None:
-            self._body_r_imu = np.asarray(
-                calibration.imu_extrinsics.extrinsics.rotation, np.float64
-            )
+            ext = calibration.imu_extrinsics.extrinsics
+            self._body_r_imu = np.asarray(ext.rotation, np.float64)
+            if self._use_accel:
+                # The accel path applies only the IMU ROTATION: with a
+                # nonzero lever arm r the accelerometer also measures
+                # w x (w x r) + alpha x r, which would leak into both the
+                # gravity observation and delta_p under fast rotation.
+                # OAK-family IMUs sit millimeters from CAM_A, so this is
+                # noise-level there; warn when a rig claims otherwise.
+                lever = float(
+                    np.linalg.norm(np.asarray(ext.translation, np.float64))
+                )
+                if lever > 0.05:
+                    logger.warning(
+                        "use_accel with a %.0f cm IMU lever arm: centripetal"
+                        "/tangential terms are uncompensated — expect accel-"
+                        "prediction bias under fast rotation (set "
+                        "use_accel=False or move the IMU extrinsic origin)",
+                        lever * 100.0,
+                    )
 
         self._params = trk.TrackerParams(
             num_cams=len(self._source_order),
@@ -390,6 +416,8 @@ class TpuSlamEngine(SlamEngine):
         self._fin_ts = None
         self._fin_vel = np.zeros(3)
         self._fin_ts_prev = None
+        self._fin_epoch = None
+        self._fin_epoch_prev = None
         self._gravity_w = None
         self._gravity_n = 0
         self._state_enum = TrackingState.INITIALIZING
@@ -711,14 +739,19 @@ class TpuSlamEngine(SlamEngine):
                 self._use_accel
                 and self._fin_ts_prev is not None
                 and num_inliers >= self._params.min_track_inliers
+                and self._fin_epoch_prev is self._ba_corr_total
             ):
                 # Only tracked solves observe gravity: warm-up poses are
                 # noise and double-differencing amplifies them 2/dt^2-fold.
+                # The epoch-identity gate skips any observation whose span
+                # saw a BA correction (see _fin_epoch above).
                 self._observe_gravity(v_new, ts)
             self._fin_ts_prev = self._fin_ts
+            self._fin_epoch_prev = self._fin_epoch
             self._fin_vel = v_new
         self._fin_pose = world_t_body
         self._fin_ts = ts
+        self._fin_epoch = self._ba_corr_total
         self._last_timestamp = ts
         self._frame_count += 1
 
@@ -753,6 +786,7 @@ class TpuSlamEngine(SlamEngine):
             # received the same delta, and the next IMU prediction must
             # integrate from where the device actually is.
             self._fin_pose = world_t_body
+            self._fin_epoch = self._ba_corr_total
 
         # MAP-side bookkeeping: keyframes and the place DB live in the map
         # frame (the smooth odom pose lifted through the accumulated
@@ -941,6 +975,15 @@ class TpuSlamEngine(SlamEngine):
         gravity estimate has converged (see :meth:`_observe_gravity`) —
         the cuVSLAM IMU-fusion role (reference
         launch/thor_visual_slam.launch.py:80-104).
+
+        Known half-step bias: ``_fin_vel`` is the PREVIOUS interval's
+        average velocity, which lags the instantaneous v(fin_ts) by
+        ~a*dt/2; under constant acceleration the Forster term then cancels
+        about half the constant-velocity error rather than all of it. The
+        residual (~a*dt^2/2, sub-millimeter at 30 fps and 1 m/s^2) is well
+        inside KLT's convergence basin, which is all this prediction
+        feeds; propagating the velocity to the window start would couple
+        the gravity EMA's noise into every tick for no measured ATE gain.
         """
         if self._fin_ts is None or len(self._imu_ts) < 2:
             return None
@@ -1466,6 +1509,11 @@ class TpuSlamEngine(SlamEngine):
         # Finalized poses of ticks dispatched BEFORE this update get the
         # missing delta applied at their finalize (epoch transport).
         self._ba_corr_total = t_corr @ self._ba_corr_total
+        # The shadow velocity transforms like a free vector under the
+        # left-applied correction (translation cancels in the difference
+        # of two corrected endpoints) — same rotation _apply_ba_update
+        # gives the device's velocity_w.
+        self._fin_vel = t_corr[:3, :3] @ self._fin_vel
         # ... and refined poses into the window (the next solve starts warm).
         for ki, t in enumerate(ticks):
             t["body_t_world"] = refined_poses[ki]
@@ -1626,6 +1674,8 @@ class TpuSlamEngine(SlamEngine):
         self._fin_ts = None
         self._fin_vel = np.zeros(3)
         self._fin_ts_prev = None
+        self._fin_epoch = None
+        self._fin_epoch_prev = None
         self._gravity_w = None
         self._gravity_n = 0
         self._ba_corr_total = np.eye(4)
@@ -1735,6 +1785,8 @@ class TpuSlamEngine(SlamEngine):
         self._fin_ts = None
         self._fin_vel = np.zeros(3)
         self._fin_ts_prev = None
+        self._fin_epoch = None
+        self._fin_epoch_prev = None
         self._gravity_w = None
         self._gravity_n = 0
         self._ba_corr_total = np.eye(4)
@@ -1765,6 +1817,8 @@ class TpuSlamEngine(SlamEngine):
         self._fin_ts = None
         self._fin_vel = np.zeros(3)
         self._fin_ts_prev = None
+        self._fin_epoch = None
+        self._fin_epoch_prev = None
         self._gravity_w = None
         self._gravity_n = 0
         self._imu_ts, self._imu_gyro, self._imu_accel = [], [], []
