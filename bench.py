@@ -359,13 +359,20 @@ def _bench_sgm(width=640, height=400, num_disparities=64, reps=12):
     return (time.perf_counter() - t0) / reps * 1000.0
 
 
-def _bench_mapping(width=640, height=400, reps=10):
+def _bench_mapping(width=640, height=400, reps=10, stream_frames=30):
     """Dense-mapping rates at the deployed nvblox geometry.
 
     The nvblox-node role (reference launch/thor_nvblox.launch.py:62-91):
-    TSDF integration of one 640x400 depth+color frame into the default
+    TSDF integration of 640x400 depth+color frames into the default
     256x256x128 grid at 5 cm, plus the export ops (Surface-Nets mesh,
-    exact 2D ESDF costmap slice). Poses vary per rep (relay memoization).
+    exact 2D ESDF costmap slice).
+
+    The integrate figure is the STREAMING rate the DenseMapper actually
+    runs at: grid buffers donated through every frame (no ~100 MB
+    alloc/free churn — the round-3 reading paid ~200 ms/frame for exactly
+    that), device-resident depth/color (the ``fetch=False`` product
+    contract), distinct pose + frame per tick (nothing for the tunnel
+    relay to memoize), one block at the end.
     """
     import jax
     import jax.numpy as jnp
@@ -377,29 +384,57 @@ def _bench_mapping(width=640, height=400, reps=10):
     from thor_slam_tpu.mapping.esdf import esdf_slice_2d
 
     spec = GridSpec()  # the deployed parameters
-    grid = make_grid(spec, origin_m=(-6.4, -6.4, -3.2))
-    integ = make_integrator(spec)
+    integ_stream = make_integrator(spec, donate=True)
+    integ_keep = make_integrator(spec)  # ESDF phase keeps distinct grids
     rng = np.random.default_rng(0)
-    depth = jnp.asarray((rng.uniform(0.5, 8.0, (height, width)) * 1000).astype(np.uint16))
-    color = jnp.asarray(rng.integers(0, 255, (height, width, 3), dtype=np.uint8))
-    intr4 = jnp.asarray([420.0, 420.0, width / 2, height / 2], jnp.float32)
+    n_distinct = 8  # distinct device-resident frames, cycled
+    depths = [
+        jnp.asarray((rng.uniform(0.5, 8.0, (height, width)) * 1000).astype(np.uint16))
+        for _ in range(n_distinct)
+    ]
+    colors = [
+        jnp.asarray(rng.integers(0, 255, (height, width, 3), dtype=np.uint8))
+        for _ in range(n_distinct)
+    ]
+    intr4 = np.asarray([420.0, 420.0, width / 2, height / 2], np.float32)
 
     def pose(i):
         a = 0.05 * i
         m = np.eye(4, dtype=np.float32)
         m[0, 0] = m[2, 2] = np.cos(a)
         m[0, 2], m[2, 0] = np.sin(a), -np.sin(a)
-        return jnp.asarray(m)
+        return m
 
-    grid = integ(grid, depth, color, pose(0), intr4)
+    # Warm both compilations on a throwaway grid (donated: never reused).
+    grid_warm = integ_keep(
+        make_grid(spec, origin_m=(-6.4, -6.4, -3.2)),
+        depths[0], colors[0], pose(0), intr4,
+    )
+    jax.block_until_ready(grid_warm.weight)
+    g = integ_stream(
+        make_grid(spec, origin_m=(-6.4, -6.4, -3.2)),
+        depths[0], colors[0], pose(0), intr4,
+    )
+    jax.block_until_ready(g.weight)
+
+    # Streaming phase: the sensor-rate number.
+    grid = make_grid(spec, origin_m=(-6.4, -6.4, -3.2))
+    grid = integ_stream(grid, depths[0], colors[0], pose(0), intr4)
     jax.block_until_ready(grid.weight)
-    grids = []  # distinct states for the ESDF phase (relay memoization)
     t0 = time.perf_counter()
+    for i in range(1, stream_frames + 1):
+        grid = integ_stream(
+            grid, depths[i % n_distinct], colors[i % n_distinct], pose(i), intr4
+        )
+    jax.block_until_ready(grid.weight)
+    integrate_ms = (time.perf_counter() - t0) / stream_frames * 1000.0
+
+    # Distinct grids for the ESDF phase (non-donated: all stay alive).
+    grids = []
     for i in range(1, reps + 1):
-        grid = integ(grid, depth, color, pose(i), intr4)
+        grid = integ_keep(grid, depths[i % n_distinct], colors[i % n_distinct], pose(i), intr4)
         grids.append(grid)
     jax.block_until_ready(grid.weight)
-    integrate_ms = (time.perf_counter() - t0) / reps * 1000.0
 
     extract_mesh(grid, spec, max_vertices=16384, max_quads=16384)  # compile
     t0 = time.perf_counter()
@@ -412,7 +447,7 @@ def _bench_mapping(width=640, height=400, reps=10):
     # measured device time is ~0.5 ms, an RTT-dominated single-shot
     # reading is ~30 ms.
     args = dict(voxel_size_m=spec.voxel_size_m, z_lo_vox=60, z_hi_vox=80, max_distance_m=2.0)
-    jax.block_until_ready(esdf_slice_2d(grids[0].tsdf, grids[0].weight, **args)[0])
+    jax.block_until_ready(esdf_slice_2d(grid_warm.tsdf, grid_warm.weight, **args)[0])
     t0 = time.perf_counter()
     outs = [esdf_slice_2d(g.tsdf, g.weight, **args)[0] for g in grids]
     jax.block_until_ready(outs)

@@ -199,14 +199,19 @@ def run(
                         if proc.color_mode:
                             src = rig.get_source(proc.camera_name)
                             color = getattr(src, "try_get_latest_rgb_frame", lambda: None)()
-                        frame = proc.process(sync, color_frame=color)
+                        # Device-resident product: the mapper consumes it
+                        # where the depth pipeline produced it (zero host
+                        # round trips). Host bytes are fetched only at the
+                        # ROS edge — in-process bus subscribers call
+                        # frame.fetched() themselves when they need them.
+                        frame = proc.process(sync, color_frame=color, fetch=False)
                         if frame is not None:
                             rgb_t, depth_t = rgbd_topics[proc.camera_name]
                             rgb_t.publish(frame)
                             depth_t.publish(frame)
                             rgbd_fps[proc.camera_name].tick()
                             if ros_bridge is not None:
-                                ros_bridge.publish_rgbd(idx, frame)
+                                ros_bridge.publish_rgbd(idx, frame.fetched())
                             if (
                                 mapper is not None
                                 and pose_hist

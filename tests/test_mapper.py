@@ -108,6 +108,98 @@ class TestDenseMapper:
         assert mapper.stats.shapes_compiled == {(48, 64), (24, 32)}
 
 
+class TestDeviceResidentMapping:
+    """The nvblox integrate-at-sensor-rate contract: depth->TSDF with
+    ZERO device->host round trips (VERDICT r3 #1)."""
+
+    def _device_frame(self, host: RGBDFrame) -> RGBDFrame:
+        import jax.numpy as jnp
+
+        return RGBDFrame(
+            rgb=jnp.asarray(host.rgb),
+            depth_mm=jnp.asarray(host.depth_mm),
+            intrinsics=host.intrinsics,
+            timestamp=host.timestamp,
+            camera_name=host.camera_name,
+        )
+
+    def test_integrate_device_frame_no_host_sync(self):
+        import jax
+
+        host = _plane_frame(0.52)
+        dev = self._device_frame(host)
+        assert dev.device_resident and not host.device_resident
+
+        ref = DenseMapper(SMALL_CFG)
+        ref.integrate(host, np.eye(4))
+
+        mapper = DenseMapper(SMALL_CFG)
+        # The guard turns ANY device->host transfer between the depth
+        # product and the TSDF update into a hard error — the structural
+        # guarantee that integration runs at sensor rate, not link rate.
+        with jax.transfer_guard_device_to_host("disallow"):
+            mapper.integrate(dev, np.eye(4))
+        assert mapper.stats.integrated_frames == 1
+
+        # Same bits as the host-numpy path.
+        np.testing.assert_array_equal(
+            np.asarray(mapper.grid.tsdf), np.asarray(ref.grid.tsdf)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(mapper.grid.weight), np.asarray(ref.grid.weight)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(mapper.grid.color), np.asarray(ref.grid.color)
+        )
+
+    def test_grayscale_device_frame_replicates_on_device(self):
+        import jax
+
+        host = _plane_frame(0.52)
+        gray = RGBDFrame(
+            rgb=host.rgb[..., 0].copy(),
+            depth_mm=host.depth_mm,
+            intrinsics=host.intrinsics,
+            timestamp=0.0,
+            camera_name="cam0",
+        )
+        dev = self._device_frame(gray)
+        mapper = DenseMapper(SMALL_CFG)
+        with jax.transfer_guard_device_to_host("disallow"):
+            mapper.integrate(dev, np.eye(4))
+        pts, cols = mapper.surface_cloud()
+        assert len(pts) > 0
+        # Replicated channels: the surface is gray.
+        np.testing.assert_allclose(cols[:, 0], cols[:, 1], atol=1.0)
+
+    def test_recenter_and_decay_stay_sync_free(self):
+        import jax
+
+        mapper = DenseMapper(SMALL_CFG)
+        dev0 = self._device_frame(_plane_frame(0.52))
+        pose = np.eye(4)
+        pose[0, 3] = 0.9  # past the 0.3 m margin of the 1.6 m grid
+        dev1 = self._device_frame(_plane_frame(0.52, ts=0.1))
+        with jax.transfer_guard_device_to_host("disallow"):
+            mapper.integrate(dev0, np.eye(4))
+            mapper.integrate(dev1, pose)  # triggers a recenter
+            mapper.decay(0.9)
+        assert mapper.stats.recenters == 1
+        # The host origin shadow tracked the device's f32 update.
+        np.testing.assert_allclose(
+            np.asarray(mapper.grid.origin), mapper._origin_host, atol=0.0
+        )
+
+    def test_fetched_round_trip(self):
+        host = _plane_frame(0.52)
+        dev = self._device_frame(host)
+        back = dev.fetched()
+        assert not back.device_resident
+        np.testing.assert_array_equal(back.depth_mm, host.depth_mm)
+        np.testing.assert_array_equal(back.rgb, host.rgb)
+        assert host.fetched() is host
+
+
 class TestMappingConfig:
     def test_yaml_round_trip(self):
         cfg = RunConfig.from_dict(

@@ -137,6 +137,32 @@ class TestRGBD:
         assert frame.intrinsics.width == 160
 
     @pytest.mark.slow
+    def test_fetchless_product_device_resident(self):
+        """process(fetch=False) returns device arrays that never synced;
+        fetched() matches the fetch=True product bitwise."""
+        import jax
+
+        spec = SyntheticRigSpec(
+            num_sources=1, stereo=True, width=160, height=120, baseline_m=0.3
+        )
+        world = SyntheticWorld(half_extents=(2.5, 2.5, 1.5))
+        src = SyntheticCameraSource(
+            "cam0", world, OrbitTrajectory(radius=1.0), np.eye(4), spec
+        )
+        rig = CameraRig([src])
+        rig.start()
+        sync = rig.get_synchronized_frames()
+        proc = RGBDProcessor("cam0", src.get_intrinsics(), src.get_extrinsics())
+        host = proc.process(sync)  # warms the compile outside the guard
+        with jax.transfer_guard_device_to_host("disallow"):
+            dev = proc.process(sync, fetch=False)
+        rig.stop()
+        assert dev.device_resident and not host.device_resident
+        back = dev.fetched()
+        np.testing.assert_array_equal(back.depth_mm, host.depth_mm)
+        np.testing.assert_array_equal(back.rgb, host.rgb)
+
+    @pytest.mark.slow
     def test_independent_output_resolution(self):
         spec = SyntheticRigSpec(
             num_sources=1, stereo=True, width=160, height=120, baseline_m=0.3

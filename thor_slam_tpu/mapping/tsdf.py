@@ -146,7 +146,7 @@ def _voxel_centers_cam(spec: GridSpec, origin: jnp.ndarray, cam_t_world: jnp.nda
     return xc, yc, zc
 
 
-def make_integrator(spec: GridSpec):
+def make_integrator(spec: GridSpec, donate: bool = False):
     """Build the jitted per-frame integrator for one depth-image shape.
 
     Returns:
@@ -165,10 +165,19 @@ def make_integrator(spec: GridSpec):
         * ``intr4``: (4,) f32 ``[fx, fy, cx, cy]`` at the depth
           resolution (a runtime array so all cameras share one
           compilation per image shape).
+
+    Args:
+        spec: Static grid geometry/policy.
+        donate: Donate the input grid's buffers to the output. The
+            streaming mapper MUST use this: without donation each frame
+            allocs/frees ~100 MB of grid channels, and on hosted/tunneled
+            TPUs that churn degrades the whole process's transfer
+            throughput (the same failure mode the tracker's state donation
+            avoids — measured as ~200 ms/frame vs sub-ms). The caller must
+            never reuse a grid after passing it.
     """
     trunc = spec.truncation_m  # sdf stored metric, like nvblox
 
-    @jax.jit
     def integrate(grid: TsdfGrid, depth_mm_u16, color_u8, cam_t_world, intr4) -> TsdfGrid:
         h, w = depth_mm_u16.shape
         depth_flat = depth_mm_u16.reshape(-1).astype(jnp.float32) * 1e-3
@@ -213,19 +222,20 @@ def make_integrator(spec: GridSpec):
             color = grid.color
         return TsdfGrid(tsdf=tsdf, weight=new_w, color=color, origin=grid.origin)
 
-    return integrate
+    return jax.jit(integrate, donate_argnums=(0,) if donate else ())
 
 
-def make_decay(spec: GridSpec, min_weight: float = 1e-2):
+def make_decay(spec: GridSpec, min_weight: float = 1e-2, donate: bool = False):
     """Build the jitted weight-decay pass (dynamic-scene maintenance).
 
     The nvblox ``TsdfDecayIntegrator`` role: observation weights shrink by
     a factor so stale geometry (moved obstacles, people) fades instead of
     persisting forever; voxels decayed below ``min_weight`` revert to
     unobserved. Run at a fixed cadence, independent of integration.
+    ``donate`` as in :func:`make_integrator` (streaming callers reuse the
+    grid buffers in place).
     """
 
-    @jax.jit
     def decay(grid: TsdfGrid, factor) -> TsdfGrid:
         w = grid.weight * factor
         dead = w < min_weight
@@ -237,7 +247,7 @@ def make_decay(spec: GridSpec, min_weight: float = 1e-2):
             color = grid.color
         return TsdfGrid(tsdf=tsdf, weight=w, color=color, origin=grid.origin)
 
-    return decay
+    return jax.jit(decay, donate_argnums=(0,) if donate else ())
 
 
 def save_grid(path, grid: TsdfGrid, spec: GridSpec) -> None:
@@ -279,23 +289,28 @@ def load_grid(path) -> tuple[TsdfGrid, GridSpec]:
     return grid, spec
 
 
-def make_recenter(spec: GridSpec):
+def make_recenter(spec: GridSpec, donate: bool = False):
     """Build the jitted rolling-grid shift (the map follows the robot).
 
     nvblox streams blocks in and out of an unbounded hash map; the dense
     TPU grid instead ROLLS: content keeps its world position, voxels that
     wrap around are reset to unobserved. The shift is a traced argument,
-    so recentering reuses the one compiled program.
+    so recentering reuses the one compiled program. ``donate`` as in
+    :func:`make_integrator`.
 
     Returns:
-        ``recenter(grid, shift_vox)`` -> new grid, where ``shift_vox`` is
-        (3,) int32 voxels to ADD to the origin.
+        ``recenter(grid, shift_vox, new_origin=None)`` -> new grid, where
+        ``shift_vox`` is (3,) int32 voxels to ADD to the origin.
+        ``new_origin`` optionally supplies the post-shift origin (3,) f32
+        directly — callers keeping a HOST shadow of the origin (the
+        DenseMapper, to avoid a per-frame device fetch) pass their own
+        value so host and device stay bit-identical instead of trusting
+        two f32 evaluations of ``origin + shift * vs`` to round alike.
     """
     nx, ny, nz = spec.dims
     vs = spec.voxel_size_m
 
-    @jax.jit
-    def recenter(grid: TsdfGrid, shift_vox) -> TsdfGrid:
+    def recenter(grid: TsdfGrid, shift_vox, new_origin=None) -> TsdfGrid:
         s = shift_vox.astype(jnp.int32)
         # Content at world voxel j lands at local index j - shift.
         def invalid_mask(axis, n):
@@ -312,7 +327,10 @@ def make_recenter(spec: GridSpec):
             color = jnp.where(bad[..., None], 0.0, color)
         else:
             color = grid.color
-        origin = grid.origin + s.astype(jnp.float32) * vs
+        if new_origin is None:
+            origin = grid.origin + s.astype(jnp.float32) * vs
+        else:
+            origin = jnp.asarray(new_origin, jnp.float32)
         return TsdfGrid(tsdf=tsdf, weight=weight, color=color, origin=origin)
 
-    return recenter
+    return jax.jit(recenter, donate_argnums=(0,) if donate else ())

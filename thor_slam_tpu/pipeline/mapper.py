@@ -14,8 +14,16 @@ launch/thor_nvblox.launch.py default), so dense geometry stays consistent
 with the smooth pose stream and is never yanked by loop-closure
 corrections; consumers place it with the map->odom TF.
 
-Host cost per integrated frame is one u16 depth upload (+u8 color) and
-one dispatch — the grid never leaves the device between ticks.
+Host cost per integrated frame is ONE async dispatch — and zero bytes
+when fed ``RGBDProcessor.process(..., fetch=False)`` device frames (depth
+and color are consumed where the depth pipeline produced them). The grid
+never leaves the device between ticks, and its channel buffers are
+DONATED through every integrate/decay/recenter, so the ~100 MB state is
+reused in place instead of churning the allocator (the tracker's proven
+streaming pattern; without it, hosted-TPU transfer throughput collapses).
+Consequence: a ``TsdfGrid`` reference obtained from :attr:`DenseMapper.
+grid` is invalidated by the NEXT integrate/decay/recenter — read it (or
+copy) before integrating again.
 """
 
 from __future__ import annotations
@@ -104,8 +112,13 @@ class DenseMapper:
         )
         self._grid: TsdfGrid | None = None
         self._integrators: dict[tuple[int, int], object] = {}
-        self._recenter = make_recenter(self._spec)
+        self._recenter = make_recenter(self._spec, donate=True)
         self._decay = None
+        # Host shadow of the grid origin: every origin change is computed
+        # on the host (make_grid / recenter shift), so reading it must
+        # never fetch grid.origin from the device — that 12-byte get
+        # would SYNC on the previous integrate every frame.
+        self._origin_host: np.ndarray | None = None
         self.stats = MapperStats()
 
     @property
@@ -114,11 +127,21 @@ class DenseMapper:
 
     @property
     def grid(self) -> TsdfGrid | None:
-        """The live device-resident grid (None before the first frame)."""
+        """The live device-resident grid (None before the first frame).
+
+        The reference is only valid until the next integrate/decay/
+        recenter (buffer donation — see the module docstring).
+        """
         return self._grid
 
     def integrate(self, frame: RGBDFrame, world_t_product: np.ndarray) -> None:
         """Fuse one RGB-D frame taken at ``world_t_product`` (odom frame).
+
+        Never syncs: when ``frame`` carries device arrays
+        (``RGBDProcessor.process(fetch=False)``) the whole depth->TSDF
+        hop is device-side — one async dispatch, zero host round trips
+        (guarded by tests/test_mapper.py transfer-guard test). Host-numpy
+        frames upload their payloads, nothing is ever fetched.
 
         Args:
             frame: The RGB-D product (u16 millimeter depth + aligned rgb).
@@ -128,39 +151,41 @@ class DenseMapper:
         """
         cam_pos = np.asarray(world_t_product, np.float64)[:3, 3]
         if self._grid is None:
-            self._grid = make_grid(
-                self._spec, origin_m=centered_origin(self._spec, cam_pos)
-            )
+            self._origin_host = centered_origin(self._spec, cam_pos)
+            self._grid = make_grid(self._spec, origin_m=self._origin_host)
         elif self.config.recenter_margin_m > 0:
             self._maybe_recenter(cam_pos)
 
         h, w = frame.depth_mm.shape
         integ = self._integrators.get((h, w))
         if integ is None:
-            integ = make_integrator(self._spec)
+            integ = make_integrator(self._spec, donate=True)
             self._integrators[(h, w)] = integ
             self.stats.shapes_compiled.add((h, w))
         k = np.asarray(frame.intrinsics.matrix, np.float64)
-        intr4 = jnp.asarray([k[0, 0], k[1, 1], k[0, 2], k[1, 2]], jnp.float32)
+        # numpy, not jnp.asarray: the jitted call boundary uploads the
+        # 16-byte operand for free; an eager device op would dispatch.
+        intr4 = np.asarray([k[0, 0], k[1, 1], k[0, 2], k[1, 2]], np.float32)
         if self._spec.integrate_color:
             rgb = frame.rgb
-            if rgb.ndim == 2:  # grayscale product: replicate
-                rgb = np.repeat(rgb[..., None], 3, axis=-1)
+            if rgb.ndim == 2:  # grayscale product: replicate ON DEVICE
+                # (np.repeat on a device array would fetch it to the host)
+                rgb = jnp.repeat(jnp.asarray(rgb)[..., None], 3, axis=-1)
             color = jnp.asarray(rgb)
         else:
             color = jnp.zeros((0,), jnp.uint8)
         cam_t_world = np.linalg.inv(np.asarray(world_t_product, np.float64))
         self._grid = integ(
             self._grid,
-            jnp.asarray(frame.depth_mm),
+            frame.depth_mm,
             color,
-            jnp.asarray(cam_t_world, jnp.float32),
+            cam_t_world.astype(np.float32),
             intr4,
         )
         self.stats.integrated_frames += 1
 
     def _maybe_recenter(self, cam_pos: np.ndarray) -> None:
-        origin = np.asarray(self._grid.origin, np.float64)
+        origin = np.asarray(self._origin_host, np.float64)
         extent = np.asarray(self._spec.extent_m)
         margin = self.config.recenter_margin_m
         lo = origin + margin
@@ -174,7 +199,16 @@ class DenseMapper:
         shift[:2] = np.round(
             (target[:2] - origin[:2]) / self._spec.voxel_size_m
         ).astype(np.int64)
-        self._grid = self._recenter(self._grid, jnp.asarray(shift, jnp.int32))
+        # The host computes the post-shift origin and hands it to the
+        # kernel: the shadow and the device origin stay BIT-identical
+        # (two f32 evaluations of origin + shift*vs may round apart).
+        self._origin_host = (
+            self._origin_host.astype(np.float32)
+            + shift.astype(np.float32) * np.float32(self._spec.voxel_size_m)
+        )
+        self._grid = self._recenter(
+            self._grid, shift.astype(np.int32), self._origin_host
+        )
         self.stats.recenters += 1
         logger.info("mapper: recentered grid by %s voxels", shift.tolist())
 
@@ -188,8 +222,8 @@ class DenseMapper:
         if self._grid is None:
             return
         if self._decay is None:
-            self._decay = make_decay(self._spec)
-        self._grid = self._decay(self._grid, jnp.float32(factor))
+            self._decay = make_decay(self._spec, donate=True)
+        self._grid = self._decay(self._grid, np.float32(factor))
 
     def save(self, path) -> None:
         """Persist the dense map (the nvblox save-map service role)."""
@@ -201,8 +235,9 @@ class DenseMapper:
         """Restore a saved dense map; its spec replaces the configured one
         (grids are only meaningful with the geometry they were built at)."""
         self._grid, self._spec = load_grid(path)
+        self._origin_host = np.asarray(self._grid.origin)  # one-time fetch
         self._integrators.clear()  # spec changed: integrators rebuild lazily
-        self._recenter = make_recenter(self._spec)
+        self._recenter = make_recenter(self._spec, donate=True)
         self._decay = None
 
     # --- the nvblox output surface -------------------------------------
@@ -245,7 +280,7 @@ class DenseMapper:
                 np.zeros((n0, n1), bool),
                 np.zeros(2, np.float64),
             )
-        origin = np.asarray(self._grid.origin, np.float64)
+        origin = np.asarray(self._origin_host, np.float64)
         lo_m, hi_m = self.config.slice_band_m
         n_axis = spec.dims[axis]
         k_lo = int(np.clip((lo_m - origin[axis]) / spec.voxel_size_m, 0, n_axis - 1))

@@ -38,6 +38,14 @@ class RGBDFrame:
             to the output resolution).
         timestamp: Source frame timestamp.
         camera_name: Source name.
+
+    ``rgb``/``depth_mm`` are host numpy arrays when produced with the
+    default ``fetch=True``, and DEVICE-RESIDENT ``jax.Array``\\ s with
+    ``fetch=False`` — the zero-host-round-trip feed for the in-process
+    :class:`~thor_slam_tpu.pipeline.mapper.DenseMapper` (the nvblox
+    integrate-at-sensor-rate contract, reference
+    launch/thor_nvblox.launch.py:62-91). Call :meth:`fetched` at consumer
+    edges (ROS publish, disk) that need host bytes.
     """
 
     rgb: np.ndarray
@@ -45,6 +53,26 @@ class RGBDFrame:
     intrinsics: Intrinsics
     timestamp: float
     camera_name: str
+
+    @property
+    def device_resident(self) -> bool:
+        """Whether the image payloads still live on the accelerator."""
+        return not isinstance(self.depth_mm, np.ndarray)
+
+    def fetched(self) -> "RGBDFrame":
+        """Host copy of this frame (one batched d2h; self if already host)."""
+        if not self.device_resident:
+            return self
+        import jax
+
+        rgb, depth = jax.device_get((self.rgb, self.depth_mm))
+        return RGBDFrame(
+            rgb=rgb,
+            depth_mm=depth,
+            intrinsics=self.intrinsics,
+            timestamp=self.timestamp,
+            camera_name=self.camera_name,
+        )
 
 
 def make_depth_to_color_aligner(
@@ -271,7 +299,12 @@ class RGBDProcessor:
         """Whether this processor produces color-aligned RGB-D."""
         return self._color
 
-    def process(self, frame_set: SynchronizedFrameSet, color_frame=None) -> RGBDFrame | None:
+    def process(
+        self,
+        frame_set: SynchronizedFrameSet,
+        color_frame=None,
+        fetch: bool = True,
+    ) -> RGBDFrame | None:
         """Produce the RGB-D frame for this camera from a synchronized tick.
 
         Args:
@@ -279,6 +312,12 @@ class RGBDProcessor:
             color_frame: The color :class:`CameraFrame` to align depth to
                 (color mode; drained separately from the SLAM stream, as
                 in the reference — reference run_pipeline.py:624-631).
+            fetch: Materialize the product on the host (default — the
+                publishing contract). ``fetch=False`` returns the frame
+                with DEVICE-RESIDENT arrays and never syncs: the dense
+                mapper consumes it where it lives, so depth->TSDF costs
+                zero host round trips (sensor-rate integration); call
+                :meth:`RGBDFrame.fetched` at edges that need host bytes.
         """
         frames = frame_set.get_frames_for_source(self.camera_name)
         if frames is None or len(frames) < 2:
@@ -293,9 +332,11 @@ class RGBDProcessor:
         else:
             rgb, depth_mm = self._compute(left, right)
             ts = frames[0].timestamp
+        if fetch:
+            rgb, depth_mm = jax.device_get((rgb, depth_mm))
         return RGBDFrame(
-            rgb=np.asarray(rgb),
-            depth_mm=np.asarray(depth_mm),
+            rgb=rgb,
+            depth_mm=depth_mm,
             intrinsics=self._out_intrinsics,
             timestamp=ts,
             camera_name=self.camera_name,
