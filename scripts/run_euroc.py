@@ -47,6 +47,10 @@ def main() -> int:
     parser.add_argument("--no-ba", action="store_true", help="Disable window bundle adjustment")
     parser.add_argument("--no-loop", action="store_true", help="Disable loop closure")
     parser.add_argument(
+        "--no-light", action="store_true",
+        help="Disable light (left-only) tick scheduling (ablation)",
+    )
+    parser.add_argument(
         "--devices", type=int, default=None,
         help="Track SPMD over an N-device mesh (landmark-slot sharding for "
         "this single-camera sequence; combine with --cpu for a hardware-"
@@ -88,7 +92,8 @@ def main() -> int:
         return 2
     engine = TpuSlamEngine(
         use_imu=not args.no_imu, use_accel=not args.no_accel,
-        enable_ba=not args.no_ba, devices=args.devices
+        enable_ba=not args.no_ba, devices=args.devices,
+        light_ticks=False if args.no_light else None,
     )
 
     est_ts, est_pos, world_pos = [], [], []

@@ -76,6 +76,7 @@ def run(
         pipelined=cfg.backend.pipelined,
         pipeline_depth=cfg.backend.pipeline_depth,
         devices=cfg.backend.devices,
+        light_ticks=cfg.backend.light_ticks,
     )
     rig = CameraRig(
         sources,

@@ -28,10 +28,9 @@ import numpy as np
 from thor_slam_tpu import geometry
 from thor_slam_tpu.camera.rig import RigCalibration
 from thor_slam_tpu.camera.types import SynchronizedFrameSet
-from thor_slam_tpu.engine import ba, loop, posegraph
 from thor_slam_tpu.engine import tracker as trk
+from thor_slam_tpu.engine.backends import ImuFusion, LoopBackend, TrackBA
 from thor_slam_tpu.engine.setup import build_camera_setup
-from thor_slam_tpu.ops import rectify
 from thor_slam_tpu.slam.interface import (
     MapPoint,
     SlamConfig,
@@ -42,14 +41,6 @@ from thor_slam_tpu.slam.interface import (
 )
 
 logger = logging.getLogger(__name__)
-
-
-def _next_pow2(k: int, floor: int = 8) -> int:
-    """Smallest power of two >= max(k, floor) (jit shape bucketing)."""
-    cap = floor
-    while cap < k:
-        cap *= 2
-    return cap
 
 
 class TpuSlamEngine(SlamEngine):
@@ -126,6 +117,24 @@ class TpuSlamEngine(SlamEngine):
             (IMU prediction, track-level BA, loop closure, relocalize,
             save/load) runs unchanged against the sharded state. Default
             1 = single-chip.
+        light_ticks: Halve steady-state upload bytes by shipping LEFT-ONLY
+            images on ticks the host predicts won't keyframe. The right
+            image's only consumer is the keyframe front-end (stereo
+            mint); on a light tick that branch is statically absent
+            (``track_step`` ``allow_refresh=False``) and the hot KLT/PnP
+            path is bit-identical to a full tick that chose not to
+            refresh. The host mirrors the device's keyframe policy at a
+            0.7x safety margin (inliers, motion since the last keyframe)
+            and force-schedules a FULL tick under pressure, at a cadence
+            floor (``light_max_interval``), on the first tick, when not
+            TRACKING, and when relocalization is armed — so keyframes are
+            delayed at most a few ticks past the device's own decision.
+            None (default) = auto: on for single-chip non-defer_sync
+            engines (upload is the deployed bottleneck — BASELINE.md),
+            off under SPMD/defer_sync.
+        light_max_interval: Schedule a full tick at least every N ticks
+            (bounds keyframe delay when the pressure heuristic lags the
+            pipeline depth).
     """
 
     def __init__(
@@ -153,6 +162,8 @@ class TpuSlamEngine(SlamEngine):
         pipeline_depth: int = 1,
         defer_sync: bool = False,
         devices: int | None = None,
+        light_ticks: bool | None = None,
+        light_max_interval: int = 4,
     ) -> None:
         self._param_overrides = dict(params or {})
         self._devices = int(devices or 1)
@@ -182,47 +193,43 @@ class TpuSlamEngine(SlamEngine):
         self._pending_q: deque[dict] = deque()
         self._lost_after = lost_after
         self._enable_ba = enable_ba
-        self._ba_window = ba_window
-        self._ba_landmarks = ba_landmarks
-        self._ba_tick_stride = max(1, ba_tick_stride)
-        self._ba_max_correction_m = ba_max_correction_m
-        self._ba_ticks: deque[dict] = deque(maxlen=ba_window)
-        self._ba_cam_rot: np.ndarray | None = None
-        self._ba_cam_trans: np.ndarray | None = None
         self._use_imu = use_imu
         self._use_accel = bool(use_accel) and use_imu
-        self._gravity_min_ticks = int(gravity_min_ticks)
-        # Online gravity estimate in the ODOM frame (EMA over per-tick
-        # observations g = a_w - R f; see _observe_gravity). None until the
-        # first observation; accel-aided prediction engages only after
-        # `gravity_min_ticks` observations with a plausible norm.
-        self._gravity_w: np.ndarray | None = None
-        self._gravity_n = 0
-        self._imu_capacity = imu_buffer_capacity
-        self._imu_ts: list[float] = []
-        self._imu_gyro: list[np.ndarray] = []
-        self._imu_accel: list[np.ndarray] = []
-        self._body_r_imu = np.eye(3)
-        self._loop_db: list[dict] = []
-        self._loop_db_capacity = loop_db_capacity
-        self._loop_min_votes = loop_min_votes
-        self._loop_min_inliers = loop_min_inliers
-        self._loop_exclude_recent = loop_exclude_recent
-        self._loop_cooldown_kfs = loop_cooldown_kfs
-        self._loop_min_correction = loop_min_correction_m
-        self._loop_noise_gate_sigma = loop_noise_gate_sigma
-        self._loop_cooldown = 0
-        self._loops_closed = 0
-        # Device-resident place-DB descriptor ring (fixed CAP shape,
-        # donated in-place inserts): detection reads it where it lives
-        # instead of re-uploading the multi-MB database per keyframe.
-        self._dev_db_desc = None
-        self._dev_db_valid = None
-        self._db_insert = None
-        self._kf_total = 0
-        #: In-flight async loop detection/verification (see _poll_loop).
-        self._loop_pending: dict | None = None
+        # The three host backends (engine/backends/): each consumes only
+        # finalized-tick data and pushes corrections as async device
+        # updates, so all run unchanged at any pipeline depth.
+        self._ba = TrackBA(
+            window=ba_window,
+            landmarks=ba_landmarks,
+            tick_stride=ba_tick_stride,
+            max_correction_m=ba_max_correction_m,
+            noise_gate_sigma=loop_noise_gate_sigma,
+        )
+        self._imu = ImuFusion(
+            use_accel=self._use_accel,
+            gravity_min_ticks=gravity_min_ticks,
+            capacity=imu_buffer_capacity,
+            # The prediction window spans `depth` ticks of samples when
+            # pipelined.
+            pred_capacity=64 * max(1, pipeline_depth),
+        )
+        self._loop = LoopBackend(
+            capacity=loop_db_capacity,
+            min_votes=loop_min_votes,
+            min_inliers=loop_min_inliers,
+            exclude_recent=loop_exclude_recent,
+            cooldown_kfs=loop_cooldown_kfs,
+            min_correction_m=loop_min_correction_m,
+            noise_gate_sigma=loop_noise_gate_sigma,
+        )
         self._want_reloc = False
+        self._light_requested = light_ticks
+        self._light = False  # resolved at initialize()
+        self._light_max_interval = max(1, int(light_max_interval))
+        self._ticks_since_full = 0
+        self._last_kf_odom: np.ndarray | None = None
+        self._step_light = None
+        self._assemble_light = None
         # MAP-frame correction of the tracker's smooth ODOM frame:
         # world(map)_T_world(odom). Loop closures compose into this
         # transform instead of rewriting the live tracker state — the
@@ -241,34 +248,8 @@ class TpuSlamEngine(SlamEngine):
         # every correction lands before the next dispatch). Replaced, never
         # mutated — records hold references.
         self._ba_corr_total = np.eye(4)
-        # Host-side shadow of the most recent FINALIZED pose: what IMU
-        # prediction and the velocity estimate read instead of the live
-        # device state (reading the live state would sync on in-flight
-        # ticks and, at depth > 1, read the wrong tick).
-        self._fin_pose: np.ndarray | None = None
-        self._fin_ts: float | None = None
-        self._fin_vel = np.zeros(3)
-        #: Timestamp of the finalized pose BEFORE the last one (None until
-        #: two windows exist) — the gravity observation differentiates the
-        #: average velocities of two consecutive finalized windows.
-        self._fin_ts_prev: float | None = None
-        # Correction-epoch identities at the last two finalizes. The
-        # gravity observation double-differences three finalized poses; a
-        # BA correction landing anywhere across that span would enter a_w
-        # amplified 2/dt^2-fold (a 5 mm nudge at 30 fps reads as ~9 m/s^2
-        # — inside the junk gate, and BA corrections are not zero-mean, so
-        # the EMA would be directionally biased). Epochs are replaced,
-        # never mutated, so identity comparison detects any correction.
-        self._fin_epoch = None
-        self._fin_epoch_prev = None
-        # IMU prediction preintegrates (fin_ts, tick_ts] — a window that
-        # spans `depth` ticks of samples when pipelined.
-        self._imu_pred_capacity = 64 * max(1, pipeline_depth)
         #: Per-frame tracking diagnostics (updated by process_frames).
         self.last_diagnostics: dict = {}
-        #: Count of IMU preintegration windows that contained no samples
-        #: (nonzero growth while use_imu=True means the IMU path is dead).
-        self.imu_empty_windows = 0
         #: Per-tick poses of the last defer_sync flush (same order as the
         #: processed frames; None entries where tracking was LOST).
         self.last_flush_poses: list[SlamPose | None] = []
@@ -276,7 +257,6 @@ class TpuSlamEngine(SlamEngine):
         self._config = SlamConfig()
         self._step = None
         self._want_kf_sig = False
-        self._apply_ba_update = None
         self._tracker_state = None
         self._assemble = None
         self._zero_img = None
@@ -307,7 +287,7 @@ class TpuSlamEngine(SlamEngine):
         self._setup = setup
         if calibration.imu_extrinsics is not None:
             ext = calibration.imu_extrinsics.extrinsics
-            self._body_r_imu = np.asarray(ext.rotation, np.float64)
+            self._imu.body_r_imu = np.asarray(ext.rotation, np.float64)
             if self._use_accel:
                 # The accel path applies only the IMU ROTATION: with a
                 # nonzero lever arm r the accelerometer also measures
@@ -372,6 +352,21 @@ class TpuSlamEngine(SlamEngine):
         else:
             self._step = trk.make_track_step(self._params, setup, donate=True, pack=pack_mode)
             self._make_state = lambda: trk.init_state(self._params)
+        # Light (left-only) tick scheduling — see the class docstring.
+        light = self._light_requested
+        if light is None:
+            light = self._devices == 1 and not self._defer_sync
+        elif light and self._devices > 1:
+            logger.warning("light_ticks is not supported under SPMD; disabled")
+            light = False
+        elif light and self._defer_sync:
+            logger.warning("light_ticks under defer_sync is pointless; disabled")
+            light = False
+        self._light = light
+        if light:
+            self._step_light = trk.make_track_step(
+                self._params, setup, donate=True, pack=pack_mode, light=True
+            )
         self._tracker_state = self._make_state()
         c_ = self._params.num_cams
         self._zero_img = np.zeros((height, width), np.uint8)
@@ -380,13 +375,18 @@ class TpuSlamEngine(SlamEngine):
         self._assemble = jax.jit(
             lambda flat: jnp.stack(flat).reshape(c_, 2, height, width)
         )
-        # BA camera axis (2C: left imagers then right imagers).
-        self._ba_cam_rot = np.concatenate(
-            [np.asarray(setup.cam_r_body), np.asarray(setup.cam_r_body_right)]
-        )
-        self._ba_cam_trans = np.concatenate(
-            [np.asarray(setup.cam_t_body), np.asarray(setup.cam_t_body_right)]
-        )
+        if self._light:
+            self._assemble_light = jax.jit(
+                lambda flat: jnp.stack(flat).reshape(c_, 1, height, width)
+            )
+        if self._enable_ba:
+            # Async BA write-back: corrections land on the LIVE state as a
+            # left-multiplied world-frame delta plus a by-id landmark
+            # scatter — dispatched, never synced, so it is legal at any
+            # pipeline depth (the delta transports through the relative
+            # motion of ticks dispatched since the window's last tick).
+            self._ba.bind(setup, c_)
+        self._loop.bind(setup, self._params.max_keypoints)
         self._pending_q.clear()
         if self._pipelined:
             from thor_slam_tpu.pipeline.transfer import DoubleBufferedUploader
@@ -404,46 +404,19 @@ class TpuSlamEngine(SlamEngine):
 
                 target = NamedSharding(self._mesh, PartitionSpec())
             self._uploader = DoubleBufferedUploader(
-                stage_fn=self._stage_list, device=target
+                stage_fn=lambda item: self._stage_list(item[0], light=item[1]),
+                device=target,
             )
         self._keyframe_poses = []
-        self._ba_ticks.clear()
+        self._ba.clear()
+        self._imu.reset()
         self._low_inlier_streak = 0
         self._last_timestamp = None
         self._frame_count = 0
         self._ba_corr_total = np.eye(4)
-        self._fin_pose = None
-        self._fin_ts = None
-        self._fin_vel = np.zeros(3)
-        self._fin_ts_prev = None
-        self._fin_epoch = None
-        self._fin_epoch_prev = None
-        self._gravity_w = None
-        self._gravity_n = 0
+        self._ticks_since_full = 0
+        self._last_kf_odom = None
         self._state_enum = TrackingState.INITIALIZING
-
-        if self._enable_ba:
-            # Async BA write-back: corrections land on the LIVE state as a
-            # left-multiplied world-frame delta plus a by-id landmark
-            # scatter — dispatched, never synced, so it is legal at any
-            # pipeline depth (the delta transports through the relative
-            # motion of ticks dispatched since the window's last tick).
-            l_cap = self._ba_landmarks
-
-            def _apply(state, t_corr, upd_ids, upd_pos, upd_ok):
-                idx = jnp.clip(
-                    jnp.searchsorted(upd_ids, state.lm_id), 0, l_cap - 1
-                )
-                hit = (upd_ids[idx] == state.lm_id) & state.lm_valid & upd_ok[idx]
-                return state._replace(
-                    world_t_body=t_corr @ state.world_t_body,
-                    prev_world_t_body=t_corr @ state.prev_world_t_body,
-                    kf_world_t_body=t_corr @ state.kf_world_t_body,
-                    velocity_w=t_corr[:3, :3] @ state.velocity_w,
-                    lm_pos_w=jnp.where(hit[..., None], upd_pos[idx], state.lm_pos_w),
-                )
-
-            self._apply_ba_update = jax.jit(_apply, donate_argnums=(0,))
 
         # jit warm-up so the first real tick doesn't pay compilation.
         # uint8 is the runtime dtype (camera drivers and dataset replay all
@@ -476,17 +449,20 @@ class TpuSlamEngine(SlamEngine):
         for pred, mask in warm_variants:
             outs = self._step(self._make_state(), dummy(), pred, mask)
             jax.block_until_ready(outs[2])  # the packed vector
+        if self._light:
+            # The light step is its own (smaller) executable: same warm-up
+            # discipline, left-only images.
+            def dummy_light():
+                return jnp.zeros((c_, 1, height, width), jnp.uint8)
+
+            jax.block_until_ready(self._assemble_light([self._zero_img] * c_))
+            for pred, mask in warm_variants:
+                outs = self._step_light(self._make_state(), dummy_light(), pred, mask)
+                jax.block_until_ready(outs[2])
         if self._enable_ba:
-            # Warm the async BA write-back too (donates its state — use a
+            # Warm the async BA write-back too (donates its state — uses a
             # fresh throwaway, same rule as the step warm-ups above).
-            warmed = self._apply_ba_update(
-                self._make_state(),
-                jnp.eye(4),
-                jnp.full(self._ba_landmarks, np.iinfo(np.int32).max, jnp.int32),
-                jnp.zeros((self._ba_landmarks, 3)),
-                jnp.zeros(self._ba_landmarks, bool),
-            )
-            jax.block_until_ready(warmed.world_t_body)
+            self._ba.warm(self._make_state)
         logger.info(
             "TpuSlamEngine initialized: %d cams @ %dx%d (warm-up %.1fs)",
             self._params.num_cams, width, height, time.monotonic() - t0,
@@ -498,9 +474,11 @@ class TpuSlamEngine(SlamEngine):
         if self._step is None:
             raise RuntimeError("initialize() must be called before process_frames()")
 
+        light = self._schedule_light()
+        assemble = self._assemble_light if light else self._assemble
         if not self._pipelined:
-            images = self._assemble(jax.device_put(self._stage_list(frame_set)))
-            return self._finalize_tick(self._dispatch_tick(images, frame_set))
+            images = assemble(jax.device_put(self._stage_list(frame_set, light)))
+            return self._finalize_tick(self._dispatch_tick(images, frame_set, light))
 
         # Pipelined: stage/upload tick k on the uploader thread while the
         # device still computes earlier ticks and the host finalizes them.
@@ -508,12 +486,12 @@ class TpuSlamEngine(SlamEngine):
         # defer_sync: never sync mid-stream — on hosted/tunneled TPUs even
         # small per-tick device_gets permanently degrade h2d throughput
         # (measured); flush() fetches every tick's outputs in ONE transfer.
-        self._uploader.submit(frame_set)
+        self._uploader.submit((frame_set, light))
         pose = None
         if not self._defer_sync and len(self._pending_q) >= self._pipeline_depth:
             pose = self._finalize_ready()
-        images = self._assemble(self._uploader.get())
-        self._pending_q.append(self._dispatch_tick(images, frame_set))
+        images = assemble(self._uploader.get())
+        self._pending_q.append(self._dispatch_tick(images, frame_set, light))
         return pose
 
     def flush(self) -> SlamPose | None:
@@ -542,7 +520,42 @@ class TpuSlamEngine(SlamEngine):
         self._poll_loop(block=True)
         return pose
 
-    def _dispatch_tick(self, images: jnp.ndarray, frame_set: SynchronizedFrameSet) -> dict:
+    def _schedule_light(self) -> bool:
+        """Light (left-only) or full tick for the NEXT dispatch.
+
+        Host-side mirror of the device's keyframe policy at a 0.7x safety
+        margin, on (pipeline-lagged) finalized diagnostics: the device may
+        only refresh on FULL ticks, so this must say "full" before the
+        device would say "keyframe". Mis-predictions delay a keyframe to
+        the next full tick — bounded by ``light_max_interval``.
+        """
+        if not self._light:
+            return False
+        if self._frame_count == 0 or self._want_reloc:
+            return False
+        if self._state_enum != TrackingState.TRACKING:
+            return False  # warm-up/LOST/RELOCALIZING: refresh/restart paths
+        if self._ticks_since_full >= self._light_max_interval - 1:
+            return False
+        p = self._params
+        if self.last_diagnostics.get("num_inliers", 0) < int(
+            1.3 * p.keyframe_min_inliers
+        ):
+            return False
+        fin, kf = self._imu.fin_pose, self._last_kf_odom
+        if fin is None or kf is None:
+            return False
+        rel = np.linalg.inv(kf) @ fin
+        if np.linalg.norm(rel[:3, 3]) > 0.7 * p.keyframe_max_translation:
+            return False
+        ang = np.arccos(np.clip(0.5 * (np.trace(rel[:3, :3]) - 1.0), -1.0, 1.0))
+        if ang > 0.7 * p.keyframe_max_rotation:
+            return False
+        return True
+
+    def _dispatch_tick(
+        self, images: jnp.ndarray, frame_set: SynchronizedFrameSet, light: bool = False
+    ) -> dict:
         """Front half of a tick: IMU ingest/prediction + async step dispatch.
 
         Returns the pending record for :meth:`_finalize_tick`; the device
@@ -559,8 +572,8 @@ class TpuSlamEngine(SlamEngine):
 
         pose_prediction = None
         if self._use_imu and frame_set.sensor_data is not None:
-            self._ingest_imu(frame_set.sensor_data, frame_set.sensor_timestamp)
-            pose_prediction = self._imu_pose_prediction(frame_set.timestamp)
+            self._imu.ingest(frame_set.sensor_data, frame_set.sensor_timestamp)
+            pose_prediction = self._imu.predict(frame_set.timestamp)
 
         # Watchdog: mask dead cameras out of the solve (their frozen frames
         # would otherwise feed zero-motion KLT tracks into PnP).
@@ -572,7 +585,9 @@ class TpuSlamEngine(SlamEngine):
 
         # The raw output tuple may alias donated state buffers (invalid
         # after the NEXT dispatch) — only the packed vectors are retained.
-        outs = self._step(self._tracker_state, images, pose_prediction, cam_active)
+        step = self._step_light if light else self._step
+        self._ticks_since_full = self._ticks_since_full + 1 if light else 0
+        outs = step(self._tracker_state, images, pose_prediction, cam_active)
         self._tracker_state = outs[0]
         packed = outs[2]
         i = 3
@@ -590,6 +605,7 @@ class TpuSlamEngine(SlamEngine):
             "ts": frame_set.timestamp,
             "stale_sources": frame_set.stale_sources,
             "pred": pose_prediction,  # diagnostics: residual at finalize
+            "light": light,
         }
         # Start the d2h copies at DISPATCH: the copy is enqueued behind the
         # producing computation and lands host-side while the record waits
@@ -716,42 +732,28 @@ class TpuSlamEngine(SlamEngine):
             "rms_error": float(rms),
             "refreshed": refreshed,
             "stale_sources": sorted(pending["stale_sources"]),
+            "light_tick": bool(pending.get("light", False)),
         }
         if pred_err is not None:
             self.last_diagnostics["imu_pred_err_m"] = pred_err
         if self._use_accel:
-            self.last_diagnostics["accel_pred"] = self._accel_pred_active()
-            if self._gravity_w is not None:
+            self.last_diagnostics["accel_pred"] = self._imu.accel_pred_active()
+            if self._imu.gravity_w is not None:
                 self.last_diagnostics["gravity_norm"] = float(
-                    np.linalg.norm(self._gravity_w)
+                    np.linalg.norm(self._imu.gravity_w)
                 )
 
-        # Velocity estimate for the constant-velocity model — differenced
-        # from the FINALIZED pose shadow (never the live device state,
-        # which would sync on in-flight compute and, at depth > 1, read
-        # the wrong tick). Consumed host-side by _imu_pose_prediction.
+        # Advance the IMU backend's finalized-pose shadow (velocity
+        # estimate + gravity observation) — differenced from FINALIZED
+        # poses only, never the live device state (which would sync on
+        # in-flight compute and, at depth > 1, read the wrong tick).
         ts = pending["ts"]
-        if self._fin_ts is not None and ts > self._fin_ts:
-            v_new = (world_t_body[:3, 3] - self._fin_pose[:3, 3]) / (
-                ts - self._fin_ts
-            )
-            if (
-                self._use_accel
-                and self._fin_ts_prev is not None
-                and num_inliers >= self._params.min_track_inliers
-                and self._fin_epoch_prev is self._ba_corr_total
-            ):
-                # Only tracked solves observe gravity: warm-up poses are
-                # noise and double-differencing amplifies them 2/dt^2-fold.
-                # The epoch-identity gate skips any observation whose span
-                # saw a BA correction (see _fin_epoch above).
-                self._observe_gravity(v_new, ts)
-            self._fin_ts_prev = self._fin_ts
-            self._fin_epoch_prev = self._fin_epoch
-            self._fin_vel = v_new
-        self._fin_pose = world_t_body
-        self._fin_ts = ts
-        self._fin_epoch = self._ba_corr_total
+        self._imu.on_finalized(
+            world_t_body,
+            ts,
+            tracked=num_inliers >= self._params.min_track_inliers,
+            epoch=self._ba_corr_total,
+        )
         self._last_timestamp = ts
         self._frame_count += 1
 
@@ -772,21 +774,31 @@ class TpuSlamEngine(SlamEngine):
         if self._enable_ba:
             tracked_now = num_inliers >= min_inl and self._frame_count > 1
             if tracked_now and (
-                refreshed or (self._frame_count % self._ba_tick_stride == 0)
+                refreshed or (self._frame_count % self._ba.tick_stride == 0)
             ):
-                self._push_ba_tick(pending, world_t_body, ts, refreshed)
+                self._ba.push_tick(pending, world_t_body, ts, refreshed)
             elif refreshed:
                 # A refresh while untracked is a VO restart: landmark ids
                 # are freshly minted and the old window cannot join.
-                self._ba_ticks.clear()
+                self._ba.clear()
 
         if refreshed and self._state_enum == TrackingState.TRACKING and self._enable_ba:
-            world_t_body = self._run_tracklevel_ba(world_t_body, covariance)  # odom
-            # Keep the shadow on the corrected pose: the device state just
-            # received the same delta, and the next IMU prediction must
-            # integrate from where the device actually is.
-            self._fin_pose = world_t_body
-            self._fin_epoch = self._ba_corr_total
+            self._tracker_state, world_t_body, t_corr = self._ba.run(
+                world_t_body, covariance, self._tracker_state, self.last_diagnostics
+            )  # odom frame
+            if t_corr is not None:
+                # Finalized poses of ticks dispatched BEFORE this update
+                # get the missing delta applied at their finalize (epoch
+                # transport) — and the IMU shadow re-anchors on the
+                # corrected pose (the device state just received the same
+                # delta; the next prediction must integrate from where the
+                # device actually is).
+                self._ba_corr_total = t_corr @ self._ba_corr_total
+                self._imu.on_correction(world_t_body, t_corr, self._ba_corr_total)
+        if refreshed:
+            # Host shadow of the device's keyframe anchor — the light-tick
+            # scheduler measures motion-since-keyframe against it.
+            self._last_kf_odom = world_t_body
 
         # MAP-side bookkeeping: keyframes and the place DB live in the map
         # frame (the smooth odom pose lifted through the accumulated
@@ -853,7 +865,9 @@ class TpuSlamEngine(SlamEngine):
     def get_tracking_state(self) -> TrackingState:
         return self._state_enum
 
-    def _stage_list(self, frame_set: SynchronizedFrameSet) -> list[np.ndarray]:
+    def _stage_list(
+        self, frame_set: SynchronizedFrameSet, light: bool = False
+    ) -> list[np.ndarray]:
         """Stage the tick as a ZERO-COPY list of per-imager host arrays.
 
         No host-side stacking: a dense (C, 2, H, W) stack is a 7+ MB memcpy
@@ -867,659 +881,117 @@ class TpuSlamEngine(SlamEngine):
         the transfer bytes). A watchdog-stale source that died before
         producing any frame has no entry in ``frame_sets`` — it is
         zero-filled here (and masked out of the solve via ``cam_active``).
+        ``light`` stages the LEFT imager only (half the bytes — the light
+        step statically never reads the right image).
         """
+        per = 1 if light else 2
         flat: list[np.ndarray] = []
         for name in self._source_order:
             fs = frame_set.frame_sets.get(name)
             if fs is None:
-                flat.extend([self._zero_img] * 2)
+                flat.extend([self._zero_img] * per)
             else:
-                flat.extend(np.ascontiguousarray(f.image) for f in fs.frames)
+                flat.extend(
+                    np.ascontiguousarray(f.image) for f in fs.frames[:per]
+                )
         if any(im.dtype != flat[0].dtype for im in flat):
             flat = [np.asarray(im, np.float32) for im in flat]
         return flat
 
-    # ----------------------------------------------------- IMU fusion
+    # ------------------------------------------------- backend adapters
+    #
+    # IMU fusion, track-level BA and loop closure live in engine/backends/
+    # (ImuFusion / TrackBA / LoopBackend). The engine keeps only the glue:
+    # the correction-epoch composition, the keyframe trajectory, and the
+    # map<-odom transform. The thin delegates below also preserve the
+    # historical debugging surface (tests poke these).
 
     def _ingest_imu(self, sensor_data: dict, sensor_ts: float | None) -> None:
-        """Buffer IMU samples (single dict or driver-batched arrays)."""
-        # Guard the RAW dict values: np.asarray(None) is an object array
-        # (never None), so converting first would let a malformed payload
-        # through to crash pack_imu_window ticks later.
-        raw_acc = sensor_data.get("accelerometer")
-        raw_gyr = sensor_data.get("gyroscope")
-        if raw_acc is None or raw_gyr is None:
-            return
-        acc = np.asarray(raw_acc, np.float64)
-        gyr = np.asarray(raw_gyr, np.float64)
-        if acc.ndim == 2:  # batched packet (synthetic source / DepthAI batching)
-            raw_ts = sensor_data.get("timestamps")
-            ts = None if raw_ts is None else np.asarray(raw_ts, np.float64)
-            if ts is not None and len(ts) < acc.shape[0]:
-                return  # malformed batch: fewer timestamps than samples
-            for i in range(acc.shape[0]):
-                t = float(ts[i]) if ts is not None else (sensor_ts or 0.0)
-                if not self._imu_ts or t > self._imu_ts[-1]:
-                    self._imu_ts.append(t)
-                    self._imu_gyro.append(gyr[i])
-                    self._imu_accel.append(acc[i])
-        else:
-            t = float(sensor_data.get("timestamp", sensor_ts or 0.0))
-            if not self._imu_ts or t > self._imu_ts[-1]:
-                self._imu_ts.append(t)
-                self._imu_gyro.append(gyr)
-                self._imu_accel.append(acc)
-        if len(self._imu_ts) > self._imu_capacity:
-            del self._imu_ts[: -self._imu_capacity]
-            del self._imu_gyro[: -self._imu_capacity]
-            del self._imu_accel[: -self._imu_capacity]
+        self._imu.ingest(sensor_data, sensor_ts)
 
-    def _observe_gravity(self, v_new: np.ndarray, ts: float) -> None:
-        """Fold one gravity observation (odom frame) into the EMA.
+    @property
+    def _imu_ts(self) -> list[float]:
+        return self._imu._ts
 
-        Between the midpoints of two consecutive finalized windows the
-        differenced average velocities measure the TOTAL world-frame
-        acceleration; subtracting the rotated mean specific force over the
-        same interval leaves gravity: ``f = R^T (a_w - g)`` so
-        ``g = a_w - R f``. Valid under arbitrary motion — centripetal and
-        linear acceleration appear identically in both terms and cancel —
-        so no quasi-static gate is needed; the EMA absorbs the
-        velocity-differencing noise.
-        """
-        m0 = 0.5 * (self._fin_ts_prev + self._fin_ts)
-        m1 = 0.5 * (self._fin_ts + ts)
-        dt = m1 - m0
-        if dt <= 1e-6 or not self._imu_ts:
-            return
-        ts_arr = np.asarray(self._imu_ts)
-        sel = (ts_arr > m0) & (ts_arr <= m1)
-        if not np.any(sel):
-            return
-        f_imu = np.mean(np.asarray(self._imu_accel)[sel], axis=0)
-        a_w = (v_new - self._fin_vel) / dt
-        g_obs = a_w - self._fin_pose[:3, :3] @ (self._body_r_imu @ f_imu)
-        # Junk-only guard (solve glitch, clock skew, teleport). Individual
-        # observations are dominated by double-differencing noise (sigma ~
-        # 2 sigma_p / dt^2 — tens of m/s^2 at millimeter solve noise), but
-        # the noise is zero-mean; a TIGHT norm gate here would clip the
-        # distribution asymmetrically and bias the mean low (measured:
-        # a (4, 16) gate converged to |g| = 6.3).
-        if float(np.linalg.norm(g_obs)) > 60.0:
-            return
-        if self._gravity_w is None:
-            self._gravity_w = g_obs
-        else:
-            # Running mean first (the estimator must average the noise
-            # down, not anchor on the earliest samples), then a slow EMA
-            # so the estimate tracks odom-frame drift.
-            alpha = max(1.0 / (self._gravity_n + 1.0), 0.005)
-            self._gravity_w = (1.0 - alpha) * self._gravity_w + alpha * g_obs
-        self._gravity_n += 1
+    @property
+    def _gravity_w(self):
+        return self._imu.gravity_w
 
-    def _accel_pred_active(self) -> bool:
-        """Whether the accel term of the pose prediction is engaged."""
-        return (
-            self._use_accel
-            and self._gravity_w is not None
-            and self._gravity_n >= self._gravity_min_ticks
-            and 8.0 < float(np.linalg.norm(self._gravity_w)) < 12.0
-        )
+    @property
+    def _gravity_n(self) -> int:
+        return self._imu.gravity_n
 
-    def _imu_pose_prediction(self, ts: float) -> np.ndarray | None:
-        """Preintegrated IMU pose prediction from the finalized shadow.
+    @property
+    def imu_empty_windows(self) -> int:
+        """Count of IMU preintegration windows that contained no samples
+        (nonzero growth while use_imu=True means the IMU path is dead)."""
+        return self._imu.empty_windows
 
-        Rotation is always gyro-preintegrated (the part that breaks
-        constant-velocity models). Translation upgrades from
-        constant-velocity extrapolation to the full Forster form
-        ``p + v dt + 1/2 g dt^2 + R delta_p`` once the online odom-frame
-        gravity estimate has converged (see :meth:`_observe_gravity`) —
-        the cuVSLAM IMU-fusion role (reference
-        launch/thor_visual_slam.launch.py:80-104).
+    @property
+    def _ba_ticks(self):
+        return self._ba._ticks
 
-        Known half-step bias: ``_fin_vel`` is the PREVIOUS interval's
-        average velocity, which lags the instantaneous v(fin_ts) by
-        ~a*dt/2; under constant acceleration the Forster term then cancels
-        about half the constant-velocity error rather than all of it. The
-        residual (~a*dt^2/2, sub-millimeter at 30 fps and 1 m/s^2) is well
-        inside KLT's convergence basin, which is all this prediction
-        feeds; propagating the velocity to the window start would couple
-        the gravity EMA's noise into every tick for no measured ATE gain.
-        """
-        if self._fin_ts is None or len(self._imu_ts) < 2:
-            return None
-        from thor_slam_tpu.engine import imu as imu_mod
+    @property
+    def _loop_db(self) -> list[dict]:
+        return self._loop.db
 
-        # Window starts at the last FINALIZED tick (the pose shadow's
-        # timestamp): at pipeline depth d the window spans d+1 ticks of
-        # samples, so the prediction always integrates from a pose the
-        # host actually has (never the in-flight live state).
-        g, a, d, m = imu_mod.pack_imu_window(
-            self._imu_ts, self._imu_gyro, self._imu_accel,
-            t_start=self._fin_ts, t_end=ts, capacity=self._imu_pred_capacity,
-        )
-        if m.sum() < 1:
-            # A dead IMU path must be VISIBLE: with use_imu=True the engine
-            # silently degrades to constant-velocity when every window is
-            # empty (e.g. a source delivering samples one tick late).
-            self.imu_empty_windows += 1
-            if self.imu_empty_windows in (10, 100) or self.imu_empty_windows % 1000 == 0:
-                logger.warning(
-                    "IMU enabled but %d preintegration windows were empty — "
-                    "samples may be arriving late or not at all",
-                    self.imu_empty_windows,
-                )
-            return None
-        # Host (no device round trip). Before gravity convergence the
-        # accel integral would be meaningless, so only delta_r is
-        # integrated and translation stays constant-velocity.
-        rbi = self._body_r_imu
-        accel_active = self._accel_pred_active()
-        if accel_active:
-            pre = imu_mod.preintegrate_fast_np(g, a, d, m)
-            delta_r_body = rbi @ pre.delta_r @ rbi.T
-        else:
-            delta_r_body = rbi @ imu_mod.gyro_delta_r_np(g, d, m) @ rbi.T
+    @property
+    def _loops_closed(self) -> int:
+        return self._loop.loops_closed
 
-        # Integrate forward from the finalized-pose SHADOW: reading the
-        # live device state here would block on every in-flight tick (a
-        # full network RTT per tick on tunneled TPUs) and at depth > 1
-        # would read a pose ticks ahead of the IMU window's start.
-        fin = self._fin_pose
-        pred = np.eye(4)
-        pred[:3, :3] = fin[:3, :3] @ delta_r_body
-        pred[:3, 3] = fin[:3, 3] + self._fin_vel * (ts - self._fin_ts)
-        if accel_active:
-            # Forster propagation: the specific-force double integral
-            # (rotated into the body frame at the window start) plus the
-            # gravity parabola over the integrated span. delta_p spans
-            # pre.dt (the samples' coverage), which may trail ts by a
-            # fraction of a sample period — the constant-velocity term
-            # above already covers the full (fin_ts, ts] gap.
-            pred[:3, 3] += 0.5 * self._gravity_w * pre.dt * pre.dt + fin[
-                :3, :3
-            ] @ (rbi @ pre.delta_p)
-        # numpy, NOT jnp.asarray(..., f32): an eager dtype-converting
-        # device op costs a dispatch round trip per tick on remote TPUs
-        # (measured ~3.6 ms); the jitted step's call boundary uploads the
-        # 64-byte operand for free.
-        return pred.astype(np.float32)
+    @property
+    def _loop_db_capacity(self) -> int:
+        return self._loop.capacity
 
     # ----------------------------------------------------- loop closure
-
-    def _ensure_dev_db(self) -> None:
-        """Allocate the device-resident descriptor ring + insert kernel."""
-        if self._dev_db_desc is not None:
-            return
-        cap, n = self._loop_db_capacity, self._params.max_keypoints
-        self._dev_db_desc = jnp.zeros((cap, n, 8), jnp.uint32)
-        self._dev_db_valid = jnp.zeros((cap, n), bool)
-
-        def insert(db_d, db_v, slot, d, v):
-            return (
-                jax.lax.dynamic_update_index_in_dim(db_d, d, slot, 0),
-                jax.lax.dynamic_update_index_in_dim(db_v, v, slot, 0),
-            )
-
-        self._db_insert = jax.jit(insert, donate_argnums=(0, 1))
-
-    def _rebuild_dev_db(self) -> None:
-        """Re-seed the device ring from the host DB (map load / reset)."""
-        self._dev_db_desc = None
-        if not self._loop_db:
-            return
-        self._ensure_dev_db()
-        cap = self._loop_db_capacity
-        n = self._params.max_keypoints
-        desc = np.zeros((cap, n, 8), np.uint32)
-        valid = np.zeros((cap, n), bool)
-        for e in self._loop_db:
-            # A loaded map may have been recorded at a different keypoint
-            # budget — crop/zero-pad its rows into this session's shape.
-            k = min(n, e["desc"].shape[0])
-            desc[e["slot"], :k] = e["desc"][:k]
-            valid[e["slot"], :k] = e["valid"][:k]
-        self._dev_db_desc = jnp.asarray(desc)
-        self._dev_db_valid = jnp.asarray(valid)
 
     def _loop_closure_tick(
         self, world_t_body: np.ndarray, ts: float, kf_sig: np.ndarray | None
     ) -> None:
-        """Keyframe hook: update the place DB, detect + close loops.
+        """Keyframe hook: update the place DB, maybe start a detection.
 
         ``world_t_body`` is the MAP-frame keyframe pose; ``kf_sig`` the
         tick's fetched camera-0 signature (``pack_kf_sig``) — the
         FINALIZED tick's own bank, so this hook never reads the live
         device state (which would sync on in-flight ticks and, under deep
         pipelining, belong to a later frame than the keyframe being
-        recorded). A closure is applied by composing the pose-graph's
-        correction into ``_map_t_odom`` and rewriting the MAP-side
-        artifacts (place DB, keyframe trajectory); the live tracker state
-        (odom frame) is never touched — the front-end keeps tracking
-        against an unperturbed landmark bank, and the odometry stream
-        stays smooth. Keyframes older than the DB window need no seam
-        correction: the pose graph gauge-anchors the window's oldest node
-        (posegraph.optimize), so the rewritten window connects to the
-        pre-window trajectory continuously by construction (verified by
-        tests/test_engine_loop_e2e.py long-run continuity).
+        recorded). Detection and verification run asynchronously in the
+        LoopBackend; a verified closure comes back through _poll_loop.
         """
         if kf_sig is None:
             return
         sig = trk.unpack_kf_sig(kf_sig)
-        m = self._map_t_odom
-        # Camera-0 slice of the fresh keyframe is the place signature.
-        # Landmark positions are stored in the MAP frame so verification
-        # against them yields map-frame constraints directly.
-        slot = self._kf_total % self._loop_db_capacity
-        self._kf_total += 1
-        entry = {
-            "desc": sig["desc"],
-            "valid": sig["valid"],
-            "lm_w": sig["pos"] @ m[:3, :3].T + m[:3, 3],
-            "obs_px": sig["obs_px"],
-            "world_t_body": world_t_body.copy(),
-            "ts": ts,
-            "slot": slot,
-        }
-        self._loop_db.append(entry)
-        if len(self._loop_db) > self._loop_db_capacity:
-            # Insertion order == slot order, so truncating the host list
-            # drops exactly the entry whose ring slot is being reused.
-            self._loop_db = self._loop_db[-self._loop_db_capacity :]
-        # Device-resident descriptor ring: ONE incremental ~10 KB insert
-        # per keyframe instead of re-uploading the whole multi-MB database
-        # at every detection (donated in-place update, fixed CAP shape —
-        # compiles once).
-        self._ensure_dev_db()
-        self._dev_db_desc, self._dev_db_valid = self._db_insert(
-            self._dev_db_desc, self._dev_db_valid,
-            jnp.asarray(slot, jnp.int32),
-            jnp.asarray(entry["desc"]), jnp.asarray(entry["valid"]),
+        self._loop.on_keyframe(
+            world_t_body, ts, sig, self._map_t_odom, self._frame_count
         )
-
-        if self._loop_cooldown > 0:
-            self._loop_cooldown -= 1
-            return
-        if len(self._loop_db) <= self._loop_exclude_recent + 1:
-            return
-        if self._loop_pending is not None:
-            return  # a detection/verification is still in flight
-
-        # Eligibility mask over ring slots: present entries minus the
-        # recent temporal neighbors (and the query itself).
-        mask = np.zeros(self._loop_db_capacity, np.float32)
-        for e in self._loop_db[: -self._loop_exclude_recent - 1]:
-            mask[e["slot"]] = 1.0
-
-        # ASYNC detection: dispatch the MXU lookup against the resident
-        # ring and poll `votes.is_ready()` on later finalizes — the host
-        # never blocks on it, so a keyframe costs zero device syncs here
-        # (a closure lands a tick or two after its keyframe; loop
-        # corrections are latency-tolerant by construction).
-        cand = loop.find_candidate(
-            jnp.asarray(entry["desc"]), jnp.asarray(entry["valid"]),
-            self._dev_db_desc, self._dev_db_valid, jnp.asarray(mask),
-        )
-        self._loop_pending = {
-            "stage": "find",
-            "cand": cand,
-            "query": entry,
-            "query_map_pose": world_t_body.copy(),
-        }
 
     def _poll_loop(self, block: bool = False) -> None:
         """Advance the async loop-closure machine (non-blocking by default).
 
-        Stages: ``find`` (appearance lookup in flight) -> ``verify``
-        (geometric RANSAC in flight) -> apply (pose graph, host-gated).
-        Called at every finalize; with ``block=True`` (stream flush) it
-        drains to completion.
+        A closure verified and gated by the backend is applied MAP side
+        only: the newest node's correction composes into the map<-odom
+        transform (every future pose/keyframe/map point is lifted through
+        it) and the pose graph's smoothed trajectory rewrites the keyframe
+        tail. The live tracker state (odom frame) is never touched — the
+        front-end keeps tracking against an unperturbed landmark bank and
+        the odometry stream stays smooth. Keyframes older than the DB
+        window need no seam correction: the pose graph gauge-anchors the
+        window's oldest node, so the rewritten window connects to the
+        pre-window trajectory continuously by construction (verified by
+        tests/test_engine_loop_e2e.py long-run continuity).
         """
-        p = self._loop_pending
-        if p is None:
+        res = self._loop.poll(block=block, diagnostics=self.last_diagnostics)
+        if res is None:
             return
-        if p["stage"] == "find":
-            if not (block or p["cand"].votes.is_ready()):
-                return
-            votes_a, slot_a = jax.device_get(
-                (p["cand"].votes, p["cand"].keyframe)
-            )  # one round trip
-            votes = int(votes_a)
-            if votes < self._loop_min_votes:
-                self._loop_pending = None
-                return
-            slot = int(slot_a)
-            cand_e = next((e for e in self._loop_db if e["slot"] == slot), None)
-            if cand_e is None:  # evicted while the lookup was in flight
-                self._loop_pending = None
-                return
-            entry = p["query"]
-            # Geometric verification: candidate's landmarks vs the query's
-            # observations — dispatched async, polled like the lookup.
-            k0 = np.asarray(self._setup.k_left[0])
-            d0 = np.asarray(self._setup.dist_left[0])
-            xn = np.stack(
-                [
-                    (entry["obs_px"][:, 0] - k0[2]) / k0[0],
-                    (entry["obs_px"][:, 1] - k0[3]) / k0[1],
-                ],
-                -1,
-            )
-            obs_norm = rectify.undistort_normalized(xn, d0).astype(np.float32)
-            p["ver"] = loop.verify_candidate(
-                jax.random.PRNGKey(self._frame_count),
-                jnp.asarray(cand_e["lm_w"], jnp.float32),
-                jnp.asarray(cand_e["valid"]),
-                jnp.asarray(cand_e["desc"]),
-                jnp.asarray(obs_norm),
-                jnp.asarray(entry["desc"]),
-                jnp.asarray(entry["valid"]),
-                jnp.asarray(self._setup.cam_r_body[0]),
-                jnp.asarray(self._setup.cam_t_body[0]),
-                jnp.asarray(np.linalg.inv(p["query_map_pose"]), jnp.float32),
-                min_inliers=self._loop_min_inliers,
-            )
-            p["votes"] = votes
-            p["cand_e"] = cand_e
-            p["stage"] = "verify"
-            if not block:
-                return
-        if p["stage"] == "verify":
-            if not (block or p["ver"].accepted.is_ready()):
-                return
-            ver = loop.LoopVerification(*jax.device_get(tuple(p["ver"])))
-            self._loop_pending = None
-            if not bool(ver.accepted):
-                return
-            self._apply_loop_closure(p, ver)
-
-    def _apply_loop_closure(self, p: dict, ver) -> None:
-        """Gate and apply a verified loop constraint (host, MAP side only)."""
-        entry = p["query"]
-        cand_e = p["cand_e"]
-        world_t_body = p["query_map_pose"]
-        # Discrepancy gate: the loop constraint must disagree with the
-        # query's map-frame pose by more than the constraint's OWN noise
-        # floor — the verification solve's covariance (its residual-scaled
-        # inverse Hessian), not an arbitrary constant. A constraint that
-        # cannot distinguish the drift from its own noise has nothing to
-        # correct; "closing" it would only inject that noise into the map.
-        loop_pose_est = np.linalg.inv(np.asarray(ver.body_t_candidate, np.float64))
-        disc = np.linalg.norm(loop_pose_est[:3, 3] - world_t_body[:3, 3])
-        sigma_t = float(np.sqrt(max(np.trace(np.asarray(ver.covariance)[:3, :3]), 0.0)))
-        noise_floor = max(self._loop_min_correction, self._loop_noise_gate_sigma * sigma_t)
-        if disc < noise_floor:
-            self._loop_cooldown = self._loop_cooldown_kfs
-            self.last_diagnostics["loop_skip"] = (
-                f"disc {disc:.4f} m < floor {noise_floor:.4f} m (sigma {sigma_t:.4f})"
-            )
-            return
-        try:
-            ci = next(i for i, e in enumerate(self._loop_db) if e is cand_e)
-            qi = next(i for i, e in enumerate(self._loop_db) if e is entry)
-        except StopIteration:
-            return  # evicted while verification was in flight
-
-        # Pose-graph over the loop DB trajectory: odometry chain + loop
-        # edge. Node/edge arrays are padded to a power of two (masked) so
-        # the jitted solve compiles O(log capacity) times, not per-closure.
-        # The loop edge sits between the CURRENT indices of the candidate
-        # and the query (keyframes may have been appended while the
-        # verification was in flight — the query need not be the last
-        # node).
-        poses = np.stack([e["world_t_body"] for e in self._loop_db]).astype(np.float32)
-        kk = poses.shape[0]
-        kk_pad = _next_pow2(kk)
-        e_cap = kk_pad  # chain (kk-1 edges) + 1 loop edge + masked padding
-        ei, ej, et, w = posegraph.sequential_graph(poses, capacity_edges=e_cap)
-        ei[kk - 1], ej[kk - 1] = ci, qi
-        et[kk - 1] = np.linalg.inv(cand_e["world_t_body"]) @ loop_pose_est
-        w[kk - 1] = 3.0
-        poses_pad = np.tile(np.eye(4, dtype=np.float32), (kk_pad, 1, 1))
-        poses_pad[:kk] = poses
-        node_mask = np.zeros(kk_pad, np.float32)
-        node_mask[:kk] = 1.0
-        graph = posegraph.PoseGraph(
-            poses=jnp.asarray(poses_pad), node_mask=jnp.asarray(node_mask),
-            edge_i=jnp.asarray(ei), edge_j=jnp.asarray(ej),
-            edge_t=jnp.asarray(et), edge_weight=jnp.asarray(w),
-        )
-        opt_poses, _ = posegraph.optimize(graph)
-        opt_poses = np.asarray(opt_poses, np.float64)[:kk]
-
-        # Apply — MAP side only. The newest node's correction composes into
-        # the map<-odom transform (every future pose/keyframe/map-point is
-        # lifted through it), the pose graph's smoothed poses rewrite the
-        # DB and the keyframe trajectory. The live tracker state (odom) is
-        # deliberately untouched: rewriting the landmark bank mid-flight
-        # perturbed KLT/PnP and measurably REGRESSED the live stream at
-        # low-drift operating points (BASELINE.md ablation round 2:
-        # odometry ATE 14.55 -> 15.98 cm) while the map barely gained.
-        t_corr = opt_poses[-1] @ np.linalg.inv(poses[-1].astype(np.float64))
-        for idx, e in enumerate(self._loop_db):
-            e["world_t_body"] = opt_poses[idx]
-            # Keep stored landmarks consistent with their rewritten anchor.
-            node_corr = opt_poses[idx] @ np.linalg.inv(poses[idx].astype(np.float64))
-            e["lm_w"] = e["lm_w"] @ node_corr[:3, :3].T + node_corr[:3, 3]
+        t_corr, opt_poses, kk, _info = res
         n_kf = min(len(self._keyframe_poses), kk)
         for j in range(n_kf):
             old = self._keyframe_poses[-n_kf + j]
             self._keyframe_poses[-n_kf + j] = SlamPose.from_4x4_matrix(
                 opt_poses[kk - n_kf + j], timestamp=old.timestamp
             )
-
         self._map_t_odom = t_corr @ self._map_t_odom
-        self._loops_closed += 1
-        self._loop_cooldown = self._loop_cooldown_kfs
-        logger.info(
-            "Loop closed: kf %d <-> %d (votes=%d inliers=%d), |corr|=%.3f m",
-            ci, qi, p["votes"], int(ver.num_inliers), float(np.linalg.norm(t_corr[:3, 3])),
-        )
 
-    # ----------------------------------------------------- BA backend
-
-    def _push_ba_tick(self, pending: dict, world_t_body: np.ndarray, ts: float, refreshed: bool) -> None:
-        """Append this tick's observations to the sliding BA window.
-
-        The measurement stream is the tracker's own per-tick output
-        (``pack_ba_obs``): KLT positions at sub-keyframe rate joined across
-        ticks by the persistent ``lm_id`` — so keyframe-boundary id hops
-        can never poison a window (the id IS the join key, slots are not).
-        """
-        ba = pending.get("ba_obs")
-        if ba is None:
-            return
-        rec = trk.unpack_ba_obs(ba)
-        rec["body_t_world"] = np.linalg.inv(np.asarray(world_t_body, np.float64))
-        rec["ts"] = ts
-        rec["refreshed"] = bool(refreshed)
-        self._ba_ticks.append(rec)
-
-    def _run_tracklevel_ba(
-        self, world_t_body: np.ndarray, covariance: np.ndarray | None = None
-    ) -> np.ndarray:
-        """Optimize the recent-tick window; push corrections into the tracker.
-
-        Variables: one pose per window tick + landmarks observed in >= 3
-        ticks (joined by ``lm_id``). Left observations attach at every
-        tick; the stereo right observation attaches only at the tick that
-        minted it (``refreshed`` ticks), anchoring scale. Returns the
-        (possibly corrected) current world_T_body; refined landmark
-        positions are written back into the live bank so the next PnP
-        solves against the improved map.
-
-        ``covariance`` is the tick's PnP pose covariance: a BA correction
-        smaller than the solve's own noise floor is indistinguishable from
-        noise and is NOT applied (same principle as the loop-closure
-        discrepancy gate) — at low-drift operating points BA then leaves
-        the stream untouched instead of reshuffling noise into it
-        (measured +0.9% ATE at the 320x200 flagship point before this),
-        while drift regimes whose corrections exceed the floor keep their
-        -21/-42% wins (tests/test_engine_ba_e2e.py).
-        """
-        ticks = list(self._ba_ticks)
-        if len(ticks) < 4:
-            self.last_diagnostics["ba_skip"] = f"window={len(ticks)}"
-            return world_t_body
-        k_win = self._ba_window
-        ticks = ticks[-k_win:]
-        c = self._params.num_cams
-        l_cap = self._ba_landmarks
-
-        # Landmark snapshot: the window's LAST tick (the refreshed tick
-        # that triggered this solve) ships its own post-tick bank inside
-        # ``ba_obs`` (the "pos" channel) — ids not alive there cannot
-        # receive corrections, so only optimize those. The live device
-        # state is never read: this is what makes BA legal (and sync-free)
-        # at any pipeline depth.
-        last = ticks[-1]
-        bank_ids = last["ids"]
-        bank_valid = last["valid"]
-        bank_pos = np.asarray(last["pos"], np.float64)
-        alive = set(bank_ids[bank_valid].tolist())
-
-        counts: dict[int, int] = {}
-        for t in ticks:
-            for lid in np.unique(t["ids"][t["valid"]]):
-                ilid = int(lid)
-                if ilid >= 0 and ilid in alive:
-                    counts[ilid] = counts.get(ilid, 0) + 1
-        multi = [lid for lid, n in counts.items() if n >= 3]
-        if len(multi) < 24:
-            self.last_diagnostics["ba_skip"] = f"joined_landmarks={len(multi)}"
-            return world_t_body
-        multi.sort(key=lambda lid: -counts[lid])
-        chosen = np.sort(np.asarray(multi[:l_cap], np.int64))  # sorted: searchsorted joins
-        l_n = len(chosen)
-
-        # Camera axis of the BA problem is 2C: left imagers then right
-        # imagers — the stereo constraint anchors scale inside the window.
-        obs = np.zeros((k_win, 2 * c, l_cap, 2), np.float32)
-        mask = np.zeros((k_win, 2 * c, l_cap), np.float32)
-        poses = np.tile(np.eye(4, dtype=np.float32), (k_win, 1, 1))
-        pose_mask = np.zeros(k_win, np.float32)
-        lms = np.zeros((l_cap, 3), np.float32)
-        lm_mask = np.zeros(l_cap, np.float32)
-
-        for ki, t in enumerate(ticks):
-            poses[ki] = t["body_t_world"]
-            pose_mask[ki] = 1.0
-            idx = np.searchsorted(chosen, t["ids"])
-            np.clip(idx, 0, l_n - 1, out=idx)
-            hit = (chosen[idx] == t["ids"]) & t["valid"]  # (C, N)
-            for ci in range(c):
-                sel = hit[ci]
-                li = idx[ci, sel]
-                obs[ki, ci, li] = t["obs"][ci, sel]
-                mask[ki, ci, li] = 1.0
-                if t["refreshed"]:  # fresh stereo measurement only at mint
-                    rsel = sel & t["robs_valid"][ci]
-                    rli = idx[ci, rsel]
-                    obs[ki, c + ci, rli] = t["robs"][ci, rsel]
-                    mask[ki, c + ci, rli] = 1.0
-
-        # Initialize landmarks from the live bank.
-        bidx = np.searchsorted(chosen, bank_ids)
-        np.clip(bidx, 0, l_n - 1, out=bidx)
-        bhit = (chosen[bidx] == bank_ids) & bank_valid
-        lm_present = np.zeros(l_cap, np.float32)
-        for ci in range(c):
-            sel = bhit[ci]
-            lms[bidx[ci, sel]] = bank_pos[ci, sel]
-            lm_present[bidx[ci, sel]] = 1.0
-        mask[:, :, lm_present == 0.0] = 0.0
-
-        # Only landmarks with an in-window STEREO observation may move:
-        # a landmark held by monocular tracks alone has weakly observable
-        # depth, and letting the solver slide it along its ray injects a
-        # small scale bias into the map that compounds into large drift
-        # (measured: 28 -> 204 cm ATE on a fast low-res sequence).
-        # lm_mask=0 landmarks stay FIXED but still constrain the poses
-        # (their Schur cross-terms vanish; obs remain in the pose blocks).
-        has_stereo = mask[:, c:, :].sum(axis=(0, 1)) > 0.0
-        lm_mask = lm_present * has_stereo.astype(np.float32)
-
-        problem = ba.BAProblem(
-            body_t_world=jnp.asarray(poses),
-            landmarks_w=jnp.asarray(lms),
-            obs=jnp.asarray(obs),
-            obs_mask=jnp.asarray(mask),
-            cam_rot=jnp.asarray(self._ba_cam_rot),
-            cam_trans=jnp.asarray(self._ba_cam_trans),
-            pose_mask=jnp.asarray(pose_mask),
-            lm_mask=jnp.asarray(lm_mask),
-        )
-        result = ba.bundle_adjust(problem, huber_delta=0.004)
-        initial_rms, final_rms = jax.device_get((result.initial_rms, result.final_rms))
-        # Accept only a MEANINGFUL improvement: near-neutral "refinements"
-        # are noise reshuffling and their pose corrections compound as
-        # drift of their own (measured: a 0.99x rms gate tripled ATE on a
-        # fast-orbit sequence where a 0.9x gate improved it 18x).
-        if not float(final_rms) < 0.9 * float(initial_rms):
-            self.last_diagnostics["ba_skip"] = (
-                f"rms {float(initial_rms):.5f}->{float(final_rms):.5f}"
-            )
-            return world_t_body
-
-        refined_poses = np.asarray(result.body_t_world, np.float64)
-        refined_lms = np.asarray(result.landmarks_w)
-
-        k_last = len(ticks) - 1
-        new_world = np.linalg.inv(refined_poses[k_last])
-        corr = np.linalg.norm(new_world[:3, 3] - world_t_body[:3, 3])
-        if corr > self._ba_max_correction_m:
-            self.last_diagnostics["ba_skip"] = f"correction {corr:.3f} m"
-            return world_t_body  # junk guard: implausible jump
-        if covariance is not None:
-            # Noise-floor gate: a correction the PnP solve cannot itself
-            # distinguish from noise has nothing real to fix (see
-            # docstring). The window keeps accumulating; only the
-            # application is withheld.
-            floor = self._loop_noise_gate_sigma * float(
-                np.sqrt(max(np.trace(covariance[:3, :3]), 0.0))
-            )
-            if corr < floor:
-                self.last_diagnostics["ba_skip"] = (
-                    f"corr {corr:.4f} m < noise floor {floor:.4f} m"
-                )
-                return world_t_body
-
-        # Write back: refined landmarks into the live bank (by id) plus
-        # the pose delta, as ONE async on-device update
-        # (_apply_ba_update): the delta transports correctly through any
-        # relative motion the device computed since this window's last
-        # tick, so the same dispatch is exact at depth 1 and valid under
-        # deep pipelining. A landmark the solver moved implausibly far
-        # disagrees structurally with the window (wrong association,
-        # degenerate depth) — writing it back would poison every
-        # subsequent PnP solve; keep the old position for those.
-        lm_shift = np.linalg.norm(refined_lms - lms, axis=-1)
-        lm_ok = lm_shift <= self._ba_max_correction_m
-        t_corr = new_world @ np.linalg.inv(np.asarray(world_t_body, np.float64))
-        upd_ids = np.full(l_cap, np.iinfo(np.int32).max, np.int32)  # sorted pad
-        upd_ids[:l_n] = chosen
-        upd_ok = np.zeros(l_cap, bool)
-        upd_ok[:l_n] = lm_ok[:l_n]
-        self._tracker_state = self._apply_ba_update(
-            self._tracker_state,
-            jnp.asarray(t_corr, jnp.float32),
-            jnp.asarray(upd_ids),
-            jnp.asarray(refined_lms, jnp.float32),
-            jnp.asarray(upd_ok),
-        )
-        # Finalized poses of ticks dispatched BEFORE this update get the
-        # missing delta applied at their finalize (epoch transport).
-        self._ba_corr_total = t_corr @ self._ba_corr_total
-        # The shadow velocity transforms like a free vector under the
-        # left-applied correction (translation cancels in the difference
-        # of two corrected endpoints) — same rotation _apply_ba_update
-        # gives the device's velocity_w.
-        self._fin_vel = t_corr[:3, :3] @ self._fin_vel
-        # ... and refined poses into the window (the next solve starts warm).
-        for ki, t in enumerate(ticks):
-            t["body_t_world"] = refined_poses[ki]
-        self.last_diagnostics["ba_rms"] = (float(initial_rms), float(final_rms))
-        self.last_diagnostics["ba_landmarks"] = int(l_n)
-        return new_world
     # ------------------------------------------------------------ mapping
 
     def get_map(self) -> SlamMap:
@@ -1568,17 +1040,9 @@ class TpuSlamEngine(SlamEngine):
         try:
             kf = np.stack([p.to_4x4_matrix() for p in self._keyframe_poses]) if self._keyframe_poses else np.zeros((0, 4, 4))
             kf_ts = np.asarray([p.timestamp for p in self._keyframe_poses])
-            extra = {}
-            if self._loop_db:
-                # The place-recognition database travels with the map — it
-                # is what makes relocalize() work after load_map().
-                extra = {
-                    "db_desc": np.stack([e["desc"] for e in self._loop_db]),
-                    "db_valid": np.stack([e["valid"] for e in self._loop_db]),
-                    "db_lm_w": np.stack([e["lm_w"] for e in self._loop_db]),
-                    "db_poses": np.stack([e["world_t_body"] for e in self._loop_db]),
-                    "db_ts": np.asarray([e["ts"] for e in self._loop_db]),
-                }
+            # The place-recognition database travels with the map — it
+            # is what makes relocalize() work after load_map().
+            extra = self._loop.export_arrays()
             # Serialize in the MAP frame (keyframes/DB already are; the
             # live bank and pose lift through map<-odom) so a loaded map
             # is self-consistent regardless of this session's corrections.
@@ -1622,21 +1086,7 @@ class TpuSlamEngine(SlamEngine):
             for m, t in zip(data["keyframes"], data["keyframe_ts"])
         ]
         if "db_desc" in data:
-            self._loop_db = [
-                {
-                    "desc": data["db_desc"][i],
-                    "valid": data["db_valid"][i],
-                    "lm_w": data["db_lm_w"][i],
-                    "obs_px": np.zeros_like(data["db_lm_w"][i][:, :2]),
-                    "world_t_body": data["db_poses"][i],
-                    "ts": float(data["db_ts"][i]),
-                    "slot": i % self._loop_db_capacity,
-                }
-                for i in range(data["db_desc"].shape[0])
-            ]
-            self._kf_total = len(self._loop_db)
-            self._loop_pending = None
-            self._rebuild_dev_db()
+            self._loop.load_arrays(data)
         return True
 
     def save_state(self, path: str) -> bool:
@@ -1670,14 +1120,7 @@ class TpuSlamEngine(SlamEngine):
         if "map_t_odom" in data:
             self._map_t_odom = np.asarray(data["map_t_odom"], np.float64)
         # The restored state defines a fresh shadow/correction epoch.
-        self._fin_pose = None
-        self._fin_ts = None
-        self._fin_vel = np.zeros(3)
-        self._fin_ts_prev = None
-        self._fin_epoch = None
-        self._fin_epoch_prev = None
-        self._gravity_w = None
-        self._gravity_n = 0
+        self._imu.reset_shadow()
         self._ba_corr_total = np.eye(4)
         return True
 
@@ -1701,67 +1144,16 @@ class TpuSlamEngine(SlamEngine):
 
     def _attempt_relocalization(self, frame_set: SynchronizedFrameSet) -> bool:
         """One relocalization attempt against the loop DB. True on success."""
-        if not self._loop_db:
-            return False
         name = self._source_order[0]
         frames = frame_set.get_frames_for_source(name)
         if not frames:
             return False
         img = frames[0].image
-        img = jnp.asarray(
-            img.astype(np.float32) / 255.0 if img.dtype == np.uint8 else img
-        )
-        from thor_slam_tpu.ops import brief, fast
-        from thor_slam_tpu.ops.image import gaussian_blur
-
-        p = self._params
-        kp = fast.detect_keypoints(
-            img, threshold=p.fast_threshold, max_keypoints=p.max_keypoints,
-            cell_size=p.cell_size, per_cell=p.per_cell, border_margin=p.border_margin,
-        )
-        desc = brief.compute_descriptors(
-            gaussian_blur(img, 2.0, radius=4), kp.xy, kp.valid,
-            oriented=p.oriented_descriptors,
-        )
-
-        if self._dev_db_desc is None:
-            self._rebuild_dev_db()
-        mask = np.zeros(self._loop_db_capacity, np.float32)
-        for e in self._loop_db:
-            mask[e["slot"]] = 1.0
-        cand = loop.find_candidate(
-            desc.bits, desc.valid, self._dev_db_desc, self._dev_db_valid,
-            jnp.asarray(mask),
-        )
-        if int(cand.votes) < self._loop_min_votes:
-            return False
-        slot = int(cand.keyframe)
-        cand_e = next((e for e in self._loop_db if e["slot"] == slot), None)
-        if cand_e is None:
+        img = img.astype(np.float32) / 255.0 if img.dtype == np.uint8 else img
+        pose = self._loop.relocalize_attempt(img, self._params, self._frame_count)
+        if pose is None:
             return False
 
-        k0 = np.asarray(self._setup.k_left[0])
-        d0 = np.asarray(self._setup.dist_left[0])
-        xy = np.asarray(kp.xy)
-        xn = np.stack([(xy[:, 0] - k0[2]) / k0[0], (xy[:, 1] - k0[3]) / k0[1]], -1)
-        obs_norm = rectify.undistort_normalized(xn, d0).astype(np.float32)
-        ver = loop.verify_candidate(
-            jax.random.PRNGKey(self._frame_count),
-            jnp.asarray(cand_e["lm_w"], jnp.float32),
-            jnp.asarray(cand_e["valid"]),
-            jnp.asarray(cand_e["desc"]),
-            jnp.asarray(obs_norm),
-            desc.bits,
-            desc.valid,
-            jnp.asarray(self._setup.cam_r_body[0]),
-            jnp.asarray(self._setup.cam_t_body[0]),
-            jnp.asarray(np.linalg.inv(cand_e["world_t_body"]), jnp.float32),
-            min_inliers=self._loop_min_inliers,
-        )
-        if not bool(ver.accepted):
-            return False
-
-        pose = np.linalg.inv(np.asarray(ver.body_t_candidate, np.float64))
         # The recovered pose is MAP-frame; snapping the tracker to it
         # re-anchors the odom frame onto the map.
         self._map_t_odom = np.eye(4)
@@ -1777,23 +1169,12 @@ class TpuSlamEngine(SlamEngine):
                 self._params.restart_after_untracked, jnp.int32
             ),
         )
-        self._ba_ticks.clear()  # window poses are in the pre-reloc frame
+        self._ba.clear()  # window poses are in the pre-reloc frame
         # The pose shadow is pre-reloc too: invalidate it so IMU
         # prediction waits for the first post-reloc finalize, and restart
         # the BA correction epoch (no pending ticks — the caller drained).
-        self._fin_pose = None
-        self._fin_ts = None
-        self._fin_vel = np.zeros(3)
-        self._fin_ts_prev = None
-        self._fin_epoch = None
-        self._fin_epoch_prev = None
-        self._gravity_w = None
-        self._gravity_n = 0
+        self._imu.reset_shadow()
         self._ba_corr_total = np.eye(4)
-        logger.info(
-            "Relocalized against keyframe slot %d (votes=%d inliers=%d)",
-            slot, int(cand.votes), int(ver.num_inliers),
-        )
         return True
 
     # ------------------------------------------------------------ lifecycle
@@ -1803,26 +1184,12 @@ class TpuSlamEngine(SlamEngine):
             self._tracker_state = self._make_state()
         self._pending_q.clear()  # drop any in-flight pipelined ticks
         self._keyframe_poses = []
-        self._ba_ticks.clear()
-        self._loop_db = []
-        self._loops_closed = 0
-        self._loop_pending = None
-        self._kf_total = 0
-        self._dev_db_desc = None
-        self._dev_db_valid = None
+        self._ba.clear()
+        self._loop.reset()
+        self._imu.reset()
         self._want_reloc = False
         self._map_t_odom = np.eye(4)
         self._ba_corr_total = np.eye(4)
-        self._fin_pose = None
-        self._fin_ts = None
-        self._fin_vel = np.zeros(3)
-        self._fin_ts_prev = None
-        self._fin_epoch = None
-        self._fin_epoch_prev = None
-        self._gravity_w = None
-        self._gravity_n = 0
-        self._imu_ts, self._imu_gyro, self._imu_accel = [], [], []
-        self.imu_empty_windows = 0
         self._low_inlier_streak = 0
         self._last_timestamp = None
         self._frame_count = 0

@@ -246,6 +246,7 @@ def track_step(
     images: jnp.ndarray,
     pose_prediction: jnp.ndarray | None = None,
     cam_active: jnp.ndarray | None = None,
+    allow_refresh: bool = True,
 ) -> tuple[TrackerState, TrackOutput]:
     """One VO tick. Call under jit with ``params`` static.
 
@@ -253,7 +254,8 @@ def track_step(
         params: Static configuration.
         setup: Per-camera constants.
         state: Current tracker state.
-        images: (C, 2, H, W) float32 frames in [0, 1] (left, right).
+        images: (C, 2, H, W) float32 frames in [0, 1] (left, right) — or
+            (C, 1, H, W) left-only on LIGHT ticks (``allow_refresh=False``).
         pose_prediction: Optional (4, 4) world_T_body prediction (e.g. from
             IMU preintegration); defaults to a constant-velocity model.
         cam_active: Optional (C,) bool — cameras the rig watchdog considers
@@ -262,6 +264,15 @@ def track_step(
             PnP toward "no movement"; masking here removes them from the
             solve and from landmark refreshes. None means all active (and
             traces a mask-free graph — the common case pays nothing).
+        allow_refresh: STATIC. False = a LIGHT tick: the keyframe branch
+            (detect/describe/stereo/triangulate — the only consumer of the
+            right images) is not even traced, the bank persists, and the
+            tick consumes left images only. Non-keyframe ticks never touch
+            the right image, so the host can halve its per-tick upload
+            bytes by shipping (C, 1, H, W) on ticks it schedules as light —
+            the hot KLT/PnP path is bit-identical to a full tick that
+            chose not to refresh (the upload-bound deployment lever; see
+            ``TpuSlamEngine`` ``light_ticks``).
 
     Returns:
         (new_state, output).
@@ -273,7 +284,9 @@ def track_step(
     # here (the tick's matmuls are small); kernels that WANT bf16 for
     # throughput (SGM aggregation, Hamming matching) set it explicitly.
     with jax.default_matmul_precision("float32"):
-        return _track_step_f32(params, setup, state, images, pose_prediction, cam_active)
+        return _track_step_f32(
+            params, setup, state, images, pose_prediction, cam_active, allow_refresh
+        )
 
 
 def _track_step_f32(
@@ -283,6 +296,7 @@ def _track_step_f32(
     images: jnp.ndarray,
     pose_prediction: jnp.ndarray | None = None,
     cam_active: jnp.ndarray | None = None,
+    allow_refresh: bool = True,
 ) -> tuple[TrackerState, TrackOutput]:
     p = params
     # uint8 frames normalize ON DEVICE: the host ships 1/4 the bytes and
@@ -354,6 +368,7 @@ def _track_step_f32(
         key=key,
         cam_active=cam_active,
         covariance=result.covariance,
+        allow_refresh=allow_refresh,
     )
 
 
@@ -645,6 +660,7 @@ def _finish_step(
     id_advance: int | None = None,
     covariance: jnp.ndarray | None = None,
     keyframe_minter=None,
+    allow_refresh: bool = True,
 ) -> tuple[TrackerState, TrackOutput]:
     """Shared back half of a tick: acceptance, keyframing, state update.
 
@@ -686,6 +702,12 @@ def _finish_step(
     )
     restart = untracked_streak >= p.restart_after_untracked
     refresh = (state.frame_idx == 0) | (tracked & want_kf) | restart
+    if not allow_refresh:
+        # LIGHT tick: keyframing is host-scheduled onto full ticks; the
+        # restart counter keeps accumulating and trips at the next full
+        # tick (the engine force-schedules one under keyframe pressure).
+        refresh = jnp.asarray(False)
+        restart = jnp.asarray(False)
     untracked_streak = jnp.where(restart, 0, untracked_streak)
 
     c_, n_ = p.num_cams, p.max_keypoints
@@ -719,10 +741,18 @@ def _finish_step(
             hot.tracks_xy, state.lm_robs_px, state.lm_robs_valid, state.lm_id,
         )
 
-    (
-        lm_pos_w, lm_desc, lm_valid, lm_px, lm_obs_px,
-        lm_robs_px, lm_robs_valid, lm_id,
-    ) = jax.lax.cond(refresh, keyframe_branch, continue_branch, None)
+    if allow_refresh:
+        (
+            lm_pos_w, lm_desc, lm_valid, lm_px, lm_obs_px,
+            lm_robs_px, lm_robs_valid, lm_id,
+        ) = jax.lax.cond(refresh, keyframe_branch, continue_branch, None)
+    else:
+        # Statically no keyframe: the detect/describe/stereo front-end is
+        # never traced, so the right image is never consumed.
+        (
+            lm_pos_w, lm_desc, lm_valid, lm_px, lm_obs_px,
+            lm_robs_px, lm_robs_valid, lm_id,
+        ) = continue_branch(None)
 
     advance = c_ * n_ if id_advance is None else id_advance
     new_counter = jnp.where(
@@ -933,7 +963,13 @@ def _pack_returns(pack: bool | str, new_state: TrackerState, out: TrackOutput):
     return tuple(rets)
 
 
-def make_track_step(params: TrackerParams, setup: CameraSetup, donate: bool = False, pack: bool | str = False):
+def make_track_step(
+    params: TrackerParams,
+    setup: CameraSetup,
+    donate: bool = False,
+    pack: bool | str = False,
+    light: bool = False,
+):
     """Bind params/setup and return a jitted ``(state, images) -> (state, out)``.
 
     The camera setup is closed over as HOST (numpy) arrays, so it traces
@@ -959,13 +995,20 @@ def make_track_step(params: TrackerParams, setup: CameraSetup, donate: bool = Fa
             BA measurement stream); ``"kf"`` appends ``pack_kf_sig`` (the
             loop-closure keyframe signature); ``"ba+kf"`` appends both, in
             that order.
+        light: Build the LIGHT-tick variant: images are (C, 1, H, W)
+            left-only, keyframing statically disabled (see ``track_step``
+            ``allow_refresh``). Same state pytree and output layout, so
+            the engine interleaves light and full steps freely.
     """
     import numpy as np
 
     setup_host = jax.tree.map(np.asarray, setup)
 
     def _step(state: TrackerState, images: jnp.ndarray, pose_prediction=None, cam_active=None):
-        new_state, out = track_step(params, setup_host, state, images, pose_prediction, cam_active)
+        new_state, out = track_step(
+            params, setup_host, state, images, pose_prediction, cam_active,
+            allow_refresh=not light,
+        )
         return _pack_returns(pack, new_state, out)
 
     # Only the state donates: the uint8 images buffer converts to f32

@@ -85,6 +85,10 @@ class BackendConfig:
     pipeline_depth: int = 1
     #: SPMD: track over an N-device jax mesh (1 = single chip).
     devices: int = 1
+    #: Left-only uploads on ticks the host predicts won't keyframe (half
+    #: the steady-state upload bytes; see TpuSlamEngine.light_ticks).
+    #: None = engine auto (on for single-chip non-defer engines).
+    light_ticks: bool | None = None
     tracker: dict[str, Any] = field(default_factory=dict)
 
 
@@ -171,6 +175,11 @@ class RunConfig:
             pipelined=bool(backend_d.get("pipelined", True)),
             pipeline_depth=int(backend_d.get("pipeline_depth", 1)),
             devices=int(backend_d.get("devices", 1)),
+            light_ticks=(
+                None
+                if backend_d.get("light_ticks") is None
+                else bool(backend_d["light_ticks"])
+            ),
             tracker=dict(backend_d.get("tracker", {})),
         )
         syn_d = d.get("synthetic", {}) or {}
