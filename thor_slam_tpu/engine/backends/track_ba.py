@@ -52,18 +52,25 @@ class TrackBA:
         self._ticks: deque[dict] = deque(maxlen=window)
         self._cam_rot: np.ndarray | None = None
         self._cam_trans: np.ndarray | None = None
+        self._cam_weight: np.ndarray | None = None
         self._num_cams = 0
         self._apply = None
 
-    def bind(self, setup, num_cams: int) -> None:
+    def bind(self, setup, num_cams: int, mono_obs_weight: float = 0.25) -> None:
         """Bind per-camera constants and build the async write-back.
 
         The write-back lands corrections on the LIVE tracker state as a
         left-multiplied world-frame delta plus a by-id landmark scatter —
         dispatched, never synced (the delta transports through the
         relative motion of ticks dispatched since the window's last tick).
+        ``mono_obs_weight`` down-weights mono cameras' observations in the
+        window (same rationale as the PnP weight — tracker.TrackerParams.
+        mono_obs_weight).
         """
         self._num_cams = num_cams
+        self._cam_weight = np.where(
+            np.asarray(setup.stereo_mask, bool), 1.0, mono_obs_weight
+        ).astype(np.float32)
         # Camera axis of the BA problem is 2C: left imagers then right
         # imagers — the stereo constraint anchors scale inside the window.
         self._cam_rot = np.concatenate(
@@ -198,7 +205,7 @@ class TrackBA:
                 sel = hit[ci]
                 li = idx[ci, sel]
                 obs[ki, ci, li] = t["obs"][ci, sel]
-                mask[ki, ci, li] = 1.0
+                mask[ki, ci, li] = self._cam_weight[ci]
                 if t["refreshed"]:  # fresh stereo measurement only at mint
                     rsel = sel & t["robs_valid"][ci]
                     rli = idx[ci, rsel]

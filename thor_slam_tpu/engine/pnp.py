@@ -198,6 +198,7 @@ def ransac_pnp(
     hyp_iters: int = 5,
     refine_iters: int = 6,
     inlier_threshold: float = 0.012,
+    obs_weight: jnp.ndarray | None = None,
 ) -> PnPResult:
     """Batched-hypothesis robust PnP.
 
@@ -220,14 +221,25 @@ def ransac_pnp(
         refine_iters: GN iterations for the final polish (static).
         inlier_threshold: Normalized-coordinate inlier gate
             (0.012 ~ 6 px at fx=500).
+        obs_weight: Optional (N,) a-priori observation weights (inverse
+            relative variance). Weighted observations contribute
+            proportionally in the GN normal equations and covariance, and
+            are sampled into RANSAC hypotheses proportionally (a
+            log-weight shift of the Gumbel scores). Used for observation
+            classes with larger expected error — e.g. mono-camera
+            observations of stereo-triangulated landmarks, whose depth
+            error projects laterally into the mono view. None = uniform.
 
     Returns:
         A :class:`PnPResult`.
     """
     n = points_w.shape[0]
 
-    # Sample hypothesis subsets proportional to validity (gumbel top-k).
+    # Sample hypothesis subsets proportional to validity (gumbel top-k),
+    # biased by log-weight when observation weights are supplied.
     gumbel = -jnp.log(-jnp.log(jax.random.uniform(key, (num_hypotheses, n)) + 1e-12) + 1e-12)
+    if obs_weight is not None:
+        gumbel = gumbel + jnp.log(jnp.maximum(obs_weight, 1e-6))[None, :]
     scores = jnp.where(valid[None, :], gumbel, -jnp.inf)
     # top-k as S rounds of (argmax, mask): lax.top_k lowers to a full row
     # sort on TPU; S is tiny (6) so the iterative form is ~free.
@@ -249,6 +261,8 @@ def ransac_pnp(
     sub_rot = cam_rot[subset_idx]  # (H, S, 3, 3)
     sub_tr = cam_trans[subset_idx]  # (H, S, 3)
     sub_w = valid[subset_idx].astype(jnp.float32)  # (H, S)
+    if obs_weight is not None:
+        sub_w = sub_w * obs_weight[subset_idx]
 
     def solve_one(pts, ob, w, rot, tr):
         x, _ = gauss_newton_pnp(pts, ob, w, rot, tr, init_body_t_world, iters=hyp_iters)
@@ -268,10 +282,13 @@ def ransac_pnp(
     best_inliers = inlier_masks[best]
 
     # Final polish on the winning inlier set.
+    polish_w = best_inliers.astype(jnp.float32)
+    if obs_weight is not None:
+        polish_w = polish_w * obs_weight
     refined, r_norm = gauss_newton_pnp(
         points_w,
         obs,
-        best_inliers.astype(jnp.float32),
+        polish_w,
         cam_rot,
         cam_trans,
         best_pose,
@@ -286,9 +303,10 @@ def ransac_pnp(
     use_refined = jnp.sum(final_inliers) >= jnp.sum(best_inliers) // 2
     pose_out = jnp.where(use_refined, refined, best_pose)
     inl_out = jnp.where(use_refined, final_inliers, best_inliers)
-    cov = pose_covariance(
-        pose_out, points_w, obs, inl_out.astype(jnp.float32), cam_rot, cam_trans
-    )
+    cov_w = inl_out.astype(jnp.float32)
+    if obs_weight is not None:
+        cov_w = cov_w * obs_weight
+    cov = pose_covariance(pose_out, points_w, obs, cov_w, cam_rot, cam_trans)
     return PnPResult(
         body_t_world=pose_out,
         inliers=inl_out,

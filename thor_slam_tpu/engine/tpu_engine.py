@@ -135,6 +135,14 @@ class TpuSlamEngine(SlamEngine):
         light_max_interval: Schedule a full tick at least every N ticks
             (bounds keyframe delay when the pressure heuristic lags the
             pipeline depth).
+        auto_relocalize: When a LOADED map's place database is present and
+            the state machine reaches LOST, arm relocalization
+            automatically (the cuVSLAM contract: relocalize against the
+            map without operator action — reference interface.py:248-256).
+            Manual :meth:`relocalize` remains available as an override.
+            Sessions WITHOUT a loaded map keep the VO-restart behavior on
+            LOST (drift is later corrected by loop closure) — their own
+            place DB is the loop-closure working set, not a reference map.
     """
 
     def __init__(
@@ -164,6 +172,7 @@ class TpuSlamEngine(SlamEngine):
         devices: int | None = None,
         light_ticks: bool | None = None,
         light_max_interval: int = 4,
+        auto_relocalize: bool = True,
     ) -> None:
         self._param_overrides = dict(params or {})
         self._devices = int(devices or 1)
@@ -223,6 +232,8 @@ class TpuSlamEngine(SlamEngine):
             noise_gate_sigma=loop_noise_gate_sigma,
         )
         self._want_reloc = False
+        self._auto_reloc = bool(auto_relocalize)
+        self._map_loaded = False
         self._light_requested = light_ticks
         self._light = False  # resolved at initialize()
         self._light_max_interval = max(1, int(light_max_interval))
@@ -307,10 +318,17 @@ class TpuSlamEngine(SlamEngine):
                         lever * 100.0,
                     )
 
+        has_mono = not bool(np.asarray(setup.stereo_mask).all())
+        if has_mono and self._devices > 1:
+            raise RuntimeError(
+                "mono sources are not supported under SPMD (devices > 1): "
+                "cross-camera landmark seeding needs the full keyframe bank"
+            )
         self._params = trk.TrackerParams(
             num_cams=len(self._source_order),
             height=height,
             width=width,
+            has_mono=has_mono,
             **self._param_overrides,
         )
         # donate: stream ticks reuse state buffers in place (per-tick churn
@@ -385,7 +403,7 @@ class TpuSlamEngine(SlamEngine):
             # scatter — dispatched, never synced, so it is legal at any
             # pipeline depth (the delta transports through the relative
             # motion of ticks dispatched since the window's last tick).
-            self._ba.bind(setup, c_)
+            self._ba.bind(setup, c_, mono_obs_weight=self._params.mono_obs_weight)
         self._loop.bind(setup, self._params.max_keypoints)
         self._pending_q.clear()
         if self._pipelined:
@@ -693,15 +711,13 @@ class TpuSlamEngine(SlamEngine):
         # expressed in the device's dispatch-time frame, same as the raw
         # solved pose (both sides of the comparison pre-correction).
         pred = pending.get("pred")
-        pred_err = (
-            None
-            if pred is None
-            else float(
+        pred_err = None
+        if pred is not None:
+            pred_err = float(
                 np.linalg.norm(
                     np.asarray(pred, np.float64)[:3, 3] - world_t_body[:3, 3]
                 )
             )
-        )
 
         # Corrections the device had NOT yet seen when this tick was
         # dispatched (BA deltas applied to the live state after it):
@@ -770,6 +786,11 @@ class TpuSlamEngine(SlamEngine):
                 self._state_enum = TrackingState.RELOCALIZING
             elif self._low_inlier_streak >= self._lost_after:
                 self._state_enum = TrackingState.LOST
+                if self._auto_reloc and self._map_loaded and self._loop.db:
+                    # Auto-relocalize against the LOADED map (the cuVSLAM
+                    # contract — no operator action). Attempts run on each
+                    # subsequent dispatch until one verifies.
+                    self._want_reloc = True
 
         if self._enable_ba:
             tracked_now = num_inliers >= min_inl and self._frame_count > 1
@@ -891,9 +912,11 @@ class TpuSlamEngine(SlamEngine):
             if fs is None:
                 flat.extend([self._zero_img] * per)
             else:
-                flat.extend(
-                    np.ascontiguousarray(f.image) for f in fs.frames[:per]
-                )
+                imgs = [np.ascontiguousarray(f.image) for f in fs.frames[:per]]
+                # A mono source delivers one frame; its right slot ships a
+                # zero fill (stereo products are masked off for it anyway).
+                imgs.extend([self._zero_img] * (per - len(imgs)))
+                flat.extend(imgs)
         if any(im.dtype != flat[0].dtype for im in flat):
             flat = [np.asarray(im, np.float32) for im in flat]
         return flat
@@ -1087,6 +1110,7 @@ class TpuSlamEngine(SlamEngine):
         ]
         if "db_desc" in data:
             self._loop.load_arrays(data)
+            self._map_loaded = True  # enables auto-relocalize on LOST
         return True
 
     def save_state(self, path: str) -> bool:
@@ -1188,6 +1212,7 @@ class TpuSlamEngine(SlamEngine):
         self._loop.reset()
         self._imu.reset()
         self._want_reloc = False
+        self._map_loaded = False
         self._map_t_odom = np.eye(4)
         self._ba_corr_total = np.eye(4)
         self._low_inlier_streak = 0

@@ -62,6 +62,23 @@ class TrackerParams:
     min_track_inliers: int = 12
     restart_after_untracked: int = 5  # lost streak before VO restarts
     oriented_descriptors: bool = False  # upright BRIEF: precise, VO-friendly
+    # Mono-camera support (reference accepts non-stereo sources: its
+    # num_cameras counts 2 per stereo + 1 per mono, ref run_slam.py:112-114
+    # and the mono capture path luxonis.py:551-568). Mono cameras never
+    # triangulate; at keyframes their detections SEED from landmarks the
+    # stereo cameras just minted (projection + descriptor gate) and then
+    # contribute KLT observations + PnP constraints like any other camera.
+    has_mono: bool = False  # static: traces the seeding block only if set
+    mono_seed_radius_px: float = 3.0
+    mono_seed_max_hamming: float = 64.0
+    # PnP weight of mono observations. Seeded landmarks carry the source
+    # stereo camera's triangulation DEPTH error; viewed from the mono
+    # camera's different vantage that error projects laterally (it is
+    # along-ray, hence ~invisible, in the source camera) — mono residuals
+    # have several times the stereo observation variance and must not be
+    # equal-weighted (measured: equal weighting made the mono camera
+    # net-negative on the mixed-rig orbit).
+    mono_obs_weight: float = 0.25
 
 
 class CameraSetup(NamedTuple):
@@ -86,6 +103,10 @@ class CameraSetup(NamedTuple):
         cam_r_body_right/cam_t_body_right: body -> raw-RIGHT-cam transforms
             (the BA backend keeps the stereo constraint by including right-
             camera observations).
+        stereo_mask: (C,) bool — True for stereo sources. Mono sources
+            carry duplicated left geometry in the right-imager fields and
+            a placeholder baseline; every stereo product (triangulation,
+            right observations) is masked off for them.
     """
 
     k_left: jnp.ndarray
@@ -101,6 +122,7 @@ class CameraSetup(NamedTuple):
     body_t_cam: jnp.ndarray
     cam_r_body_right: jnp.ndarray
     cam_t_body_right: jnp.ndarray
+    stereo_mask: jnp.ndarray
 
 
 class TrackerState(NamedTuple):
@@ -339,6 +361,12 @@ def _track_step_f32(
     flat_valid = hot.corr_valid.reshape(c * n)
     flat_rot = jnp.repeat(setup.cam_r_body, n, axis=0)  # (C*N, 3, 3)
     flat_trans = jnp.repeat(setup.cam_t_body, n, axis=0)
+    obs_weight = None
+    if p.has_mono:
+        # Down-weight mono observations (see mono_obs_weight).
+        obs_weight = jnp.repeat(
+            jnp.where(setup.stereo_mask, 1.0, p.mono_obs_weight), n
+        )
 
     # ------------------------------------------------------------------ 7
     key, subkey = jax.random.split(state.key)
@@ -356,6 +384,7 @@ def _track_step_f32(
         num_hypotheses=p.ransac_hypotheses,
         sample_size=p.ransac_sample_size,
         inlier_threshold=inlier_threshold,
+        obs_weight=obs_weight,
     )
 
     return _finish_step(
@@ -546,7 +575,10 @@ def run_keyframe_frontend(
             min_disparity=p.min_disparity, max_depth_m=p.max_depth_m,
         )
     )(rect_xy_l, disp, setup.k_rect, setup.baseline)
-    tri_valid = tri_valid & disp_valid & kp_l.valid
+    # Mono sources have no stereo geometry: their "right" image is a zero
+    # fill and the duplicated-left calibration is a placeholder — nothing
+    # they triangulate is real.
+    tri_valid = tri_valid & disp_valid & kp_l.valid & setup.stereo_mask[:, None]
     # Rectified-frame points -> raw left camera frame: p_cam = R_rect^T p_rect.
     pts_cam = jnp.einsum("cji,cnj->cni", setup.rect_left, pts_rect)
 
@@ -623,6 +655,58 @@ def mint_bank(
 
     inherited_id = jnp.take_along_axis(cand_id, nearest, axis=1)
     lm_id = jnp.where(inherits, inherited_id, fresh_ids)
+
+    if p.has_mono:
+        # Cross-camera seeding: a mono camera cannot triangulate, so its
+        # fresh detections inherit landmarks the STEREO cameras just
+        # minted this keyframe — project every stereo-slot landmark into
+        # the mono camera, match detections by proximity + descriptor
+        # Hamming gate, and adopt the landmark's position AND id (the
+        # shared id joins the two cameras' observations of the same point
+        # in the BA window). Requires view overlap with a stereo camera;
+        # the seeded landmark then persists via normal KLT tracking and
+        # keyframe inheritance like any other.
+        stereo = setup.stereo_mask
+        src_valid = (lm_valid & stereo[:, None]).reshape(-1)  # post-inherit
+        src_pts = lm_pos.reshape(-1, 3)
+        src_desc = kf.desc_bits.reshape(-1, 8)
+        src_ids = lm_id.reshape(-1)
+        r_bw = world_t_body[:3, :3].T
+        t_bw = -r_bw @ world_t_body[:3, 3]
+        cam_r_w = jnp.einsum("cij,jk->cik", setup.cam_r_body, r_bw)
+        cam_t_w = (
+            jnp.einsum("cij,j->ci", setup.cam_r_body, t_bw) + setup.cam_t_body
+        )
+        p_cam = (
+            jnp.einsum("cij,nj->cni", cam_r_w, src_pts) + cam_t_w[:, None, :]
+        )  # (C, C*N, 3)
+        uv, in_front = jax.vmap(calib.cam_points_to_raw_pixels)(
+            p_cam, setup.k_left, setup.dist_left
+        )
+        sd2 = jnp.sum(
+            (kf.kp_xy[:, :, None, :] - uv[:, None, :, :]) ** 2, axis=-1
+        )  # (C, N_kf, C*N)
+        # Mutual-NN + ratio descriptor matching inside the projection
+        # gate — NOT nearest-projection: corners cluster, so a wrong
+        # neighbor within the gate radius would pass the PnP inlier
+        # threshold too and bias every subsequent solve (measured: naive
+        # nearest-projection seeding made the mono camera NET-NEGATIVE).
+        allowed = (
+            src_valid[None, None, :]
+            & in_front[:, None, :]
+            & (sd2 <= p.mono_seed_radius_px**2)
+        )
+        seeds = jax.vmap(
+            lambda da, va, g: match.match_descriptors(
+                da, va, src_desc, src_valid,
+                max_distance=p.mono_seed_max_hamming, ratio=0.9, allowed=g,
+            )
+        )(kf.desc_bits, kf.kp_valid, allowed)
+        take = (~stereo)[:, None] & seeds.valid & ~inherits
+        lm_pos = jnp.where(take[..., None], src_pts[seeds.idx], lm_pos)
+        lm_id = jnp.where(take, src_ids[seeds.idx], lm_id)
+        lm_valid = lm_valid | take
+
     # BA observation: inherited landmarks keep their subpixel tracked
     # position (consistent with their 3D point); fresh ones the detection.
     inherited_track = jnp.take_along_axis(cand_tracks_xy, nearest[..., None], axis=1)
