@@ -36,6 +36,17 @@ def main() -> int:
              "frame 359, exercising loop closure in the ATE number.",
     )
     parser.add_argument("--radius", type=float, default=1.8)
+    # Robustness nuisances (accuracy ablations — BASELINE.md table).
+    parser.add_argument("--exposure-drift", type=float, default=0.0,
+                        help="Sinusoidal gain amplitude (e.g. 0.3)")
+    parser.add_argument("--noise-std", type=float, default=0.0,
+                        help="Gaussian intensity noise std (0-255 scale)")
+    parser.add_argument("--salt-prob", type=float, default=0.0,
+                        help="Per-pixel salt&pepper probability")
+    parser.add_argument("--motion-blur", type=float, default=0.0,
+                        help="Horizontal blur px per rad/s of yaw rate")
+    parser.add_argument("--gyro-bias", type=float, default=0.0,
+                        help="Injected constant gyro bias (rad/s, z axis)")
     args = parser.parse_args()
 
     from thor_slam_tpu import geometry
@@ -49,6 +60,11 @@ def main() -> int:
     spec = SyntheticRigSpec(
         num_sources=1, stereo=True, width=args.width, height=args.height,
         baseline_m=0.11, fps=args.fps, imu_rate_hz=200.0,
+        exposure_drift=args.exposure_drift,
+        noise_std=args.noise_std,
+        salt_prob=args.salt_prob,
+        motion_blur_px_per_rad_s=args.motion_blur,
+        imu_gyro_bias=(0.0, 0.0, args.gyro_bias),
     )
     world = SyntheticWorld(half_extents=(5.0, 5.0, 2.5))
     traj = OrbitTrajectory(radius=args.radius, angular_rate=args.trajectory_rate)

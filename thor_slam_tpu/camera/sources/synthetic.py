@@ -278,6 +278,25 @@ class SyntheticRigSpec:
     # from the left imager in the optical frame, with its own resolution.
     color_camera: bool = False
     color_resolution: tuple[int, int] | None = None
+    # --- Robustness nuisances (all deterministic per frame index) -------
+    # Sensor non-idealities for accuracy ablations: the benchmark ATE
+    # table should degrade gracefully under each (BASELINE.md), not only
+    # on the clean renderer the package itself produced.
+    #: Sinusoidal exposure/gain drift amplitude (fraction of nominal;
+    #: e.g. 0.3 swings brightness between 0.7x and 1.3x).
+    exposure_drift: float = 0.0
+    exposure_period_s: float = 4.0
+    #: Additive Gaussian intensity noise std on the 0-255 scale.
+    noise_std: float = 0.0
+    #: Per-pixel salt-and-pepper probability (half white, half black).
+    salt_prob: float = 0.0
+    #: Motion blur: horizontal box-blur length = this many pixels per
+    #: rad/s of body yaw rate (approximates rotational smear over the
+    #: exposure; 0 disables).
+    motion_blur_px_per_rad_s: float = 0.0
+    #: Constant gyro bias injected into emitted IMU samples (rad/s, IMU
+    #: frame) — the bias-estimation benchmark fixture.
+    imu_gyro_bias: tuple[float, float, float] = (0.0, 0.0, 0.0)
     color_offset_m: tuple[float, float, float] = (0.0375, -0.002, 0.0)
 
 
@@ -441,10 +460,65 @@ class SyntheticCameraSource(CameraSource):
         )
 
     def render_frame(self, n: int, cam_idx: int) -> np.ndarray:
-        """Deterministically render frame ``n`` for one imager as uint8."""
+        """Deterministically render frame ``n`` for one imager as uint8.
+
+        Applies the spec's nuisance chain (motion blur -> exposure drift
+        -> Gaussian noise -> salt & pepper) with a per-(frame, imager)
+        seeded RNG, so sequences are bit-reproducible.
+        """
         t = self.frame_time(n)
-        img = self._world.render(self._intr, self.world_t_optical(t, cam_idx))
-        return (np.asarray(img) * 255.0).astype(np.uint8)
+        arr = np.asarray(
+            self._world.render(self._intr, self.world_t_optical(t, cam_idx)),
+            np.float32,
+        )
+        spec = self._spec
+        if spec.motion_blur_px_per_rad_s > 0.0:
+            # Yaw rate from the trajectory (finite difference); dominant
+            # image motion for a yawing rig is horizontal smear.
+            dt = 0.005
+            r0 = self._traj.pose(t - dt)[:3, :3]
+            r1 = self._traj.pose(t + dt)[:3, :3]
+            rel = r0.T @ r1
+            ang = float(
+                np.arccos(np.clip(0.5 * (np.trace(rel) - 1.0), -1.0, 1.0))
+            ) / (2 * dt)
+            taps = int(np.clip(round(spec.motion_blur_px_per_rad_s * ang), 1, 15))
+            if taps > 1:
+                kern = np.ones(taps, np.float32) / taps
+                pad = taps // 2
+                padded = np.pad(arr, ((0, 0), (pad, taps - 1 - pad)), mode="edge")
+                # Horizontal box filter via cumulative sum (vectorized).
+                cs = np.cumsum(padded, axis=1, dtype=np.float64)
+                cs = np.concatenate([np.zeros((arr.shape[0], 1)), cs], axis=1)
+                arr = ((cs[:, taps:] - cs[:, :-taps]) / taps).astype(np.float32)
+                del kern
+        if spec.exposure_drift > 0.0:
+            gain = 1.0 + spec.exposure_drift * np.sin(
+                2.0 * np.pi * t / spec.exposure_period_s
+            )
+            arr = arr * np.float32(gain)
+        if spec.noise_std > 0.0 or spec.salt_prob > 0.0:
+            import zlib
+
+            # Stable seed (Python's str hash is salted per process).
+            rng = np.random.default_rng(
+                (
+                    zlib.crc32(self._name.encode())
+                    + 1000003 * int(n)
+                    + 7919 * int(cam_idx)
+                    + spec.seed
+                )
+                & 0x7FFFFFFF
+            )
+            if spec.noise_std > 0.0:
+                arr = arr + rng.normal(
+                    0.0, spec.noise_std / 255.0, arr.shape
+                ).astype(np.float32)
+            if spec.salt_prob > 0.0:
+                u = rng.random(arr.shape)
+                arr = np.where(u < 0.5 * spec.salt_prob, 0.0, arr)
+                arr = np.where(u > 1.0 - 0.5 * spec.salt_prob, 1.0, arr)
+        return np.clip(arr * 255.0, 0.0, 255.0).astype(np.uint8)
 
     def _make_frames(self, n: int) -> list[CameraFrame]:
         t = self.frame_time(n)
@@ -498,9 +572,10 @@ class SyntheticCameraSource(CameraSource):
         ts = ticks / self._spec.imu_rate_hz + self._imu_clock_offset
         true_ts = ticks / self._spec.imu_rate_hz + self._clock_offset
         gyros, accels = [], []
+        bias = np.asarray(self._spec.imu_gyro_bias, np.float64)
         for t in true_ts:
             g, a = self._traj.imu_sample(float(t))
-            gyros.append(g)
+            gyros.append(g + bias)  # sensor-bias fault knob (spec)
             accels.append(a)
         data = {
             "accelerometer": np.stack(accels),

@@ -55,10 +55,15 @@ class ImuFusion:
         # the first observation.
         self.gravity_w: np.ndarray | None = None
         self.gravity_n = 0
-        # Finalized-pose shadow (see module docstring).
+        # Finalized-pose shadow (see module docstring). ``fin_vel`` is the
+        # INSTANTANEOUS velocity estimate at fin_ts (what the prediction's
+        # constant-velocity term wants); ``_fin_vel_avg`` the previous
+        # window's AVERAGE velocity (what the gravity double-difference
+        # derivation is written in terms of).
         self.fin_pose: np.ndarray | None = None
         self.fin_ts: float | None = None
         self.fin_vel = np.zeros(3)
+        self._fin_vel_avg = np.zeros(3)
         #: Timestamp of the finalized pose BEFORE the last one (None until
         #: two windows exist) — the gravity observation differentiates the
         #: average velocities of two consecutive finalized windows.
@@ -91,6 +96,7 @@ class ImuFusion:
         self.fin_pose = None
         self.fin_ts = None
         self.fin_vel = np.zeros(3)
+        self._fin_vel_avg = np.zeros(3)
         self.fin_ts_prev = None
         self._fin_epoch = None
         self._fin_epoch_prev = None
@@ -157,17 +163,39 @@ class ImuFusion:
                 across finalizes; see ``_fin_epoch`` above).
         """
         if self.fin_ts is not None and ts > self.fin_ts:
-            v_new = (world_t_body[:3, 3] - self.fin_pose[:3, 3]) / (ts - self.fin_ts)
+            dt = ts - self.fin_ts
+            v_avg = (world_t_body[:3, 3] - self.fin_pose[:3, 3]) / dt
             if (
                 self.use_accel
                 and self.fin_ts_prev is not None
                 and tracked
                 and self._fin_epoch_prev is epoch
             ):
-                self._observe_gravity(v_new, ts)
+                self._observe_gravity(v_avg, ts)
+            # Half-step propagation: v_avg lags the instantaneous v(ts)
+            # by ~a*dt/2 (under constant acceleration v(ts) = v_avg +
+            # 0.5*a*dt with a*dt = g*dt + R0*delta_v); without it the
+            # Forster term cancels only about half the constant-velocity
+            # prediction error. Engaged with the accel term (needs the
+            # gravity estimate); v_avg otherwise.
+            v_inst = v_avg
+            if self.accel_pred_active():
+                from thor_slam_tpu.engine import imu as imu_mod
+
+                g_, a_, d_, m_ = imu_mod.pack_imu_window(
+                    self._ts, self._gyro, self._accel,
+                    t_start=self.fin_ts, t_end=ts, capacity=self._pred_capacity,
+                )
+                if m_.sum() >= 1:
+                    pre = imu_mod.preintegrate_fast_np(g_, a_, d_, m_)
+                    v_inst = v_avg + 0.5 * (
+                        self.gravity_w * dt
+                        + self.fin_pose[:3, :3] @ (self.body_r_imu @ pre.delta_v)
+                    )
             self.fin_ts_prev = self.fin_ts
             self._fin_epoch_prev = self._fin_epoch
-            self.fin_vel = v_new
+            self.fin_vel = v_inst
+            self._fin_vel_avg = v_avg
         self.fin_pose = world_t_body
         self.fin_ts = ts
         self._fin_epoch = epoch
@@ -251,14 +279,11 @@ class ImuFusion:
         the cuVSLAM IMU-fusion role (reference
         launch/thor_visual_slam.launch.py:80-104).
 
-        Known half-step bias: ``fin_vel`` is the PREVIOUS interval's
-        average velocity, which lags the instantaneous v(fin_ts) by
-        ~a*dt/2; under constant acceleration the Forster term then cancels
-        about half the constant-velocity error rather than all of it. The
-        residual (~a*dt^2/2, sub-millimeter at 30 fps and 1 m/s^2) is well
-        inside KLT's convergence basin, which is all this prediction
-        feeds; propagating the velocity to the window start would couple
-        the gravity EMA's noise into every tick for no measured ATE gain.
+        ``fin_vel`` is the finalized-window average velocity propagated
+        to the window end by the half-step correction in
+        :meth:`on_finalized` (once the accel term is active), so the
+        constant-velocity term extrapolates from the INSTANTANEOUS
+        velocity rather than one lagging by ~a*dt/2.
         """
         if self.fin_ts is None or len(self._ts) < 2:
             return None
