@@ -77,6 +77,7 @@ def run(
         pipeline_depth=cfg.backend.pipeline_depth,
         devices=cfg.backend.devices,
         light_ticks=cfg.backend.light_ticks,
+        imu_noise=cfg.backend.imu_noise,
     )
     rig = CameraRig(
         sources,

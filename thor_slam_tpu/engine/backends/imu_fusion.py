@@ -20,9 +20,39 @@ import numpy as np
 
 logger = logging.getLogger(__name__)
 
+#: Gravity-filter process noise for odom-frame attitude drift,
+#: (m/s^2)^2 per second. VO yaw/pitch drift slowly rotates the odom frame
+#: the gravity vector is expressed in, so the filter must keep a gain
+#: floor; this value reproduces the empirically tuned round-3 EMA floor
+#: (alpha 0.005/window at the flagship 30 fps / 2 mm solve-noise point:
+#: alpha_ss = sqrt(Q dt / R) with R = 4 sigma_p^2/dt^4 ~ 13 (m/s^2)^2
+#: => Q = alpha_ss^2 R / dt ~ 1e-2).
+GRAVITY_DRIFT_Q = 9.8e-3
+
+
+def _rot_log_np(r: np.ndarray) -> np.ndarray:
+    """SO(3) log map (numpy): rotation matrix -> axis-angle vector."""
+    from thor_slam_tpu import geometry
+
+    q = geometry.matrix_to_quat(np.asarray(r, np.float64))
+    if q[3] < 0.0:
+        q = -q
+    s = float(np.linalg.norm(q[:3]))
+    if s < 1e-12:
+        return np.zeros(3)
+    return q[:3] * (2.0 * np.arctan2(s, float(q[3])) / s)
+
 
 class ImuFusion:
-    """IMU ingest + online gravity + preintegrated pose prediction.
+    """IMU ingest + online gravity/bias estimation + pose prediction.
+
+    The noise model is the reference's measured OAK-D Pro densities
+    (reference launch/thor_visual_slam.launch.py:82-104, re-exported as
+    the ``engine.imu`` module constants): the gyro noise density and
+    random walk set the gyro-bias Kalman gain, the accel noise density
+    and random walk set the gravity filter gain, and the densities
+    propagate the held-pose covariance over untracked windows
+    (:meth:`window_covariance`).
 
     Args:
         body_r_imu: (3, 3) rotation IMU -> body frame.
@@ -32,6 +62,18 @@ class ImuFusion:
             term engages (constant-velocity fallback until then).
         capacity: Raw-sample ring length.
         pred_capacity: Fixed preintegration-window size (samples).
+        gyro_noise_density: rad/s/sqrt(Hz); None = the declared default.
+        gyro_random_walk: rad/s^2/sqrt(Hz); None = the declared default.
+        accel_noise_density: m/s^2/sqrt(Hz); None = the declared default.
+        accel_random_walk: m/s^3/sqrt(Hz); None = the declared default.
+        vis_rot_sigma: Per-solve visual rotation error std (rad) — the
+            other noise source in the bias observation.
+        vis_pos_sigma: Per-solve visual position error std (m) — enters
+            the gravity observation's double-differencing variance.
+        estimate_gyro_bias: Estimate the gyro bias online from
+            visual-vs-gyro window rotation residuals (Kalman; consumed by
+            every host preintegration). Off = zero bias, the round-3
+            behavior.
     """
 
     def __init__(
@@ -41,19 +83,60 @@ class ImuFusion:
         gravity_min_ticks: int = 30,
         capacity: int = 256,
         pred_capacity: int = 64,
+        gyro_noise_density: float | None = None,
+        gyro_random_walk: float | None = None,
+        accel_noise_density: float | None = None,
+        accel_random_walk: float | None = None,
+        vis_rot_sigma: float = 5e-4,
+        vis_pos_sigma: float = 2e-3,
+        estimate_gyro_bias: bool = True,
     ) -> None:
+        from thor_slam_tpu.engine import imu as imu_mod
+
         self.body_r_imu = np.eye(3) if body_r_imu is None else np.asarray(body_r_imu, np.float64)
         self.use_accel = use_accel
         self._gravity_min_ticks = int(gravity_min_ticks)
         self._capacity = capacity
         self._pred_capacity = pred_capacity
+        self.gyro_nd = (
+            imu_mod.GYRO_NOISE_DENSITY if gyro_noise_density is None else float(gyro_noise_density)
+        )
+        self.gyro_rw = (
+            imu_mod.GYRO_RANDOM_WALK if gyro_random_walk is None else float(gyro_random_walk)
+        )
+        self.accel_nd = (
+            imu_mod.ACCEL_NOISE_DENSITY
+            if accel_noise_density is None
+            else float(accel_noise_density)
+        )
+        self.accel_rw = (
+            imu_mod.ACCEL_RANDOM_WALK if accel_random_walk is None else float(accel_random_walk)
+        )
+        self.vis_rot_sigma = float(vis_rot_sigma)
+        self.vis_pos_sigma = float(vis_pos_sigma)
+        self.estimate_gyro_bias = bool(estimate_gyro_bias)
         self._ts: list[float] = []
         self._gyro: list[np.ndarray] = []
         self._accel: list[np.ndarray] = []
-        # Online gravity estimate in the ODOM frame (EMA over per-tick
-        # observations g = a_w - R f; see _observe_gravity). None until
-        # the first observation.
+        #: Online gyro-bias estimate (IMU frame, rad/s) and its per-axis
+        #: variance. Scalar isotropic Kalman: each tracked window yields a
+        #: bias observation b = Log(dR_vis^T dR_gyro)/tau whose variance
+        #: is 2 (vis_rot_sigma/tau)^2 (two solved endpoint rotations) +
+        #: gyro_nd^2/tau (integrated white noise); the state random-walks
+        #: at gyro_rw^2 tau per window. Prior: (0.02 rad/s)^2, a typical
+        #: MEMS turn-on bias.
+        self.gyro_bias = np.zeros(3)
+        self.bias_p = 4e-4
+        # Online gravity estimate in the ODOM frame (scalar Kalman over
+        # per-tick observations g = a_w - R f; see _observe_gravity).
+        # None until the first observation.
         self.gravity_w: np.ndarray | None = None
+        #: Gravity-estimate per-axis variance ((m/s^2)^2). Prior is huge
+        #: (first observation is adopted outright); the process noise per
+        #: window is the accel-bias random walk (the estimate absorbs the
+        #: accel bias) plus GRAVITY_DRIFT_Q for odom-frame attitude drift
+        #: — the term that keeps the steady-state gain from freezing.
+        self.grav_p = 1e4
         self.gravity_n = 0
         # Finalized-pose shadow (see module docstring). ``fin_vel`` is the
         # INSTANTANEOUS velocity estimate at fin_ts (what the prediction's
@@ -82,10 +165,13 @@ class ImuFusion:
         self.empty_windows = 0
 
     def reset(self) -> None:
-        """Drop samples, the gravity estimate, and the pose shadow."""
+        """Drop samples, the gravity/bias estimates, and the pose shadow."""
         self._ts, self._gyro, self._accel = [], [], []
         self.gravity_w = None
+        self.grav_p = 1e4
         self.gravity_n = 0
+        self.gyro_bias = np.zeros(3)
+        self.bias_p = 4e-4
         self.empty_windows = 0
         self.reset_shadow()
 
@@ -100,7 +186,10 @@ class ImuFusion:
         self.fin_ts_prev = None
         self._fin_epoch = None
         self._fin_epoch_prev = None
+        # The odom frame moved: gravity (expressed in it) restarts. The
+        # gyro bias is an IMU-frame quantity and survives.
         self.gravity_w = None
+        self.grav_p = 1e4
         self.gravity_n = 0
 
     # --------------------------------------------------------- ingest
@@ -163,8 +252,21 @@ class ImuFusion:
                 across finalizes; see ``_fin_epoch`` above).
         """
         if self.fin_ts is not None and ts > self.fin_ts:
+            from thor_slam_tpu.engine import imu as imu_mod
+
             dt = ts - self.fin_ts
             v_avg = (world_t_body[:3, 3] - self.fin_pose[:3, 3]) / dt
+            g_, a_, d_, m_ = imu_mod.pack_imu_window(
+                self._ts, self._gyro, self._accel,
+                t_start=self.fin_ts, t_end=ts, capacity=self._pred_capacity,
+            )
+            if (
+                self.estimate_gyro_bias
+                and tracked
+                and self._fin_epoch is epoch
+                and m_.sum() >= 3
+            ):
+                self._observe_gyro_bias(world_t_body, g_, d_, m_, dt)
             if (
                 self.use_accel
                 and self.fin_ts_prev is not None
@@ -179,19 +281,14 @@ class ImuFusion:
             # prediction error. Engaged with the accel term (needs the
             # gravity estimate); v_avg otherwise.
             v_inst = v_avg
-            if self.accel_pred_active():
-                from thor_slam_tpu.engine import imu as imu_mod
-
-                g_, a_, d_, m_ = imu_mod.pack_imu_window(
-                    self._ts, self._gyro, self._accel,
-                    t_start=self.fin_ts, t_end=ts, capacity=self._pred_capacity,
+            if self.accel_pred_active() and m_.sum() >= 1:
+                pre = imu_mod.preintegrate_fast_np(
+                    g_, a_, d_, m_, gyro_bias=self.gyro_bias
                 )
-                if m_.sum() >= 1:
-                    pre = imu_mod.preintegrate_fast_np(g_, a_, d_, m_)
-                    v_inst = v_avg + 0.5 * (
-                        self.gravity_w * dt
-                        + self.fin_pose[:3, :3] @ (self.body_r_imu @ pre.delta_v)
-                    )
+                v_inst = v_avg + 0.5 * (
+                    self.gravity_w * dt
+                    + self.fin_pose[:3, :3] @ (self.body_r_imu @ pre.delta_v)
+                )
             self.fin_ts_prev = self.fin_ts
             self._fin_epoch_prev = self._fin_epoch
             self.fin_vel = v_inst
@@ -213,10 +310,54 @@ class ImuFusion:
         self._fin_epoch = epoch
         self.fin_vel = t_corr[:3, :3] @ self.fin_vel
 
+    # ---------------------------------------------------- gyro bias
+
+    def _observe_gyro_bias(
+        self,
+        world_t_body: np.ndarray,
+        g_: np.ndarray,
+        d_: np.ndarray,
+        m_: np.ndarray,
+        dt: float,
+    ) -> None:
+        """Kalman-update the gyro bias from one finalized window.
+
+        Integrating the RAW gyro over the window over-rotates the visual
+        relative rotation by ~Exp(b tau) (first order in the bias; the
+        BCH correction is negligible at 30 fps window angles), so the
+        log-rotation difference observes the bias in the IMU frame. The
+        gyro coverage tau (last sample - window start) trails the pose
+        gap dt by up to one sample period, so the visual log-rotation is
+        RESCALED to tau before differencing — comparing unequal spans
+        would alias the true angular rate into the bias (at 200 Hz / 30
+        fps / 0.5 rad/s the aliasing is ~0.037 rad/s, 4x the OAK's
+        typical turn-on bias). The gain comes from the DECLARED noise
+        model: the observation variance is two solved endpoint rotations
+        (2 (vis_rot_sigma/tau)^2) plus the integrated gyro white noise
+        (gyro_nd^2/tau); the state random-walks at gyro_rw^2 tau.
+        """
+        from thor_slam_tpu.engine import imu as imu_mod
+
+        tau = float(d_.sum())
+        if tau < 0.5 * dt or tau <= 1e-6:
+            return  # samples cover too little of the pose gap
+        dr_gyro = imu_mod.gyro_delta_r_np(g_, d_, m_)  # IMU frame, raw
+        rbi = self.body_r_imu
+        dr_vis = rbi.T @ (self.fin_pose[:3, :3].T @ world_t_body[:3, :3]) @ rbi
+        phi_vis = _rot_log_np(dr_vis) * (tau / dt)  # rescaled to coverage
+        b_obs = (_rot_log_np(dr_gyro) - phi_vis) / tau
+        if float(np.linalg.norm(b_obs - self.gyro_bias)) > 0.5:
+            return  # junk gate: solve glitch / clock skew (rad/s)
+        r_meas = 2.0 * (self.vis_rot_sigma / tau) ** 2 + self.gyro_nd**2 / tau
+        self.bias_p += self.gyro_rw**2 * tau
+        k = self.bias_p / (self.bias_p + r_meas)
+        self.gyro_bias = self.gyro_bias + k * (b_obs - self.gyro_bias)
+        self.bias_p *= 1.0 - k
+
     # ------------------------------------------------------ gravity
 
     def _observe_gravity(self, v_new: np.ndarray, ts: float) -> None:
-        """Fold one gravity observation (odom frame) into the EMA.
+        """Kalman-update the gravity estimate (odom frame).
 
         Between the midpoints of two consecutive finalized windows the
         differenced average velocities measure the TOTAL world-frame
@@ -224,8 +365,18 @@ class ImuFusion:
         same interval leaves gravity: ``f = R^T (a_w - g)`` so
         ``g = a_w - R f``. Valid under arbitrary motion — centripetal and
         linear acceleration appear identically in both terms and cancel —
-        so no quasi-static gate is needed; the EMA absorbs the
-        velocity-differencing noise.
+        so no quasi-static gate is needed.
+
+        The gain comes from the DECLARED noise model: the observation
+        variance is double-differencing of solved positions
+        (4 vis_pos_sigma^2/dt^4 — tens of (m/s^2)^2 at millimeter solve
+        noise, which is why single observations look like junk yet the
+        filter converges) plus the windowed accel white noise
+        (accel_nd^2/dt); the state random-walks at the accel-bias walk
+        (the gravity estimate absorbs the accel bias) plus
+        GRAVITY_DRIFT_Q for odom-frame attitude drift. With the huge
+        prior this behaves as a running mean early and floors at the
+        drift-tracking gain — the round-3 EMA schedule, now derived.
         """
         m0 = 0.5 * (self.fin_ts_prev + self.fin_ts)
         m1 = 0.5 * (self.fin_ts + ts)
@@ -237,25 +388,47 @@ class ImuFusion:
         if not np.any(sel):
             return
         f_imu = np.mean(np.asarray(self._accel)[sel], axis=0)
-        a_w = (v_new - self.fin_vel) / dt
+        a_w = (v_new - self._fin_vel_avg) / dt
         g_obs = a_w - self.fin_pose[:3, :3] @ (self.body_r_imu @ f_imu)
-        # Junk-only guard (solve glitch, clock skew, teleport). Individual
-        # observations are dominated by double-differencing noise (sigma ~
-        # 2 sigma_p / dt^2 — tens of m/s^2 at millimeter solve noise), but
-        # the noise is zero-mean; a TIGHT norm gate here would clip the
-        # distribution asymmetrically and bias the mean low (measured:
-        # a (4, 16) gate converged to |g| = 6.3).
+        # Junk-only guard (solve glitch, clock skew, teleport). The
+        # double-differencing noise is zero-mean; a TIGHT norm gate here
+        # would clip the distribution asymmetrically and bias the mean
+        # low (measured: a (4, 16) gate converged to |g| = 6.3).
         if float(np.linalg.norm(g_obs)) > 60.0:
             return
+        r_meas = 4.0 * self.vis_pos_sigma**2 / dt**4 + self.accel_nd**2 / dt
         if self.gravity_w is None:
             self.gravity_w = g_obs
+            self.grav_p = r_meas
         else:
-            # Running mean first (the estimator must average the noise
-            # down, not anchor on the earliest samples), then a slow EMA
-            # so the estimate tracks odom-frame drift.
-            alpha = max(1.0 / (self.gravity_n + 1.0), 0.005)
-            self.gravity_w = (1.0 - alpha) * self.gravity_w + alpha * g_obs
+            self.grav_p += (self.accel_rw**2 + GRAVITY_DRIFT_Q) * dt
+            k = self.grav_p / (self.grav_p + r_meas)
+            self.gravity_w = self.gravity_w + k * (g_obs - self.gravity_w)
+            self.grav_p *= 1.0 - k
         self.gravity_n += 1
+
+    def window_covariance(self, dt: float) -> np.ndarray:
+        """6x6 pose-covariance growth over one UNTRACKED window of ``dt``.
+
+        When the solve lacks support the tracker holds the IMU/constant-
+        velocity prediction; the reported covariance must then grow by the
+        prediction's own uncertainty instead of quoting the meaningless
+        low-inlier solve covariance. Diagonal, from the declared noise
+        model: rotation = integrated gyro white noise + bias uncertainty
+        (gyro_nd^2 dt + bias_p dt^2); translation = velocity-estimate
+        noise carried over dt (2 vis_pos_sigma^2 — the differenced solved
+        endpoints — the dominant term) + gravity uncertainty and accel
+        noise double-integrated.
+        """
+        dt = max(float(dt), 1e-4)
+        rot_var = self.gyro_nd**2 * dt + float(self.bias_p) * dt * dt
+        grav_p = float(self.grav_p) if self.gravity_w is not None else 0.0
+        pos_var = (
+            2.0 * self.vis_pos_sigma**2
+            + grav_p * (0.5 * dt * dt) ** 2
+            + self.accel_nd**2 * dt**3
+        )
+        return np.diag([pos_var] * 3 + [rot_var] * 3)
 
     def accel_pred_active(self) -> bool:
         """Whether the accel term of the pose prediction is engaged."""
@@ -315,10 +488,12 @@ class ImuFusion:
         rbi = self.body_r_imu
         accel_active = self.accel_pred_active()
         if accel_active:
-            pre = imu_mod.preintegrate_fast_np(g, a, d, m)
+            pre = imu_mod.preintegrate_fast_np(g, a, d, m, gyro_bias=self.gyro_bias)
             delta_r_body = rbi @ pre.delta_r @ rbi.T
         else:
-            delta_r_body = rbi @ imu_mod.gyro_delta_r_np(g, d, m) @ rbi.T
+            delta_r_body = (
+                rbi @ imu_mod.gyro_delta_r_np(g, d, m, gyro_bias=self.gyro_bias) @ rbi.T
+            )
 
         # Integrate forward from the finalized-pose SHADOW: reading the
         # live device state here would block on every in-flight tick (a

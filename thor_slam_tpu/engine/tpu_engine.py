@@ -143,6 +143,13 @@ class TpuSlamEngine(SlamEngine):
             Sessions WITHOUT a loaded map keep the VO-restart behavior on
             LOST (drift is later corrected by loop closure) — their own
             place DB is the loop-closure working set, not a reference map.
+        imu_noise: IMU noise-model overrides forwarded to
+            :class:`~thor_slam_tpu.engine.backends.imu_fusion.ImuFusion`
+            (gyro/accel noise densities and random walks, visual solve
+            sigmas, ``estimate_gyro_bias``). Defaults are the reference's
+            measured OAK-D Pro densities (engine/imu.py) — they set the
+            gyro-bias and gravity Kalman gains and the held-pose
+            covariance growth. YAML: ``backend.imu_noise``.
     """
 
     def __init__(
@@ -173,6 +180,7 @@ class TpuSlamEngine(SlamEngine):
         light_ticks: bool | None = None,
         light_max_interval: int = 4,
         auto_relocalize: bool = True,
+        imu_noise: dict | None = None,
     ) -> None:
         self._param_overrides = dict(params or {})
         self._devices = int(devices or 1)
@@ -221,6 +229,11 @@ class TpuSlamEngine(SlamEngine):
             # The prediction window spans `depth` ticks of samples when
             # pipelined.
             pred_capacity=64 * max(1, pipeline_depth),
+            # Noise model (defaults: the reference's measured OAK-D Pro
+            # densities, engine/imu.py) — sets the gyro-bias and gravity
+            # Kalman gains and the held-pose covariance growth. YAML:
+            # ``backend.imu_noise``.
+            **(imu_noise or {}),
         )
         self._loop = LoopBackend(
             capacity=loop_db_capacity,
@@ -276,6 +289,7 @@ class TpuSlamEngine(SlamEngine):
         self._source_order: list[str] = []
         self._keyframe_poses: list[SlamPose] = []
         self._low_inlier_streak = 0
+        self._held_cov: np.ndarray | None = None
         self._last_timestamp: float | None = None
         self._frame_count = 0
 
@@ -429,6 +443,7 @@ class TpuSlamEngine(SlamEngine):
         self._ba.clear()
         self._imu.reset()
         self._low_inlier_streak = 0
+        self._held_cov = None
         self._last_timestamp = None
         self._frame_count = 0
         self._ba_corr_total = np.eye(4)
@@ -742,6 +757,25 @@ class TpuSlamEngine(SlamEngine):
                     ) + missing[:3, 3].astype(arr.dtype)
                     pending[key] = arr
 
+        # Covariance of a HELD pose: when the solve lacked support the
+        # device kept the prediction, so the low-inlier solve covariance
+        # is meaningless — grow the last trusted covariance by the
+        # prediction's own uncertainty (the declared IMU noise model,
+        # ImuFusion.window_covariance) instead. Accumulates across an
+        # untracked streak; a tracked solve re-anchors it.
+        if (
+            num_inliers < self._params.min_track_inliers
+            and self._frame_count >= 1
+            and self._held_cov is not None
+        ):
+            dt_w = (
+                pending["ts"] - self._last_timestamp
+                if self._last_timestamp is not None
+                else 1.0 / 30.0
+            )
+            covariance = self._held_cov + self._imu.window_covariance(dt_w)
+        self._held_cov = np.asarray(covariance, np.float64)
+
         self.last_diagnostics = {
             "num_inliers": num_inliers,
             "num_landmarks": int(n_lm),
@@ -752,6 +786,10 @@ class TpuSlamEngine(SlamEngine):
         }
         if pred_err is not None:
             self.last_diagnostics["imu_pred_err_m"] = pred_err
+        if self._use_imu and self._imu.estimate_gyro_bias:
+            self.last_diagnostics["gyro_bias_rad_s"] = float(
+                np.linalg.norm(self._imu.gyro_bias)
+            )
         if self._use_accel:
             self.last_diagnostics["accel_pred"] = self._imu.accel_pred_active()
             if self._imu.gravity_w is not None:
@@ -1216,6 +1254,7 @@ class TpuSlamEngine(SlamEngine):
         self._map_t_odom = np.eye(4)
         self._ba_corr_total = np.eye(4)
         self._low_inlier_streak = 0
+        self._held_cov = None
         self._last_timestamp = None
         self._frame_count = 0
         if self._state_enum != TrackingState.NOT_INITIALIZED:

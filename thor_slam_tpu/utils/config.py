@@ -89,6 +89,13 @@ class BackendConfig:
     #: the steady-state upload bytes; see TpuSlamEngine.light_ticks).
     #: None = engine auto (on for single-chip non-defer engines).
     light_ticks: bool | None = None
+    #: IMU noise-model overrides (gyro_noise_density, gyro_random_walk,
+    #: accel_noise_density, accel_random_walk, vis_rot_sigma,
+    #: vis_pos_sigma, estimate_gyro_bias). Defaults are the reference's
+    #: measured OAK-D Pro densities (engine/imu.py; reference
+    #: launch/thor_visual_slam.launch.py:82-104) — they set the gyro-bias
+    #: and gravity Kalman gains and the held-pose covariance growth.
+    imu_noise: dict[str, Any] = field(default_factory=dict)
     tracker: dict[str, Any] = field(default_factory=dict)
 
 
@@ -180,6 +187,7 @@ class RunConfig:
                 if backend_d.get("light_ticks") is None
                 else bool(backend_d["light_ticks"])
             ),
+            imu_noise=dict(backend_d.get("imu_noise", {})),
             tracker=dict(backend_d.get("tracker", {})),
         )
         syn_d = d.get("synthetic", {}) or {}
