@@ -1,0 +1,148 @@
+"""Place-recognition recall vs revisit geometry (VERDICT r3 weak #7).
+
+Measures GEOMETRICALLY VERIFIED match counts between a stored view and a
+revisit view — the quantity the loop pipeline's verification stage gates
+on (``loop_min_inliers``; raw ``find_candidate`` votes alias badly on
+generic corners, which is exactly why verification exists) — for three
+revisit geometries:
+
+* same-heading revisit (the orbit case every e2e test exercises),
+* in-plane ROLL revisit (where ``oriented_descriptors`` is the cure),
+* reverse-heading (~180 deg yaw) revisit.
+
+Measured outcome (documented in BASELINE.md): upright BRIEF recognizes
+same-heading revisits and collapses under roll; oriented BRIEF restores
+roll robustness. A 180 deg YAW revisit is unrecognizable for EITHER
+descriptor — the camera faces the opposite wall, so the views share no
+3D content. That is a viewpoint limitation of any forward-camera place
+DB (cuVSLAM included), not a descriptor defect; the rig-level fix is a
+rear-facing camera feeding the database.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+jax = pytest.importorskip("jax")
+import jax.numpy as jnp  # noqa: E402
+
+from thor_slam_tpu import geometry  # noqa: E402
+from thor_slam_tpu.camera.sources.synthetic import (  # noqa: E402
+    BODY_T_OPTICAL,
+    SyntheticWorld,
+)
+from thor_slam_tpu.camera.types import Intrinsics  # noqa: E402
+from thor_slam_tpu.ops import brief, fast, image as img_ops, match  # noqa: E402
+
+W, H = 320, 200
+N = 256  # descriptor capacity per signature
+FX = 260.0
+
+
+def _intr() -> Intrinsics:
+    k = np.array([[FX, 0, W / 2], [0, FX, H / 2], [0, 0, 1.0]])
+    return Intrinsics(width=W, height=H, matrix=k, coeffs=np.zeros(5))
+
+
+def _w_t_opt(pos, yaw: float, roll: float = 0.0) -> np.ndarray:
+    body = geometry.se3_matrix(
+        geometry.euler_xyz_extrinsic_to_matrix(0.0, 0.0, yaw), np.asarray(pos, float)
+    )
+    m = body @ BODY_T_OPTICAL
+    if roll != 0.0:
+        # In-plane rotation about the optical axis (z in RDF).
+        rz = geometry.se3_matrix(
+            geometry.euler_xyz_extrinsic_to_matrix(0.0, 0.0, roll), np.zeros(3)
+        )
+        m = m @ rz
+    return m
+
+
+class _View:
+    """Rendered view + keypoints/descriptors + ground-truth 3D points."""
+
+    def __init__(self, world, pos, yaw, roll=0.0, oriented=False):
+        self.pose = _w_t_opt(pos, yaw, roll)
+        intr = _intr()
+        im = jnp.asarray(world.render(intr, self.pose), jnp.float32)
+        depth = np.asarray(world.render_depth(intr, self.pose))
+        sm = img_ops.gaussian_blur(im, sigma=2.0)
+        kp = fast.detect_keypoints(im, max_keypoints=N)
+        desc = brief.compute_descriptors(sm, kp.xy, kp.valid, oriented=oriented)
+        self.xy = np.asarray(kp.xy)
+        self.valid = np.asarray(kp.valid & desc.valid)
+        self.desc = np.asarray(desc.bits)
+        # Back-project each keypoint to its ground-truth world point.
+        u = np.clip(self.xy[:, 0].astype(int), 0, W - 1)
+        v = np.clip(self.xy[:, 1].astype(int), 0, H - 1)
+        z = depth[v, u]
+        rays = np.stack(
+            [(self.xy[:, 0] - W / 2) / FX, (self.xy[:, 1] - H / 2) / FX,
+             np.ones(len(self.xy))], 1
+        )
+        p_cam = rays * z[:, None]
+        self.p_w = p_cam @ self.pose[:3, :3].T + self.pose[:3, 3]
+
+
+def _verified_matches(world, q_args: dict, db_args: dict, oriented: bool) -> int:
+    """Mutual-NN matches that are geometrically CORRECT: the query
+    keypoint's ground-truth 3D point projects within 3 px of the matched
+    database keypoint (the role of the loop verifier's PnP inlier gate)."""
+    q = _View(world, oriented=oriented, **q_args)
+    d = _View(world, oriented=oriented, **db_args)
+    m = match.match_descriptors(
+        jnp.asarray(q.desc), jnp.asarray(q.valid),
+        jnp.asarray(d.desc), jnp.asarray(d.valid),
+        max_distance=48.0, ratio=0.9,
+    )
+    midx, mval = np.asarray(m.idx), np.asarray(m.valid)
+    inv = np.linalg.inv(d.pose)
+    p_cam = q.p_w @ inv[:3, :3].T + inv[:3, 3]
+    ok_depth = p_cam[:, 2] > 0.1
+    uv = np.stack(
+        [FX * p_cam[:, 0] / np.maximum(p_cam[:, 2], 0.1) + W / 2,
+         FX * p_cam[:, 1] / np.maximum(p_cam[:, 2], 0.1) + H / 2], 1
+    )
+    err = np.linalg.norm(uv - d.xy[midx], axis=1)
+    return int(np.sum(mval & ok_depth & (err < 3.0)))
+
+
+@pytest.fixture(scope="module")
+def world():
+    return SyntheticWorld(half_extents=(5.0, 5.0, 2.5), seed=11)
+
+
+A = dict(pos=(0.5, 0.0, 0.0), yaw=0.0)
+
+
+class TestRevisitRecall:
+    def test_same_heading_revisit_recognized(self, world):
+        q = dict(pos=(0.45, 0.06, 0.01), yaw=0.05)  # nearby repass
+        n = _verified_matches(world, q, A, oriented=False)
+        assert n >= 40, f"same-heading verified matches {n} below the gate"
+
+    def test_roll_revisit_needs_oriented_descriptors(self, world):
+        """The case oriented_descriptors exists for: same view, rolled."""
+        q = dict(pos=(0.5, 0.0, 0.0), yaw=0.0, roll=0.6)  # ~34 deg
+        n_up = _verified_matches(world, q, A, oriented=False)
+        n_or = _verified_matches(world, q, A, oriented=True)
+        assert n_or >= 40, f"oriented verified matches {n_or}"
+        assert n_or > 2 * max(n_up, 1), f"oriented {n_or} vs upright {n_up}"
+
+    def test_reverse_heading_unrecognizable_documented(self, world):
+        """180 deg yaw revisit: no shared 3D content for a forward camera —
+        neither descriptor mode can (or should) pass verification.
+        Documents the limitation with the measured recall (BASELINE.md)."""
+        q = dict(pos=(0.5, 0.0, 0.0), yaw=np.pi)
+        for oriented in (False, True):
+            n = _verified_matches(world, q, A, oriented=oriented)
+            assert n < 40, (
+                f"reverse-heading verified matches {n} (oriented={oriented})"
+                " — if this starts passing the gate, re-evaluate the"
+                " documented limitation"
+            )
+
+
+if __name__ == "__main__":  # pragma: no cover
+    pytest.main([__file__, "-v"])
