@@ -44,6 +44,12 @@ euroc-selftest: ## Generate a synthetic ASL-layout sequence and evaluate ATE on 
 	$(PY) -m scripts.make_euroc_synthetic --out /tmp/thor_synseq --frames 50
 	$(PY) -m scripts.run_euroc --sequence /tmp/thor_synseq --frames 50
 
+.PHONY: euroc-selftest-loop
+euroc-selftest-loop: ## 3-orbit noisy sequence where loop closures fire organically (BASELINE.md)
+	$(PY) -m scripts.make_euroc_synthetic --out /tmp/thor_loopseq --frames 1100 \
+		--width 320 --height 200 --trajectory-rate 0.35 --noise-std 6
+	$(PY) -m scripts.run_euroc --sequence /tmp/thor_loopseq
+
 # ------------------------- ROS 2 interop -------------------------
 # (reference Makefile isaac-ros-launch / nvblox-launch / rviz targets)
 

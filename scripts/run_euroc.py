@@ -51,6 +51,11 @@ def main() -> int:
         help="Disable light (left-only) tick scheduling (ablation)",
     )
     parser.add_argument(
+        "--median-filter", action="store_true",
+        help="3x3 median prefilter on input images (salt-and-pepper / "
+        "dead-pixel robustness; see BASELINE.md nuisance ablations)",
+    )
+    parser.add_argument(
         "--devices", type=int, default=None,
         help="Track SPMD over an N-device mesh (landmark-slot sharding for "
         "this single-camera sequence; combine with --cpu for a hardware-"
@@ -94,6 +99,7 @@ def main() -> int:
         use_imu=not args.no_imu, use_accel=not args.no_accel,
         enable_ba=not args.no_ba, devices=args.devices,
         light_ticks=False if args.no_light else None,
+        params=dict(median_prefilter=True) if args.median_filter else None,
     )
 
     est_ts, est_pos, world_pos = [], [], []

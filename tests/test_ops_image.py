@@ -105,3 +105,24 @@ class TestSobel:
         cvy = cv2.Sobel(img, cv2.CV_32F, 0, 1, ksize=3)
         np.testing.assert_allclose(np.asarray(gx)[2:-2, 2:-2], cvx[2:-2, 2:-2], atol=1e-4)
         np.testing.assert_allclose(np.asarray(gy)[2:-2, 2:-2], cvy[2:-2, 2:-2], atol=1e-4)
+
+
+class TestMedian3x3:
+    def test_matches_scipy(self):
+        from scipy.ndimage import median_filter
+
+        rng = np.random.default_rng(3)
+        img = rng.random((41, 57)).astype(np.float32)
+        ours = np.asarray(ops.median3x3(jnp.asarray(img)))
+        np.testing.assert_allclose(ours, median_filter(img, size=3, mode="nearest"))
+
+    def test_removes_salt_keeps_edges(self):
+        img = np.zeros((20, 20), np.float32)
+        img[:, 10:] = 1.0  # vertical step edge
+        img[5, 3] = 1.0  # salt in the dark half
+        img[12, 15] = 0.0  # pepper in the bright half
+        out = np.asarray(ops.median3x3(jnp.asarray(img)))
+        assert out[5, 3] == 0.0 and out[12, 15] == 1.0
+        # The step edge survives exactly (median is edge-preserving).
+        np.testing.assert_allclose(out[:, :9], 0.0)
+        np.testing.assert_allclose(out[:, 11:], 1.0)

@@ -141,6 +141,32 @@ def build_pyramid(image: jnp.ndarray, num_levels: int) -> list[jnp.ndarray]:
     return levels
 
 
+def median3x3(image: jnp.ndarray) -> jnp.ndarray:
+    """3x3 median filter via the 19-comparator median-of-9 network.
+
+    Exact salt-and-pepper (dead pixel / EMI) rejection: an isolated
+    extreme pixel can never be the median of its neighborhood, while
+    step edges and corners pass through unblurred (unlike a Gaussian).
+    Pure min/max elementwise ops — XLA fuses the whole network into one
+    VPU pass, so it is far cheaper than a sort. Edge-replicated borders.
+    """
+    h, w = image.shape
+    p = jnp.pad(image, 1, mode="edge")
+    n = [p[dy : dy + h, dx : dx + w] for dy in range(3) for dx in range(3)]
+
+    def srt(a, b):
+        n[a], n[b] = jnp.minimum(n[a], n[b]), jnp.maximum(n[a], n[b])
+
+    # Smith's median-of-9 exchange network (19 compare-exchanges).
+    for a, b in (
+        (1, 2), (4, 5), (7, 8), (0, 1), (3, 4), (6, 7), (1, 2), (4, 5),
+        (7, 8), (0, 3), (5, 8), (4, 7), (3, 6), (1, 4), (2, 5), (4, 7),
+        (4, 2), (6, 4), (4, 2),
+    ):
+        srt(a, b)
+    return n[4]
+
+
 def sobel_gradients(image: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Sobel dI/dx, dI/dy of an (H, W) image with edge replication."""
     p = jnp.pad(image, 1, mode="edge")
