@@ -282,14 +282,23 @@ def profile_default(w: int, h: int, c: int, cadence_ms: float, ticks: int = 40) 
     print(f"\ndefault-featured e2e ({c} cams @ {w}x{h}, BA+IMU+loop, depth 6):", flush=True)
     for label, sleep_s in (("max rate", 0.0), (f"{cadence_ms:.0f} ms cadence", cadence_ms / 1e3)):
         fetch_t.clear()
+        slept = 0.0
         t0 = time.perf_counter()
-        for i in range(base, base + ticks):
-            engine.process_frames(make_sync(i))
+        for k, i in enumerate(range(base, base + ticks)):
             if sleep_s:
-                time.sleep(sleep_s)
+                # Frames ARRIVE on the camera clock: wait for frame k's
+                # absolute deadline (t0 + k*cadence). Sleeping a full
+                # cadence AFTER each tick would add processing time on
+                # top of the frame period and understate the rate the
+                # engine actually sustains against a real 30 fps rig.
+                d = t0 + k * sleep_s - time.perf_counter()
+                if d > 0:
+                    time.sleep(d)
+                    slept += d
+            engine.process_frames(make_sync(i))
         engine.flush()
         wall = time.perf_counter() - t0
-        busy = wall - sleep_s * ticks
+        busy = wall - slept
         avg_fetch = sum(fetch_t) / max(1, len(fetch_t)) * 1000.0
         print(
             f"  {label:16s} {ticks / wall:6.1f} fps wall | engine {busy / ticks * 1000.0:6.1f} ms/tick"
