@@ -484,14 +484,12 @@ class SyntheticCameraSource(CameraSource):
             ) / (2 * dt)
             taps = int(np.clip(round(spec.motion_blur_px_per_rad_s * ang), 1, 15))
             if taps > 1:
-                kern = np.ones(taps, np.float32) / taps
                 pad = taps // 2
                 padded = np.pad(arr, ((0, 0), (pad, taps - 1 - pad)), mode="edge")
                 # Horizontal box filter via cumulative sum (vectorized).
                 cs = np.cumsum(padded, axis=1, dtype=np.float64)
                 cs = np.concatenate([np.zeros((arr.shape[0], 1)), cs], axis=1)
                 arr = ((cs[:, taps:] - cs[:, :-taps]) / taps).astype(np.float32)
-                del kern
         if spec.exposure_drift > 0.0:
             gain = 1.0 + spec.exposure_drift * np.sin(
                 2.0 * np.pi * t / spec.exposure_period_s

@@ -376,6 +376,14 @@ class LoopBackend:
 
         p = params
         img = jnp.asarray(img)
+        if p.median_prefilter:
+            # The DB signatures were built from median-filtered frames
+            # (tracker prefilter); descriptors must live in the same
+            # space or salt noise blows every Hamming gate exactly in
+            # the regime the flag exists for.
+            from thor_slam_tpu.ops.image import median3x3
+
+            img = median3x3(img)
         kp = fast.detect_keypoints(
             img, threshold=p.fast_threshold, max_keypoints=p.max_keypoints,
             cell_size=p.cell_size, per_cell=p.per_cell, border_margin=p.border_margin,
@@ -443,7 +451,21 @@ class LoopBackend:
         }
 
     def load_arrays(self, data) -> None:
-        """Restore the DB from :meth:`export_arrays` output (map load)."""
+        """Restore the DB from :meth:`export_arrays` output (map load).
+
+        A map saved with a larger ``loop_db_capacity`` than this
+        session's is truncated to the NEWEST ``capacity`` keyframes —
+        wrapping slots modulo capacity would alias two keyframes onto
+        one slot and slot-based candidate resolution would verify one
+        keyframe's descriptors against another's landmarks.
+        """
+        n = int(data["db_desc"].shape[0])
+        start = max(0, n - self.capacity)
+        if start:
+            logger.warning(
+                "Loaded place DB has %d keyframes > capacity %d; keeping the newest %d",
+                n, self.capacity, self.capacity,
+            )
         self.db = [
             {
                 "desc": data["db_desc"][i],
@@ -452,9 +474,9 @@ class LoopBackend:
                 "obs_px": np.zeros_like(data["db_lm_w"][i][:, :2]),
                 "world_t_body": data["db_poses"][i],
                 "ts": float(data["db_ts"][i]),
-                "slot": i % self.capacity,
+                "slot": i - start,
             }
-            for i in range(data["db_desc"].shape[0])
+            for i in range(start, n)
         ]
         self.kf_total = len(self.db)
         self._pending = None

@@ -143,6 +143,11 @@ class TpuSlamEngine(SlamEngine):
             Sessions WITHOUT a loaded map keep the VO-restart behavior on
             LOST (drift is later corrected by loop closure) — their own
             place DB is the loop-closure working set, not a reference map.
+        reloc_attempt_interval: While relocalization is armed, attempt at
+            most every N dispatches (first armed dispatch always tries).
+            Each attempt is a synchronous find+verify device round trip;
+            unthrottled attempts would stall a pipelined stream for the
+            whole LOST stretch.
         imu_noise: IMU noise-model overrides forwarded to
             :class:`~thor_slam_tpu.engine.backends.imu_fusion.ImuFusion`
             (gyro/accel noise densities and random walks, visual solve
@@ -180,6 +185,7 @@ class TpuSlamEngine(SlamEngine):
         light_ticks: bool | None = None,
         light_max_interval: int = 4,
         auto_relocalize: bool = True,
+        reloc_attempt_interval: int = 3,
         imu_noise: dict | None = None,
     ) -> None:
         self._param_overrides = dict(params or {})
@@ -222,6 +228,16 @@ class TpuSlamEngine(SlamEngine):
             max_correction_m=ba_max_correction_m,
             noise_gate_sigma=loop_noise_gate_sigma,
         )
+        _imu_noise_keys = {
+            "gyro_noise_density", "gyro_random_walk",
+            "accel_noise_density", "accel_random_walk",
+            "vis_rot_sigma", "vis_pos_sigma", "estimate_gyro_bias",
+        }
+        if imu_noise and not set(imu_noise) <= _imu_noise_keys:
+            raise ValueError(
+                f"unknown backend.imu_noise keys {sorted(set(imu_noise) - _imu_noise_keys)}; "
+                f"valid: {sorted(_imu_noise_keys)}"
+            )
         self._imu = ImuFusion(
             use_accel=self._use_accel,
             gravity_min_ticks=gravity_min_ticks,
@@ -246,6 +262,8 @@ class TpuSlamEngine(SlamEngine):
         )
         self._want_reloc = False
         self._auto_reloc = bool(auto_relocalize)
+        self._reloc_interval = max(1, int(reloc_attempt_interval))
+        self._reloc_countdown = 0
         self._map_loaded = False
         self._light_requested = light_ticks
         self._light = False  # resolved at initialize()
@@ -595,13 +613,25 @@ class TpuSlamEngine(SlamEngine):
         computes while the host goes on (JAX dispatch is asynchronous).
         """
         if self._want_reloc:
-            # Relocalization rewrites the live state wholesale: finalize
-            # every in-flight tick first so no pending record's outputs
-            # straddle the discontinuity.
-            while self._pending_q:
-                self._finalize_ready()
-            if self._attempt_relocalization(frame_set):
-                self._want_reloc = False
+            # Attempts are rate-limited (every reloc_attempt_interval
+            # dispatches; the first armed dispatch always tries): each
+            # attempt is a synchronous find+verify round trip, and paying
+            # it on EVERY frame of a long LOST stretch would stall the
+            # otherwise sync-free stream (~2 RTTs/frame on a tunneled
+            # link) even when the scene is featureless.
+            if self._reloc_countdown > 0:
+                self._reloc_countdown -= 1
+            else:
+                # Relocalization rewrites the live state wholesale:
+                # finalize every in-flight tick first so no pending
+                # record's outputs straddle the discontinuity.
+                while self._pending_q:
+                    self._finalize_ready()
+                if self._attempt_relocalization(frame_set):
+                    self._want_reloc = False
+                    self._reloc_countdown = 0
+                else:
+                    self._reloc_countdown = self._reloc_interval - 1
 
         pose_prediction = None
         if self._use_imu and frame_set.sensor_data is not None:
@@ -826,9 +856,11 @@ class TpuSlamEngine(SlamEngine):
                 self._state_enum = TrackingState.LOST
                 if self._auto_reloc and self._map_loaded and self._loop.db:
                     # Auto-relocalize against the LOADED map (the cuVSLAM
-                    # contract — no operator action). Attempts run on each
-                    # subsequent dispatch until one verifies.
+                    # contract — no operator action). Attempts run on
+                    # subsequent dispatches (rate-limited) until one
+                    # verifies.
                     self._want_reloc = True
+                    self._reloc_countdown = 0
 
         if self._enable_ba:
             tracked_now = num_inliers >= min_inl and self._frame_count > 1
@@ -1201,6 +1233,7 @@ class TpuSlamEngine(SlamEngine):
         if self._tracker_state is None:
             return False
         self._want_reloc = True
+        self._reloc_countdown = 0  # manual arm: attempt on the next dispatch
         self._state_enum = TrackingState.RELOCALIZING
         return True
 
@@ -1250,6 +1283,7 @@ class TpuSlamEngine(SlamEngine):
         self._loop.reset()
         self._imu.reset()
         self._want_reloc = False
+        self._reloc_countdown = 0
         self._map_loaded = False
         self._map_t_odom = np.eye(4)
         self._ba_corr_total = np.eye(4)

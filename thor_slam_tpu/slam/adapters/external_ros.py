@@ -100,6 +100,11 @@ def image_wire(img: np.ndarray) -> tuple[str, int, int, int, bytes]:
     """
     a = np.ascontiguousarray(img)
     if a.dtype != np.uint8:
+        # Float frames are [0, 1] everywhere in this package (the
+        # engine's own convention); integer non-uint8 frames are
+        # already on the 0-255 scale.
+        if np.issubdtype(a.dtype, np.floating):
+            a = a * 255.0
         a = np.clip(a, 0, 255).astype(np.uint8)
     if a.ndim == 2:
         return "mono8", a.shape[0], a.shape[1], a.shape[1], a.tobytes()
@@ -215,6 +220,7 @@ class ExternalRosEngine(SlamEngine):  # pragma: no cover - ROS shell; logic abov
         self._calibration: RigCalibration | None = None
         self._node = None
         self._spin_thread: threading.Thread | None = None
+        self._spin_stop = threading.Event()
         self._image_pubs: list = []
         self._info_pubs: list = []
         self._imu_pub = None
@@ -236,6 +242,10 @@ class ExternalRosEngine(SlamEngine):  # pragma: no cover - ROS shell; logic abov
             )
         if not rclpy.ok():
             rclpy.init()
+        # Re-initialization after shutdown(): the old node's publisher
+        # handles are dead — start from empty lists.
+        self._image_pubs = []
+        self._info_pubs = []
         self._node = rclpy.create_node("thor_slam_tpu_external_bridge")
         for i in range(len(self._cameras)):
             self._image_pubs.append(
@@ -254,9 +264,17 @@ class ExternalRosEngine(SlamEngine):  # pragma: no cover - ROS shell; logic abov
         )
         self._broadcast_static_tf()
         node = self._node
-        self._spin_thread = threading.Thread(
-            target=lambda: rclpy.spin(node), daemon=True
-        )
+        self._spin_stop.clear()
+        stop = self._spin_stop
+
+        def _spin() -> None:
+            # spin_once under a stop flag (not rclpy.spin): shutdown()
+            # destroys the node, and spinning a destroyed node raises in
+            # this daemon thread.
+            while not stop.is_set() and rclpy.ok():
+                rclpy.spin_once(node, timeout_sec=0.1)
+
+        self._spin_thread = threading.Thread(target=_spin, daemon=True)
         self._spin_thread.start()
         self._state = TrackingState.INITIALIZING
 
@@ -387,6 +405,10 @@ class ExternalRosEngine(SlamEngine):  # pragma: no cover - ROS shell; logic abov
     def shutdown(self) -> None:
         # Destroy ONLY this node: the reference's global rclpy.shutdown()
         # here kills every other node in the process (ref isaac_ros.py:448).
+        self._spin_stop.set()
+        if self._spin_thread is not None:
+            self._spin_thread.join(timeout=2.0)
+            self._spin_thread = None
         if self._node is not None:
             self._node.destroy_node()
             self._node = None
