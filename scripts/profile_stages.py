@@ -283,25 +283,40 @@ def profile_default(w: int, h: int, c: int, cadence_ms: float, ticks: int = 40) 
     for label, sleep_s in (("max rate", 0.0), (f"{cadence_ms:.0f} ms cadence", cadence_ms / 1e3)):
         fetch_t.clear()
         slept = 0.0
+        processed = 0
         t0 = time.perf_counter()
-        for k, i in enumerate(range(base, base + ticks)):
-            if sleep_s:
-                # Frames ARRIVE on the camera clock: wait for frame k's
-                # absolute deadline (t0 + k*cadence). Sleeping a full
-                # cadence AFTER each tick would add processing time on
-                # top of the frame period and understate the rate the
-                # engine actually sustains against a real 30 fps rig.
-                d = t0 + k * sleep_s - time.perf_counter()
-                if d > 0:
+        if not sleep_s:
+            for i in range(base, base + ticks):
+                engine.process_frames(make_sync(i))
+                processed += 1
+        else:
+            # Real rig semantics: frames become available on the camera
+            # clock (t0 + k*cadence) and the sync loop always consumes
+            # the NEWEST one — a consumer that lags DROPS the missed
+            # frames (reference rig.get_synchronized_frames returns the
+            # latest match). Without drops the loop degenerates into the
+            # max-rate regime the moment one tick exceeds the period.
+            next_k = 0
+            while next_k < ticks:
+                now = time.perf_counter()
+                newest = int((now - t0) / sleep_s)
+                if newest < next_k:
+                    d = t0 + next_k * sleep_s - now
                     time.sleep(d)
                     slept += d
-            engine.process_frames(make_sync(i))
+                    newest = next_k
+                k = min(newest, ticks - 1)
+                engine.process_frames(make_sync(base + k))
+                processed += 1
+                next_k = k + 1
         engine.flush()
         wall = time.perf_counter() - t0
         busy = wall - slept
         avg_fetch = sum(fetch_t) / max(1, len(fetch_t)) * 1000.0
         print(
-            f"  {label:16s} {ticks / wall:6.1f} fps wall | engine {busy / ticks * 1000.0:6.1f} ms/tick"
+            f"  {label:16s} {processed / wall:6.1f} fps delivered"
+            f" ({processed}/{ticks} frames) | engine"
+            f" {busy / max(1, processed) * 1000.0:6.1f} ms/tick"
             f" | fetch wait {avg_fetch:6.1f} ms over {len(fetch_t)} events",
             flush=True,
         )
