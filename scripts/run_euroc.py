@@ -51,6 +51,11 @@ def main() -> int:
         help="Disable light (left-only) tick scheduling (ablation)",
     )
     parser.add_argument(
+        "--light-half-res", action="store_true",
+        help="Ship light ticks 2x-downsampled (1/8 of a full tick's upload "
+        "bytes; some inter-keyframe subpixel precision cost — measure here)",
+    )
+    parser.add_argument(
         "--median-filter", action="store_true",
         help="3x3 median prefilter on input images (salt-and-pepper / "
         "dead-pixel robustness; see BASELINE.md nuisance ablations)",
@@ -99,6 +104,7 @@ def main() -> int:
         use_imu=not args.no_imu, use_accel=not args.no_accel,
         enable_ba=not args.no_ba, devices=args.devices,
         light_ticks=False if args.no_light else None,
+        light_half_res=args.light_half_res,
         params=dict(median_prefilter=True) if args.median_filter else None,
     )
 

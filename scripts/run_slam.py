@@ -175,6 +175,7 @@ def run(
         pipeline_depth=cfg.backend.pipeline_depth,
         devices=cfg.backend.devices,
         light_ticks=cfg.backend.light_ticks,
+        light_half_res=cfg.backend.light_half_res,
         imu_noise=cfg.backend.imu_noise,
     )
     rig = CameraRig(

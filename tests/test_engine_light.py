@@ -92,15 +92,19 @@ class TestTrackerLightStep:
 
 
 class TestEngineLightScheduling:
-    def _run(self, light, frames=40):
+    def _run(self, light, frames=40, half_res=False):
         sources, rig_ext, world, traj = _rig()
-        poses, lights, refreshed_on_light = [], 0, 0
+        poses, gts, lights, refreshed_on_light = [], [], 0, 0
         with tst.CameraRig(
             sources, rig_extrinsics=rig_ext, imu_source=sources[0].name
         ) as rig:
-            eng = TpuSlamEngine(params=dict(max_keypoints=128), light_ticks=light)
+            eng = TpuSlamEngine(
+                params=dict(max_keypoints=128), light_ticks=light,
+                light_half_res=half_res,
+            )
             eng.initialize(rig.calibration, tst.SlamConfig(num_cameras=4))
             first_tick_light = None
+            gt0 = None
             for i in range(frames):
                 sync = rig.get_synchronized_frames()
                 p = eng.process_frames(sync)
@@ -111,11 +115,18 @@ class TestEngineLightScheduling:
                 if d.get("refreshed") and d.get("light_tick"):
                     refreshed_on_light += 1
                 if p is not None:
+                    if gt0 is None:
+                        gt0 = traj.pose(sync.timestamp)
                     poses.append(p.position.copy())
+                    g = np.linalg.inv(gt0) @ traj.pose(sync.timestamp)
+                    gts.append(g[:3, 3])
             kf = len(eng._keyframe_poses)
             eng.shutdown()
+        poses, gts = np.asarray(poses), np.asarray(gts)
+        ate = float(np.sqrt(np.mean(np.sum((poses - gts) ** 2, axis=1)))) if len(poses) else np.inf
         return {
-            "poses": np.asarray(poses),
+            "poses": poses,
+            "ate": ate,
             "lights": lights,
             "kf": kf,
             "first_light": first_tick_light,
@@ -134,6 +145,44 @@ class TestEngineLightScheduling:
         # sequence: identical keyframes and identical trajectory.
         assert on["kf"] == off["kf"]
         np.testing.assert_allclose(on["poses"], off["poses"], atol=1e-6)
+
+    @pytest.mark.slow
+    def test_light_half_res_tracks_close_to_full_res(self):
+        """light_half_res ships 1/4 of a light tick's bytes (VERDICT r3 #2
+        upload lever); the device upsample keeps the trajectory close to
+        the full-res run — same keyframes, small position drift."""
+        full = self._run(True)
+        half = self._run(True, half_res=True)
+        assert half["lights"] > 10
+        assert half["refreshed_on_light"] == 0
+        # Keyframe timing may shift by a tick or two (coarser inlier
+        # counts nudge the pressure heuristic) — judge by accuracy, not
+        # keyframe-for-keyframe parity.
+        assert abs(half["kf"] - full["kf"]) <= 2
+        # Inter-keyframe subpixel loss only: the ground-truth ATE stays
+        # within 1.5x of the full-resolution-upload run (and sane).
+        assert half["ate"] < max(1.5 * full["ate"], full["ate"] + 2e-3), (
+            half["ate"], full["ate"],
+        )
+
+    def test_half_res_staging_shapes(self):
+        """Staged light images are (H/2, W/2); full ticks stay (H, W)."""
+        sources, rig_ext, world, traj = _rig()
+        with tst.CameraRig(
+            sources, rig_extrinsics=rig_ext, imu_source=sources[0].name
+        ) as rig:
+            eng = TpuSlamEngine(
+                params=dict(max_keypoints=128), light_ticks=True,
+                light_half_res=True,
+            )
+            eng.initialize(rig.calibration, tst.SlamConfig(num_cameras=4))
+            sync = rig.get_synchronized_frames()
+            full = eng._stage_list(sync, light=False)
+            lite = eng._stage_list(sync, light=True)
+            assert full[0].shape == (100, 160)
+            assert lite[0].shape == (50, 80)
+            assert len(lite) == len(full) // 2
+            eng.shutdown()
 
     def test_spmd_engine_disables_light(self):
         eng = TpuSlamEngine(devices=2, light_ticks=True)

@@ -43,6 +43,25 @@ from thor_slam_tpu.slam.interface import (
 logger = logging.getLogger(__name__)
 
 
+def _downsample2_host(img: np.ndarray) -> np.ndarray:
+    """2x2-mean downsample on the host (uint8-exact, anti-aliased).
+
+    Used by ``light_half_res`` staging: the mean's half-pixel-center
+    alignment matches the device-side bilinear upsample, so the round
+    trip introduces no geometric shift. Odd trailing rows/cols are
+    cropped (the engine requires even dims to enable the mode).
+    """
+    h2, w2 = img.shape[0] // 2, img.shape[1] // 2
+    a = img[: 2 * h2, : 2 * w2]
+    if img.dtype == np.uint8:
+        s = a[0::2, 0::2].astype(np.uint16)
+        s += a[1::2, 0::2]
+        s += a[0::2, 1::2]
+        s += a[1::2, 1::2]
+        return ((s + 2) >> 2).astype(np.uint8)
+    return 0.25 * (a[0::2, 0::2] + a[1::2, 0::2] + a[0::2, 1::2] + a[1::2, 1::2])
+
+
 class TpuSlamEngine(SlamEngine):
     """Multi-camera stereo visual odometry on TPU (JAX/XLA).
 
@@ -135,6 +154,13 @@ class TpuSlamEngine(SlamEngine):
         light_max_interval: Schedule a full tick at least every N ticks
             (bounds keyframe delay when the pressure heuristic lags the
             pipeline depth).
+        light_half_res: Ship light ticks 2x-downsampled (2x2 mean on the
+            host) and bilinearly upsample on device — 1/4 of a light
+            tick's bytes, 1/8 of a full tick's, for upload-bound links.
+            Level-0 KLT refinement then lacks the finest octave, costing
+            some subpixel precision between keyframes (measure with the
+            flagship ATE benchmark before enabling in an accuracy-
+            critical deployment). Requires even frame dimensions.
         auto_relocalize: When a LOADED map's place database is present and
             the state machine reaches LOST, arm relocalization
             automatically (the cuVSLAM contract: relocalize against the
@@ -184,6 +210,7 @@ class TpuSlamEngine(SlamEngine):
         devices: int | None = None,
         light_ticks: bool | None = None,
         light_max_interval: int = 4,
+        light_half_res: bool = False,
         auto_relocalize: bool = True,
         reloc_attempt_interval: int = 3,
         imu_noise: dict | None = None,
@@ -267,6 +294,8 @@ class TpuSlamEngine(SlamEngine):
         self._map_loaded = False
         self._light_requested = light_ticks
         self._light = False  # resolved at initialize()
+        self._light_half_requested = bool(light_half_res)
+        self._light_half = False  # resolved at initialize()
         self._light_max_interval = max(1, int(light_max_interval))
         self._ticks_since_full = 0
         self._last_kf_odom: np.ndarray | None = None
@@ -413,9 +442,18 @@ class TpuSlamEngine(SlamEngine):
             logger.warning("light_ticks under defer_sync is pointless; disabled")
             light = False
         self._light = light
+        light_half = light and self._light_half_requested
+        if light_half and (height % 2 or width % 2):
+            logger.warning(
+                "light_half_res needs even frame dimensions (%dx%d); disabled",
+                width, height,
+            )
+            light_half = False
+        self._light_half = light_half
         if light:
             self._step_light = trk.make_track_step(
-                self._params, setup, donate=True, pack=pack_mode, light=True
+                self._params, setup, donate=True, pack=pack_mode, light=True,
+                half_res=light_half,
             )
         self._tracker_state = self._make_state()
         c_ = self._params.num_cams
@@ -426,8 +464,11 @@ class TpuSlamEngine(SlamEngine):
             lambda flat: jnp.stack(flat).reshape(c_, 2, height, width)
         )
         if self._light:
+            lh, lw = (height // 2, width // 2) if self._light_half else (height, width)
+            self._light_shape = (lh, lw)
+            self._zero_img_light = np.zeros((lh, lw), np.uint8)
             self._assemble_light = jax.jit(
-                lambda flat: jnp.stack(flat).reshape(c_, 1, height, width)
+                lambda flat: jnp.stack(flat).reshape(c_, 1, lh, lw)
             )
         if self._enable_ba:
             # Async BA write-back: corrections land on the LIVE state as a
@@ -502,11 +543,13 @@ class TpuSlamEngine(SlamEngine):
             jax.block_until_ready(outs[2])  # the packed vector
         if self._light:
             # The light step is its own (smaller) executable: same warm-up
-            # discipline, left-only images.
-            def dummy_light():
-                return jnp.zeros((c_, 1, height, width), jnp.uint8)
+            # discipline, left-only (possibly half-res) images.
+            lh, lw = self._light_shape
 
-            jax.block_until_ready(self._assemble_light([self._zero_img] * c_))
+            def dummy_light():
+                return jnp.zeros((c_, 1, lh, lw), jnp.uint8)
+
+            jax.block_until_ready(self._assemble_light([self._zero_img_light] * c_))
             for pred, mask in warm_variants:
                 outs = self._step_light(self._make_state(), dummy_light(), pred, mask)
                 jax.block_until_ready(outs[2])
@@ -973,19 +1016,27 @@ class TpuSlamEngine(SlamEngine):
         producing any frame has no entry in ``frame_sets`` — it is
         zero-filled here (and masked out of the solve via ``cam_active``).
         ``light`` stages the LEFT imager only (half the bytes — the light
-        step statically never reads the right image).
+        step statically never reads the right image); with
+        ``light_half_res`` it additionally 2x-downsamples on the host
+        (2x2 mean — anti-aliased, and its half-pixel-center alignment
+        matches the device's bilinear upsample), 1/4 of a light tick's
+        bytes.
         """
         per = 1 if light else 2
+        zero = self._zero_img_light if light else self._zero_img
+        down = self._light_half and light
         flat: list[np.ndarray] = []
         for name in self._source_order:
             fs = frame_set.frame_sets.get(name)
             if fs is None:
-                flat.extend([self._zero_img] * per)
+                flat.extend([zero] * per)
             else:
                 imgs = [np.ascontiguousarray(f.image) for f in fs.frames[:per]]
+                if down:
+                    imgs = [_downsample2_host(im) for im in imgs]
                 # A mono source delivers one frame; its right slot ships a
                 # zero fill (stereo products are masked off for it anyway).
-                imgs.extend([self._zero_img] * (per - len(imgs)))
+                imgs.extend([zero] * (per - len(imgs)))
                 flat.extend(imgs)
         if any(im.dtype != flat[0].dtype for im in flat):
             flat = [np.asarray(im, np.float32) for im in flat]

@@ -274,6 +274,7 @@ def track_step(
     pose_prediction: jnp.ndarray | None = None,
     cam_active: jnp.ndarray | None = None,
     allow_refresh: bool = True,
+    half_res: bool = False,
 ) -> tuple[TrackerState, TrackOutput]:
     """One VO tick. Call under jit with ``params`` static.
 
@@ -300,6 +301,15 @@ def track_step(
             the hot KLT/PnP path is bit-identical to a full tick that
             chose not to refresh (the upload-bound deployment lever; see
             ``TpuSlamEngine`` ``light_ticks``).
+        half_res: STATIC. The host shipped images 2x-downsampled (2x2
+            mean); the step bilinearly upsamples them back to (H, W) on
+            device and runs the identical full-resolution pipeline — the
+            state pytree, landmark pixel coordinates, and all output
+            shapes are unchanged. Level-0 KLT refinement then operates
+            on a signal without the finest octave, costing some subpixel
+            precision for 1/4 the upload bytes (the knob for
+            upload-bound links; see ``TpuSlamEngine`` ``light_half_res``
+            for the measured ATE impact).
 
     Returns:
         (new_state, output).
@@ -312,7 +322,8 @@ def track_step(
     # throughput (SGM aggregation, Hamming matching) set it explicitly.
     with jax.default_matmul_precision("float32"):
         return _track_step_f32(
-            params, setup, state, images, pose_prediction, cam_active, allow_refresh
+            params, setup, state, images, pose_prediction, cam_active,
+            allow_refresh, half_res,
         )
 
 
@@ -324,6 +335,7 @@ def _track_step_f32(
     pose_prediction: jnp.ndarray | None = None,
     cam_active: jnp.ndarray | None = None,
     allow_refresh: bool = True,
+    half_res: bool = False,
 ) -> tuple[TrackerState, TrackOutput]:
     p = params
     # uint8 frames normalize ON DEVICE: the host ships 1/4 the bytes and
@@ -331,6 +343,14 @@ def _track_step_f32(
     # a weak host CPU; the conversion is one fused elementwise op here).
     if images.dtype == jnp.uint8:
         images = images.astype(jnp.float32) * (1.0 / 255.0)
+    if half_res:
+        # 2x bilinear upsample back to the pipeline's resolution. The 2x2
+        # mean the host applied and 'linear' both use half-pixel-center
+        # alignment, so the round trip introduces no geometric shift.
+        c_, s_, h2, w2 = images.shape
+        images = jax.image.resize(
+            images, (c_, s_, 2 * h2, 2 * w2), method="linear"
+        )
     if p.median_prefilter:
         # (C, S, H, W) -> per-image exact 3x3 median (see TrackerParams).
         from thor_slam_tpu.ops.image import median3x3
@@ -1063,6 +1083,7 @@ def make_track_step(
     donate: bool = False,
     pack: bool | str = False,
     light: bool = False,
+    half_res: bool = False,
 ):
     """Bind params/setup and return a jitted ``(state, images) -> (state, out)``.
 
@@ -1093,6 +1114,8 @@ def make_track_step(
             left-only, keyframing statically disabled (see ``track_step``
             ``allow_refresh``). Same state pytree and output layout, so
             the engine interleaves light and full steps freely.
+        half_res: Expect 2x-downsampled images and upsample on device
+            (see ``track_step`` ``half_res``) — 1/4 the upload bytes.
     """
     import numpy as np
 
@@ -1101,7 +1124,7 @@ def make_track_step(
     def _step(state: TrackerState, images: jnp.ndarray, pose_prediction=None, cam_active=None):
         new_state, out = track_step(
             params, setup_host, state, images, pose_prediction, cam_active,
-            allow_refresh=not light,
+            allow_refresh=not light, half_res=half_res,
         )
         return _pack_returns(pack, new_state, out)
 

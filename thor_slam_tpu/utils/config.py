@@ -89,6 +89,10 @@ class BackendConfig:
     #: the steady-state upload bytes; see TpuSlamEngine.light_ticks).
     #: None = engine auto (on for single-chip non-defer engines).
     light_ticks: bool | None = None
+    #: Ship light ticks 2x-downsampled (1/4 of a light tick's bytes; the
+    #: device upsamples). Costs some inter-keyframe subpixel precision —
+    #: for upload-bound links; see TpuSlamEngine.light_half_res.
+    light_half_res: bool = False
     #: IMU noise-model overrides (gyro_noise_density, gyro_random_walk,
     #: accel_noise_density, accel_random_walk, vis_rot_sigma,
     #: vis_pos_sigma, estimate_gyro_bias). Defaults are the reference's
@@ -187,6 +191,7 @@ class RunConfig:
                 if backend_d.get("light_ticks") is None
                 else bool(backend_d["light_ticks"])
             ),
+            light_half_res=bool(backend_d.get("light_half_res", False)),
             imu_noise=dict(backend_d.get("imu_noise", {})),
             tracker=dict(backend_d.get("tracker", {})),
         )
