@@ -321,14 +321,17 @@ def _bench_e2e_cadence(calibration, host_seq, seq_len, ticks, cadence_s=1.0 / 30
         next_k = k + 1
     engine.flush()
     wall = time.perf_counter() - t0
+    half = engine.light_half_active  # adaptive degrade fired during the row?
     engine.shutdown()
     # Adjacent link bound for THIS row's steady-state payload: light
-    # (left-only) ticks ship half a full tick's bytes, so the bound is
-    # 2x the full-tick probe. Without it a sick-tunnel reading is
-    # uninterpretable.
+    # (left-only) ticks ship half a full tick's bytes (bound 2x the
+    # full-tick probe); if the adaptive controller degraded them to
+    # half-res they ship 1/8 (bound 8x). Without it a sick-tunnel
+    # reading is uninterpretable.
     h, w = host_seq.shape[-2:]
     _mbps, full_bound = _h2d_probe(host_seq.shape[1], w, h)
-    return processed / wall, (wall - slept) / max(1, processed) * 1000.0, 2.0 * full_bound
+    bound = (8.0 if half else 2.0) * full_bound
+    return processed / wall, (wall - slept) / max(1, processed) * 1000.0, bound, half
 
 
 def _bench_e2e_deferred(calibration, host_seq, seq_len, warmup, frames):
@@ -603,6 +606,7 @@ def main() -> None:
     cadence_fps = None
     cadence_busy_ms = None
     cadence_bound = None
+    cadence_half = None
     if not skip_lowres:
         log("640x400 phase...")
         params4, setup4, calib4, sources4, _, _ = flagship_rig(
@@ -627,13 +631,14 @@ def main() -> None:
                 f"(bound {low_bound_d[1]:.1f})"
             )
             # The deployed regime: frames on the 30 fps camera clock.
-            cadence_fps, cadence_busy_ms, cadence_bound = _bench_e2e_cadence(
-                calib4, host4, seq_len, ticks=60
+            cadence_fps, cadence_busy_ms, cadence_bound, cadence_half = (
+                _bench_e2e_cadence(calib4, host4, seq_len, ticks=60)
             )
             log(
                 f"640x400 default @30fps cadence: {cadence_fps:.1f} fps wall, "
                 f"engine {cadence_busy_ms:.1f} ms/tick "
-                f"(light-tick link bound {cadence_bound:.1f} fps)"
+                f"(light-tick link bound {cadence_bound:.1f} fps"
+                + (", adaptive half-res engaged)" if cadence_half else ")")
             )
 
     # The bound each e2e figure answers to is the ADJACENT probe — the
@@ -670,6 +675,7 @@ def main() -> None:
         "transfer_bound_640x400_cadence_fps": (
             None if cadence_bound is None else round(cadence_bound, 1)
         ),
+        "cadence_adaptive_half_res_engaged": cadence_half,
         "transfer_bound_fps": round(bound_720[1], 1),
         "transfer_bound_640x400_fps": None if low_bound is None else round(low_bound[1], 1),
         "transfer_bound_640x400_default_fps": (

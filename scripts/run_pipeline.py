@@ -78,6 +78,7 @@ def run(
         devices=cfg.backend.devices,
         light_ticks=cfg.backend.light_ticks,
         light_half_res=cfg.backend.light_half_res,
+        adaptive_half_res=cfg.backend.adaptive_half_res,
         imu_noise=cfg.backend.imu_noise,
     )
     rig = CameraRig(
@@ -130,7 +131,7 @@ def run(
     try:
         rig.start()
         logger.info("Initializing engine (jit warm-up)...")
-        engine.initialize(rig.calibration, SlamConfig(num_cameras=cfg.num_cameras))
+        engine.initialize(rig.calibration, SlamConfig(num_cameras=cfg.num_cameras, expected_fps=cfg.fps))
 
         cam_cfg_by_ip = {c.ip: c for c in cfg.cameras}
         product_ext: dict[str, object] = {}

@@ -9,6 +9,10 @@ import os
 import random
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # force: tests never touch the real TPU
+# Don't compile the second (adaptive half-res) light executable in every
+# engine the suite constructs (~17 s each on CPU); the adaptive tests in
+# test_engine_light.py opt back in explicitly via adaptive_half_res=True.
+os.environ.setdefault("THOR_SLAM_TPU_ADAPTIVE_HALF", "0")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

@@ -177,8 +177,9 @@ class TestEngineLightScheduling:
             )
             eng.initialize(rig.calibration, tst.SlamConfig(num_cameras=4))
             sync = rig.get_synchronized_frames()
+            assert eng.light_half_active  # forced on by light_half_res=True
             full = eng._stage_list(sync, light=False)
-            lite = eng._stage_list(sync, light=True)
+            lite = eng._stage_list(sync, light=True, half=True)
             assert full[0].shape == (100, 160)
             assert lite[0].shape == (50, 80)
             assert len(lite) == len(full) // 2
@@ -190,3 +191,75 @@ class TestEngineLightScheduling:
         # stored and the resolver path exists (full init needs 2 devices).
         assert eng._light_requested is True
         assert eng._light is False  # not yet resolved
+
+
+class TestAdaptiveHalfRes:
+    """Degrade-to-keep-up: light ticks fall back to half-res staging when
+    the engine cannot keep the camera cadence, and recover with hysteresis
+    (TpuSlamEngine.adaptive_half_res; no reference equivalent — the
+    reference's on-camera ASIC never contends with SLAM compute)."""
+
+    def test_suite_default_is_off(self):
+        # conftest sets THOR_SLAM_TPU_ADAPTIVE_HALF=0 so the suite's
+        # hundreds of engines don't each compile a second light executable.
+        eng = TpuSlamEngine(light_ticks=True)
+        assert eng._adaptive_requested is False
+
+    def test_forced_half_res_disables_adaptivity(self):
+        sources, rig_ext, world, traj = _rig()
+        with tst.CameraRig(
+            sources, rig_extrinsics=rig_ext, imu_source=sources[0].name
+        ) as rig:
+            eng = TpuSlamEngine(
+                params=dict(max_keypoints=128), light_ticks=True,
+                light_half_res=True, adaptive_half_res=True,
+            )
+            eng.initialize(rig.calibration, tst.SlamConfig(num_cameras=4))
+            assert eng._adaptive_half is False  # already pinned at half
+            assert eng.light_half_active is True
+            assert set(eng._step_light) == {True}  # one executable only
+            eng.shutdown()
+
+    @pytest.mark.slow
+    def test_degrades_under_overload_then_recovers(self):
+        """Overload (budget ≪ tick time) flips light ticks to half-res
+        after the up-streak; slack (budget ≫ tick time) restores full-res
+        after the down-streak. Tracking survives both switches mid-stream
+        at pipeline depth 2."""
+        sources, rig_ext, world, traj = _rig()
+        with tst.CameraRig(
+            sources, rig_extrinsics=rig_ext, imu_source=sources[0].name
+        ) as rig:
+            eng = TpuSlamEngine(
+                params=dict(max_keypoints=128), light_ticks=True,
+                adaptive_half_res=True, pipelined=True, pipeline_depth=2,
+            )
+            # Absurd camera rate -> every tick is over budget.
+            eng.initialize(
+                rig.calibration,
+                tst.SlamConfig(num_cameras=4, expected_fps=1e6),
+            )
+            assert eng._adaptive_half is True
+            assert set(eng._step_light) == {False, True}  # both compiled
+            assert not eng.light_half_active
+            eng._adapt_up_ticks = 3
+            eng._adapt_down_ticks = 4
+            half_light_ticks = 0
+            pose = None
+            for i in range(24):
+                p = eng.process_frames(rig.get_synchronized_frames())
+                pose = p or pose
+                if eng.last_diagnostics.get("light_tick") and eng.light_half_active:
+                    half_light_ticks += 1
+            assert eng.light_half_active, "controller never degraded"
+            assert half_light_ticks > 0, "no light tick shipped half-res"
+            assert pose is not None and np.all(np.isfinite(pose.position))
+            # Recovery: a huge budget puts every tick far under 45%.
+            eng._cadence_budget_s = 1e6
+            for i in range(12):
+                p = eng.process_frames(rig.get_synchronized_frames())
+                pose = p or pose
+            assert not eng.light_half_active, "controller never recovered"
+            eng.flush()
+            assert np.all(np.isfinite(pose.position))
+            eng.shutdown()

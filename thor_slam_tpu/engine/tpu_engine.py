@@ -18,6 +18,7 @@ Host responsibilities (everything the device graph can't do):
 from __future__ import annotations
 
 import logging
+import os
 import time
 from collections import deque
 
@@ -161,6 +162,26 @@ class TpuSlamEngine(SlamEngine):
             some subpixel precision between keyframes (measure with the
             flagship ATE benchmark before enabling in an accuracy-
             critical deployment). Requires even frame dimensions.
+        adaptive_half_res: Degrade-to-keep-up controller (None = on, the
+            product default; ``THOR_SLAM_TPU_ADAPTIVE_HALF=0`` flips the
+            None-resolution off for test harnesses that cannot afford the
+            second light-executable compile per engine).
+            The engine measures its busy wall time per tick against the
+            camera period (``SlamConfig.expected_fps``); when the EMA
+            stays over budget it switches LIGHT ticks to half-res staging
+            (the ``light_half_res`` path) instead of silently falling
+            behind the rig and dropping whole frames — on an upload-bound
+            link, half-quality observations at full rate beat full-quality
+            observations at a third of the rate. Recovers to full-res
+            after a sustained under-budget stretch (wide hysteresis, so a
+            flapping link doesn't oscillate the quality level). Both light
+            executables are compiled at :meth:`initialize`, so the switch
+            itself never pays a mid-flight jit. Inactive when
+            ``light_half_res`` is already forced on, when light ticks are
+            off, or when frame dims are odd. The reference has no
+            equivalent (its on-camera ASIC never contends with SLAM
+            compute for the link); this is the failure-recovery discipline
+            of SURVEY.md §5.3 applied to link overload.
         auto_relocalize: When a LOADED map's place database is present and
             the state machine reaches LOST, arm relocalization
             automatically (the cuVSLAM contract: relocalize against the
@@ -211,6 +232,7 @@ class TpuSlamEngine(SlamEngine):
         light_ticks: bool | None = None,
         light_max_interval: int = 4,
         light_half_res: bool = False,
+        adaptive_half_res: bool | None = None,
         auto_relocalize: bool = True,
         reloc_attempt_interval: int = 3,
         imu_noise: dict | None = None,
@@ -296,11 +318,33 @@ class TpuSlamEngine(SlamEngine):
         self._light = False  # resolved at initialize()
         self._light_half_requested = bool(light_half_res)
         self._light_half = False  # resolved at initialize()
+        if adaptive_half_res is None:
+            # Default ON. The env escape hatch exists for test harnesses:
+            # adaptivity compiles a second light executable at initialize,
+            # which a CPU-backend suite constructing hundreds of engines
+            # cannot afford (tests/conftest.py sets it; dedicated adaptive
+            # tests opt back in explicitly).
+            adaptive_half_res = (
+                os.environ.get("THOR_SLAM_TPU_ADAPTIVE_HALF", "1") != "0"
+            )
+        self._adaptive_requested = bool(adaptive_half_res)
+        self._adaptive_half = False  # resolved at initialize()
+        #: Runtime quality level for light ticks (True = half-res staging).
+        self._half_active = False
+        # Cadence controller state (see _update_cadence). The streak
+        # thresholds are instance attributes so tests can tighten them.
+        self._cadence_budget_s: float | None = None
+        self._busy_ema: float | None = None
+        self._over_streak = 0
+        self._under_streak = 0
+        self._adapt_up_ticks = 6  # consecutive over-budget EMAs to degrade
+        self._adapt_down_ticks = 120  # sustained slack to restore full-res
         self._light_max_interval = max(1, int(light_max_interval))
         self._ticks_since_full = 0
         self._last_kf_odom: np.ndarray | None = None
-        self._step_light = None
-        self._assemble_light = None
+        #: Light-step executables / assemblers keyed by half-res flag.
+        self._step_light: dict[bool, object] = {}
+        self._assemble_light: dict[bool, object] = {}
         # MAP-frame correction of the tracker's smooth ODOM frame:
         # world(map)_T_world(odom). Loop closures compose into this
         # transform instead of rewriting the live tracker state — the
@@ -442,19 +486,41 @@ class TpuSlamEngine(SlamEngine):
             logger.warning("light_ticks under defer_sync is pointless; disabled")
             light = False
         self._light = light
+        even_dims = not (height % 2 or width % 2)
         light_half = light and self._light_half_requested
-        if light_half and (height % 2 or width % 2):
+        if light_half and not even_dims:
             logger.warning(
                 "light_half_res needs even frame dimensions (%dx%d); disabled",
                 width, height,
             )
             light_half = False
         self._light_half = light_half
+        # Adaptive degrade-to-keep-up needs BOTH light variants compiled
+        # (the switch must never pay a mid-flight jit) and is moot when
+        # half-res is already forced on.
+        self._adaptive_half = (
+            self._adaptive_requested and light and even_dims and not light_half
+        )
+        self._half_active = light_half
+        self._busy_ema = None
+        self._over_streak = 0
+        self._under_streak = 0
+        self._cadence_budget_s = None
+        fps = getattr(self._config, "expected_fps", 0.0) or 0.0
+        if self._adaptive_half and fps > 0:
+            self._cadence_budget_s = 1.0 / float(fps)
+        else:
+            self._adaptive_half = False
+        light_variants: list[bool] = []
         if light:
-            self._step_light = trk.make_track_step(
+            light_variants = [light_half] if not self._adaptive_half else [False, True]
+        self._step_light = {
+            h: trk.make_track_step(
                 self._params, setup, donate=True, pack=pack_mode, light=True,
-                half_res=light_half,
+                half_res=h,
             )
+            for h in light_variants
+        }
         self._tracker_state = self._make_state()
         c_ = self._params.num_cams
         self._zero_img = np.zeros((height, width), np.uint8)
@@ -463,12 +529,15 @@ class TpuSlamEngine(SlamEngine):
         self._assemble = jax.jit(
             lambda flat: jnp.stack(flat).reshape(c_, 2, height, width)
         )
-        if self._light:
-            lh, lw = (height // 2, width // 2) if self._light_half else (height, width)
-            self._light_shape = (lh, lw)
-            self._zero_img_light = np.zeros((lh, lw), np.uint8)
-            self._assemble_light = jax.jit(
-                lambda flat: jnp.stack(flat).reshape(c_, 1, lh, lw)
+        self._assemble_light = {}
+        self._zero_img_light = {}
+        self._light_shape = {}
+        for h in light_variants:
+            lh, lw = (height // 2, width // 2) if h else (height, width)
+            self._light_shape[h] = (lh, lw)
+            self._zero_img_light[h] = np.zeros((lh, lw), np.uint8)
+            self._assemble_light[h] = jax.jit(
+                lambda flat, lh=lh, lw=lw: jnp.stack(flat).reshape(c_, 1, lh, lw)
             )
         if self._enable_ba:
             # Async BA write-back: corrections land on the LIVE state as a
@@ -495,7 +564,9 @@ class TpuSlamEngine(SlamEngine):
 
                 target = NamedSharding(self._mesh, PartitionSpec())
             self._uploader = DoubleBufferedUploader(
-                stage_fn=lambda item: self._stage_list(item[0], light=item[1]),
+                stage_fn=lambda item: self._stage_list(
+                    item[0], light=item[1], half=item[2]
+                ),
                 device=target,
             )
         self._keyframe_poses = []
@@ -541,17 +612,19 @@ class TpuSlamEngine(SlamEngine):
         for pred, mask in warm_variants:
             outs = self._step(self._make_state(), dummy(), pred, mask)
             jax.block_until_ready(outs[2])  # the packed vector
-        if self._light:
-            # The light step is its own (smaller) executable: same warm-up
-            # discipline, left-only (possibly half-res) images.
-            lh, lw = self._light_shape
+        for h, step_h in self._step_light.items():
+            # Each light variant is its own (smaller) executable: same
+            # warm-up discipline, left-only (possibly half-res) images.
+            lh, lw = self._light_shape[h]
 
-            def dummy_light():
+            def dummy_light(lh=lh, lw=lw):
                 return jnp.zeros((c_, 1, lh, lw), jnp.uint8)
 
-            jax.block_until_ready(self._assemble_light([self._zero_img_light] * c_))
+            jax.block_until_ready(
+                self._assemble_light[h]([self._zero_img_light[h]] * c_)
+            )
             for pred, mask in warm_variants:
-                outs = self._step_light(self._make_state(), dummy_light(), pred, mask)
+                outs = step_h(self._make_state(), dummy_light(), pred, mask)
                 jax.block_until_ready(outs[2])
         if self._enable_ba:
             # Warm the async BA write-back too (donates its state — uses a
@@ -568,11 +641,20 @@ class TpuSlamEngine(SlamEngine):
         if self._step is None:
             raise RuntimeError("initialize() must be called before process_frames()")
 
+        t_in = time.perf_counter() if self._adaptive_half else None
         light = self._schedule_light()
-        assemble = self._assemble_light if light else self._assemble
+        half = light and self._half_active
+        assemble = self._assemble_light[half] if light else self._assemble
         if not self._pipelined:
-            images = assemble(jax.device_put(self._stage_list(frame_set, light)))
-            return self._finalize_tick(self._dispatch_tick(images, frame_set, light))
+            images = assemble(
+                jax.device_put(self._stage_list(frame_set, light, half))
+            )
+            pose = self._finalize_tick(
+                self._dispatch_tick(images, frame_set, light, half)
+            )
+            if t_in is not None:
+                self._update_cadence(time.perf_counter() - t_in)
+            return pose
 
         # Pipelined: stage/upload tick k on the uploader thread while the
         # device still computes earlier ticks and the host finalizes them.
@@ -580,12 +662,14 @@ class TpuSlamEngine(SlamEngine):
         # defer_sync: never sync mid-stream — on hosted/tunneled TPUs even
         # small per-tick device_gets permanently degrade h2d throughput
         # (measured); flush() fetches every tick's outputs in ONE transfer.
-        self._uploader.submit((frame_set, light))
+        self._uploader.submit((frame_set, light, half))
         pose = None
         if not self._defer_sync and len(self._pending_q) >= self._pipeline_depth:
             pose = self._finalize_ready()
         images = assemble(self._uploader.get())
-        self._pending_q.append(self._dispatch_tick(images, frame_set, light))
+        self._pending_q.append(self._dispatch_tick(images, frame_set, light, half))
+        if t_in is not None:
+            self._update_cadence(time.perf_counter() - t_in)
         return pose
 
     def flush(self) -> SlamPose | None:
@@ -647,8 +731,70 @@ class TpuSlamEngine(SlamEngine):
             return False
         return True
 
+    @property
+    def light_half_active(self) -> bool:
+        """True while light ticks ship half-res (forced or adaptive)."""
+        return bool(self._half_active)
+
+    def _update_cadence(self, busy_s: float) -> None:
+        """Degrade-to-keep-up controller (see ``adaptive_half_res``).
+
+        ``busy_s`` is the wall time this tick spent INSIDE
+        :meth:`process_frames` — on an upload-bound link that is where the
+        overload shows up (staging handoff, ``device_put`` backpressure,
+        finalize fetch waits). The budget is the camera period: a consumer
+        that is busy longer than the inter-frame gap cannot keep the rig's
+        cadence and the sync loop starts dropping frames (reference
+        rig.get_synchronized_frames returns the newest match — a slow
+        consumer silently loses observations, it does not queue them).
+
+        EMA over ~5 ticks; degrade after ``_adapt_up_ticks`` consecutive
+        over-budget readings, restore after ``_adapt_down_ticks``
+        consecutive readings under 45% of budget. The asymmetry is
+        deliberate: dropping quality is urgent (every late tick is a lost
+        camera frame), restoring it is not, and a link that flaps around
+        the threshold should settle at half-res, not oscillate.
+        """
+        budget = self._cadence_budget_s
+        if budget is None:
+            return
+        ema = self._busy_ema
+        self._busy_ema = busy_s if ema is None else 0.8 * ema + 0.2 * busy_s
+        if not self._half_active:
+            if self._busy_ema > 0.92 * budget:
+                self._over_streak += 1
+                if self._over_streak >= self._adapt_up_ticks:
+                    self._half_active = True
+                    self._over_streak = 0
+                    self._under_streak = 0
+                    logger.warning(
+                        "cadence %.1f ms/tick over the %.1f ms camera period: "
+                        "light ticks now ship half-res (adaptive_half_res)",
+                        1e3 * self._busy_ema, 1e3 * budget,
+                    )
+            else:
+                self._over_streak = 0
+        else:
+            if self._busy_ema < 0.45 * budget:
+                self._under_streak += 1
+                if self._under_streak >= self._adapt_down_ticks:
+                    self._half_active = False
+                    self._under_streak = 0
+                    self._over_streak = 0
+                    logger.info(
+                        "cadence recovered (%.1f ms/tick vs %.1f ms budget): "
+                        "light ticks back to full-res",
+                        1e3 * self._busy_ema, 1e3 * budget,
+                    )
+            else:
+                self._under_streak = 0
+
     def _dispatch_tick(
-        self, images: jnp.ndarray, frame_set: SynchronizedFrameSet, light: bool = False
+        self,
+        images: jnp.ndarray,
+        frame_set: SynchronizedFrameSet,
+        light: bool = False,
+        half: bool = False,
     ) -> dict:
         """Front half of a tick: IMU ingest/prediction + async step dispatch.
 
@@ -691,7 +837,7 @@ class TpuSlamEngine(SlamEngine):
 
         # The raw output tuple may alias donated state buffers (invalid
         # after the NEXT dispatch) — only the packed vectors are retained.
-        step = self._step_light if light else self._step
+        step = self._step_light[half] if light else self._step
         self._ticks_since_full = self._ticks_since_full + 1 if light else 0
         outs = step(self._tracker_state, images, pose_prediction, cam_active)
         self._tracker_state = outs[0]
@@ -1000,7 +1146,10 @@ class TpuSlamEngine(SlamEngine):
         return self._state_enum
 
     def _stage_list(
-        self, frame_set: SynchronizedFrameSet, light: bool = False
+        self,
+        frame_set: SynchronizedFrameSet,
+        light: bool = False,
+        half: bool = False,
     ) -> list[np.ndarray]:
         """Stage the tick as a ZERO-COPY list of per-imager host arrays.
 
@@ -1023,8 +1172,8 @@ class TpuSlamEngine(SlamEngine):
         bytes.
         """
         per = 1 if light else 2
-        zero = self._zero_img_light if light else self._zero_img
-        down = self._light_half and light
+        zero = self._zero_img_light[half] if light else self._zero_img
+        down = half and light
         flat: list[np.ndarray] = []
         for name in self._source_order:
             fs = frame_set.frame_sets.get(name)

@@ -93,6 +93,11 @@ class BackendConfig:
     #: device upsamples). Costs some inter-keyframe subpixel precision —
     #: for upload-bound links; see TpuSlamEngine.light_half_res.
     light_half_res: bool = False
+    #: Degrade-to-keep-up: when the engine's busy time per tick exceeds
+    #: the camera period (global fps), switch light ticks to half-res
+    #: staging instead of dropping frames; restore with hysteresis. See
+    #: TpuSlamEngine.adaptive_half_res.
+    adaptive_half_res: bool = True
     #: IMU noise-model overrides (gyro_noise_density, gyro_random_walk,
     #: accel_noise_density, accel_random_walk, vis_rot_sigma,
     #: vis_pos_sigma, estimate_gyro_bias). Defaults are the reference's
@@ -192,6 +197,7 @@ class RunConfig:
                 else bool(backend_d["light_ticks"])
             ),
             light_half_res=bool(backend_d.get("light_half_res", False)),
+            adaptive_half_res=bool(backend_d.get("adaptive_half_res", True)),
             imu_noise=dict(backend_d.get("imu_noise", {})),
             tracker=dict(backend_d.get("tracker", {})),
         )
