@@ -4,6 +4,14 @@ Target (BASELINE.md / BASELINE.json): >= 60 FPS tracking of a 4x720p stereo
 rig per chip — ``vs_baseline`` is measured FPS / 60. Prints exactly one
 JSON line.
 
+Structure (round-5 rework): the cheap, link-immune device phases run
+FIRST and every phase writes its numbers into the result dict the moment
+it finishes. A wall-clock budget (``BENCH_BUDGET_S``, default 900 s)
+skips remaining phases when exceeded, and SIGTERM/SIGALRM print the JSON
+with whatever completed (nulls elsewhere) — so one sick-tunnel e2e phase
+can never starve the run of a number of record (round 4's failure mode:
+rc=124 with the headline never reached).
+
 Numbers measured and reported in that line:
 
 * ``value`` (the headline) — chip-rate tracked FPS at 4x1280x720: the
@@ -14,20 +22,31 @@ Numbers measured and reported in that line:
   (one jit call per frame). On a PCIe host this converges to ``value``;
   through the tunneled dev TPU it additionally pays a network round trip
   per dispatch, so it mostly measures the link.
+* ``tsdf_scan_ms_per_frame`` — TSDF integration with N frames fused into
+  ONE dispatch (``make_scan_integrator``): RTT cannot serialize it, so it
+  measures the kernel. Compare against ``tsdf_integrate_640x400_ms``
+  (per-dispatch streaming): a large gap is the relay's per-dispatch
+  latency, not integration cost.
 * ``e2e_fps`` — online end-to-end FPS through
   ``TpuSlamEngine.process_frames`` fed host-resident uint8 frames at
   4x1280x720 (staging, pipelined upload, step, pose readback) in the
   VO-streaming configuration — what the reference's loop FPS measures
   (reference run_slam.py:324-328).
 * ``e2e_default_fps`` — the same loop with the DEFAULT-featured engine:
-  BA + IMU fusion + loop closure on, pipelined depth-1 (the shipped
+  BA + IMU fusion + loop closure on, pipelined (the shipped
   config/slam_config.yaml backend section). This is the number a robot
   actually gets.
-* ``e2e_640x400_fps`` — VO-streaming e2e at 4x640x400, the reference's
-  deployed resolution (reference config/slam_config.yaml).
+* ``e2e_640x400_*`` — the reference's deployed resolution
+  (reference config/slam_config.yaml), including the 30 fps camera-clock
+  cadence row (``_bench_e2e_cadence``) — the single most
+  product-representative row in this file.
 * ``transfer_bound_*`` — measured host->device link ceilings from probes
   INTERLEAVED with the phases (the tunnel's health drifts; each e2e
-  number is paired with the bound measured adjacent to it).
+  number is paired with the bound measured adjacent to it). Max-drive
+  rows run with ``adaptive_half_res=False`` (they measure capacity at a
+  PINNED quality level); every row also reports its actual per-tick
+  payload mix (``engine.upload_stats``) so its bound is computed from
+  the bytes that actually shipped.
 
 On tunneled/hosted TPUs every e2e number is TRANSFER-bound, not
 compute-bound: compare each against its own bound. On a PCIe-attached
@@ -38,8 +57,14 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import sys
 import time
+import traceback
+
+
+class BenchInterrupted(Exception):
+    """Raised by the SIGTERM/SIGALRM handlers to unwind the current phase."""
 
 
 def _palindrome(i: int, n: int) -> int:
@@ -211,22 +236,41 @@ def _make_sync_factory(calibration, host_seq, seq_len, fps_nominal, with_imu):
     return make_sync
 
 
+def _payload_stats(stats_after: dict, stats_before: dict) -> dict:
+    """Per-tick payload mix of a timed window (diff of engine.upload_stats)."""
+    d = {k: stats_after[k] - stats_before[k] for k in stats_after}
+    ticks = d["full"] + d["light"] + d["light_half"]
+    d["ticks"] = ticks
+    d["mean_bytes_per_tick"] = d["bytes"] / ticks if ticks else 0.0
+    return d
+
+
 def _bench_e2e(calibration, host_seq, seq_len, warmup, frames, mode):
     """End-to-end FPS through TpuSlamEngine.process_frames.
 
     mode="stream": pipelined depth-N pure-VO streaming (remote-TPU
     throughput configuration). mode="default": the shipped engine —
-    BA + IMU + loop closure on, synchronous per-tick pose.
+    BA + IMU + loop closure on.
+
+    Both are MAX-DRIVE capacity rows, so the adaptive degrade-to-keep-up
+    controller is pinned OFF (``adaptive_half_res=False``): a capacity
+    measurement at a silently varying quality level is uninterpretable
+    (round 4's stream/default rows measured a mid-run full/half mix).
+    The deployed controller is measured by ``_bench_e2e_cadence`` instead.
+
+    Returns (best_fps, diagnostics, mid_bound, payload) where ``payload``
+    is the timed window's actual per-tick byte mix (engine.upload_stats
+    diff) — the row's bound should be computed from these bytes.
     """
     from thor_slam_tpu.engine.tpu_engine import TpuSlamEngine
     from thor_slam_tpu.slam.interface import SlamConfig
 
     n_src = len(calibration.source_names)
+    depth = int(os.environ.get("BENCH_PIPELINE_DEPTH", "6"))
     if mode == "stream":
-        depth = int(os.environ.get("BENCH_PIPELINE_DEPTH", "6"))
         engine = TpuSlamEngine(
             params=dict(max_keypoints=256), use_imu=False, enable_ba=False,
-            pipelined=True, pipeline_depth=depth,
+            pipelined=True, pipeline_depth=depth, adaptive_half_res=False,
         )
         config = SlamConfig(num_cameras=2 * n_src, enable_loop_closure=False)
         with_imu = False
@@ -237,23 +281,22 @@ def _bench_e2e(calibration, host_seq, seq_len, warmup, frames, mode):
         # device deltas, so the FULL feature set streams at depth > 1 —
         # per-tick host syncs (the old 3.6 FPS limiter on tunneled TPUs)
         # are batched across the pipeline instead.
-        depth = int(os.environ.get("BENCH_PIPELINE_DEPTH", "6"))
         engine = TpuSlamEngine(
-            params=dict(max_keypoints=256), pipelined=True, pipeline_depth=depth,
+            params=dict(max_keypoints=256), pipelined=True,
+            pipeline_depth=depth, adaptive_half_res=False,
         )
         config = SlamConfig(num_cameras=2 * n_src, enable_loop_closure=True)
         with_imu = True
 
     make_sync = _make_sync_factory(calibration, host_seq, seq_len, 30.0, with_imu)
     engine.initialize(calibration, config)
-    base = 0
     for i in range(warmup):
         engine.process_frames(make_sync(i))
     engine.flush()
     base = warmup
     best = 0.0
     mid_bound = None
-    n_src = len(calibration.source_names)
+    s0 = dict(engine.upload_stats)
     h, w = host_seq.shape[-2:]
     for trial in range(2):
         t0 = time.perf_counter()
@@ -266,9 +309,10 @@ def _bench_e2e(calibration, host_seq, seq_len, warmup, frames, mode):
             # Probe BETWEEN the trials: the link state the phase itself
             # ran against, not the pre/post neighborhood.
             mid_bound = _h2d_probe(n_src, w, h)
+    payload = _payload_stats(engine.upload_stats, s0)
     diag = dict(engine.last_diagnostics)
     engine.shutdown()
-    return best, diag, mid_bound
+    return best, diag, mid_bound, payload
 
 
 def _bench_e2e_cadence(calibration, host_seq, seq_len, ticks, cadence_s=1.0 / 30.0):
@@ -286,9 +330,16 @@ def _bench_e2e_cadence(calibration, host_seq, seq_len, ticks, cadence_s=1.0 / 30
     is self-reinforcing (measured 452 ms/tick in the no-drop variant vs
     42 ms/tick for the same engine with inter-frame gaps).
 
-    Returns (delivered_fps, busy_ms_per_processed_tick, light_bound_fps).
-    ``delivered_fps`` counts processed frames over the wall time — 30
-    means every camera frame was tracked, lower means drops.
+    This row keeps the adaptive controller ARMED — it measures the
+    deployed configuration, controller included — and latches the actual
+    payload mix (full/light/half tick counts + bytes) over the timed
+    window, so the reported bound reflects what really shipped.
+
+    Returns (delivered_fps, busy_ms_per_processed_tick, bound_fps,
+    payload). ``delivered_fps`` counts processed frames over the wall
+    time — 30 means every camera frame was tracked, lower means drops.
+    ``bound_fps`` is the adjacent link probe divided by the window's
+    MEASURED mean bytes/tick (not a nominal 2x/8x guess).
     """
     from thor_slam_tpu.engine.tpu_engine import TpuSlamEngine
     from thor_slam_tpu.slam.interface import SlamConfig
@@ -306,6 +357,7 @@ def _bench_e2e_cadence(calibration, host_seq, seq_len, ticks, cadence_s=1.0 / 30
     slept = 0.0
     processed = 0
     next_k = 0
+    s0 = dict(engine.upload_stats)
     t0 = time.perf_counter()
     while next_k < ticks:
         now = time.perf_counter()
@@ -321,25 +373,27 @@ def _bench_e2e_cadence(calibration, host_seq, seq_len, ticks, cadence_s=1.0 / 30
         next_k = k + 1
     engine.flush()
     wall = time.perf_counter() - t0
-    half = engine.light_half_active  # adaptive degrade fired during the row?
+    payload = _payload_stats(engine.upload_stats, s0)
     engine.shutdown()
-    # Adjacent link bound for THIS row's steady-state payload: light
-    # (left-only) ticks ship half a full tick's bytes (bound 2x the
-    # full-tick probe); if the adaptive controller degraded them to
-    # half-res they ship 1/8 (bound 8x). Without it a sick-tunnel
-    # reading is uninterpretable.
+    # Adjacent link bound from the MEASURED payload: probe the full-tick
+    # rate now, scale by full-tick bytes over the window's actual mean
+    # bytes/tick. Latched over the whole row (a degrade on the last few
+    # ticks no longer mislabels the row — ADVICE r4).
     h, w = host_seq.shape[-2:]
-    _mbps, full_bound = _h2d_probe(host_seq.shape[1], w, h)
-    bound = (8.0 if half else 2.0) * full_bound
-    return processed / wall, (wall - slept) / max(1, processed) * 1000.0, bound, half
+    mbps, _full_bound = _h2d_probe(host_seq.shape[1], w, h)
+    if payload["mean_bytes_per_tick"] > 0:
+        bound = mbps * 1e6 / payload["mean_bytes_per_tick"]
+    else:
+        bound = float("nan")
+    return processed / wall, (wall - slept) / max(1, processed) * 1000.0, bound, payload
 
 
 def _bench_e2e_deferred(calibration, host_seq, seq_len, warmup, frames):
     """Offline/dataset-replay e2e FPS (defer_sync: one readback at flush).
 
-    Runs FIRST: on hosted TPUs per-tick device_gets in the online modes
-    degrade the process's h2d throughput, which would contaminate this
-    measurement (but not vice versa).
+    Runs before the online e2e modes: on hosted TPUs per-tick device_gets
+    in the online modes degrade the process's h2d throughput, which would
+    contaminate this measurement (but not vice versa).
     """
     from thor_slam_tpu.engine.tpu_engine import TpuSlamEngine
     from thor_slam_tpu.slam.interface import SlamConfig
@@ -422,7 +476,7 @@ def _bench_sgm(width=640, height=400, num_disparities=64, reps=40):
     return (time.perf_counter() - t0) / reps * 1000.0
 
 
-def _bench_mapping(width=640, height=400, reps=10, stream_frames=30):
+def _bench_mapping(width=640, height=400, reps=10, stream_frames=30, scan_frames=16):
     """Dense-mapping rates at the deployed nvblox geometry.
 
     The nvblox-node role (reference launch/thor_nvblox.launch.py:62-91):
@@ -430,25 +484,30 @@ def _bench_mapping(width=640, height=400, reps=10, stream_frames=30):
     256x256x128 grid at 5 cm, plus the export ops (Surface-Nets mesh,
     exact 2D ESDF costmap slice).
 
-    The integrate figure is the STREAMING rate the DenseMapper actually
-    runs at: grid buffers donated through every frame (no ~100 MB
-    alloc/free churn — the round-3 reading paid ~200 ms/frame for exactly
-    that), device-resident depth/color (the ``fetch=False`` product
-    contract), distinct pose + frame per tick (nothing for the tunnel
-    relay to memoize), one block at the end.
+    Two TSDF figures:
+
+    * ``integrate_ms`` — per-dispatch streaming (the DenseMapper path:
+      donated grids, device-resident depth/color, pre-staged poses). On
+      a tunneled TPU this can still pay per-dispatch relay latency.
+    * ``scan_ms`` — ``scan_frames`` integrations fused into ONE dispatch
+      (``make_scan_integrator``). RTT cannot serialize it, so it is the
+      kernel's true rate; a large integrate_ms/scan_ms ratio MEASURES the
+      relay's per-dispatch cost (round 3/4's ~198 ms/frame attribution,
+      now evidence instead of hypothesis).
     """
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from thor_slam_tpu.mapping import (
-        GridSpec, extract_mesh, make_grid, make_integrator,
+        GridSpec, extract_mesh, make_grid, make_integrator, make_scan_integrator,
     )
     from thor_slam_tpu.mapping.esdf import esdf_slice_2d
 
     spec = GridSpec()  # the deployed parameters
     integ_stream = make_integrator(spec, donate=True)
     integ_keep = make_integrator(spec)  # ESDF phase keeps distinct grids
+    integ_scan = make_scan_integrator(spec, donate=True)
     rng = np.random.default_rng(0)
     n_distinct = 8  # distinct device-resident frames, cycled
     depths = [
@@ -476,15 +535,29 @@ def _bench_mapping(width=640, height=400, reps=10, stream_frames=30):
     # product the pose is a 64-byte jit operand riding the dispatch
     # (free on a PCIe host); pre-staging measures the kernel, not the
     # relay's small-message latency.
-    poses_dev = jnp.asarray(
-        np.stack([pose_host(i) for i in range(stream_frames + reps + 2)])
-    )
+    n_poses = max(stream_frames + reps + 2, scan_frames + 1)
+    poses_dev = jnp.asarray(np.stack([pose_host(i) for i in range(n_poses)]))
     intr_dev = jnp.asarray(intr4)
 
     def pose(i):
         return poses_dev[i]
 
-    # Warm both compilations on a throwaway grid (donated: never reused).
+    # ---- Scanned integration FIRST (one dispatch, RTT-immune): the
+    # kernel's number exists even if the tunnel eats everything after.
+    depths_stack = jnp.stack([depths[i % n_distinct] for i in range(scan_frames)])
+    colors_stack = jnp.stack([colors[i % n_distinct] for i in range(scan_frames)])
+    poses_stack = poses_dev[:scan_frames]
+    g = integ_scan(
+        make_grid(spec, origin_m=(-6.4, -6.4, -3.2)),
+        depths_stack, colors_stack, poses_stack, intr_dev,
+    )
+    jax.block_until_ready(g.weight)  # compile + warm
+    t0 = time.perf_counter()
+    g = integ_scan(g, depths_stack, colors_stack, poses_stack, intr_dev)
+    jax.block_until_ready(g.weight)
+    scan_ms = (time.perf_counter() - t0) / scan_frames * 1000.0
+
+    # Warm both per-frame compilations on a throwaway grid.
     grid_warm = integ_keep(
         make_grid(spec, origin_m=(-6.4, -6.4, -3.2)),
         depths[0], colors[0], pose(0), intr_dev,
@@ -496,7 +569,7 @@ def _bench_mapping(width=640, height=400, reps=10, stream_frames=30):
     )
     jax.block_until_ready(g.weight)
 
-    # Streaming phase: the sensor-rate number.
+    # Streaming phase: the per-dispatch sensor-rate number.
     grid = make_grid(spec, origin_m=(-6.4, -6.4, -3.2))
     grid = integ_stream(grid, depths[0], colors[0], pose(0), intr_dev)
     jax.block_until_ready(grid.weight)
@@ -531,7 +604,7 @@ def _bench_mapping(width=640, height=400, reps=10, stream_frames=30):
     outs = [esdf_slice_2d(g.tsdf, g.weight, **args)[0] for g in grids]
     jax.block_until_ready(outs)
     esdf_ms = (time.perf_counter() - t0) / len(grids) * 1000.0
-    return integrate_ms, mesh_ms, esdf_ms, len(mesh.vertices)
+    return integrate_ms, scan_ms, mesh_ms, esdf_ms, len(mesh.vertices)
 
 
 def main() -> None:
@@ -541,14 +614,78 @@ def main() -> None:
     warmup = int(os.environ.get("BENCH_WARMUP", "5"))
     frames = int(os.environ.get("BENCH_FRAMES", "60"))
     seq_len = int(os.environ.get("BENCH_SEQ", "12"))
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "900"))
     skip_lowres = os.environ.get("BENCH_SKIP_640", "") == "1"
     skip_default = os.environ.get("BENCH_SKIP_DEFAULT", "") == "1"
+
+    def log(msg):
+        print(f"bench: {msg}", file=sys.stderr, flush=True)
+
+    # The result dict is COMPLETE from the start (every key present,
+    # values null) and printed no matter what finishes — a number of
+    # record must survive a sick tunnel, a budget overrun, or a SIGTERM.
+    result = {
+        "metric": (
+            f"{num_cams}x{width}x{height}-stereo tracked FPS/chip "
+            f"(lax.scan, {frames} ticks/dispatch)"
+        ),
+        "value": None,
+        "unit": "fps",
+        "vs_baseline": None,
+        "device_tick_fps": None,
+        "num_inliers_scan_last": None,
+        "num_inliers_last": None,
+        "e2e_fps": None,
+        "e2e_vs_baseline": None,
+        "e2e_deferred_fps": None,
+        "e2e_default_fps": None,
+        "e2e_640x400_fps": None,
+        "e2e_640x400_default_fps": None,
+        "e2e_640x400_default_30fps_cadence_fps": None,
+        "e2e_640x400_default_cadence_engine_ms": None,
+        "transfer_bound_640x400_cadence_fps": None,
+        "cadence_payload": None,
+        "transfer_bound_fps": None,
+        "transfer_bound_640x400_fps": None,
+        "transfer_bound_640x400_default_fps": None,
+        "payload_per_row": {},
+        "h2d_MBps": {},
+        "sgm_640x400_64_ms": None,
+        "tsdf_integrate_640x400_ms": None,
+        "tsdf_scan_ms_per_frame": None,
+        "mesh_extract_ms": None,
+        "esdf_slice_ms": None,
+        "phase_s": {},
+        "phases_skipped": [],
+        "budget_s": budget_s,
+        "device": None,
+    }
+    printed = {"done": False}
+
+    def emit():
+        if not printed["done"]:
+            printed["done"] = True
+            print(json.dumps(result), flush=True)
+
+    def _on_signal(signum, frame):
+        raise BenchInterrupted(signum)
+
+    signal.signal(signal.SIGTERM, _on_signal)
+    signal.signal(signal.SIGALRM, _on_signal)
+    # In-process backstop slightly inside the external budget: unwind the
+    # current phase and print whatever exists. (If a phase is stuck inside
+    # a non-returning C call the handler can't preempt it — the budget
+    # checks between phases are the primary protection.)
+    signal.alarm(max(30, int(budget_s)))
+    t_start = time.monotonic()
+    deadline = t_start + budget_s
 
     import jax  # noqa: F401  (backend init before phases)
 
     from thor_slam_tpu.utils.platform import enable_compilation_cache
 
     enable_compilation_cache()
+    result["device"] = str(jax.devices()[0])
 
     from thor_slam_tpu.utils.flagship import flagship_rig
 
@@ -556,140 +693,193 @@ def main() -> None:
         num_cams=num_cams, width=width, height=height, max_keypoints=256
     )
 
-    def log(msg):
-        print(f"bench: {msg}", file=sys.stderr, flush=True)
+    # Shared mutable context the phases thread through.
+    ctx: dict = {"host_seq": None, "calib4": None, "host4": None}
+    bounds: dict = {}
 
-    log("rendering host frames (subprocess)...")
-    host_seq = _render_host_frames(num_cams, width, height, seq_len)
+    # ---------------- phase bodies (each writes results immediately) ----
 
-    # Phase order matters on hosted TPUs: deferred (no per-tick syncs)
-    # first, then the sync-heavy online modes; h2d probes interleave so
-    # every figure has an adjacent bound.
-    bounds = {}
-    bounds["pre"] = _h2d_probe(num_cams, width, height)
-    log(f"h2d pre: {bounds['pre'][0]:.1f} MB/s; deferred e2e phase...")
-    e2e_deferred, diag = _bench_e2e_deferred(calibration, host_seq, seq_len, warmup, frames)
-    bounds["post_deferred"] = _h2d_probe(num_cams, width, height)
-    log(f"deferred {e2e_deferred:.1f} fps (bound {bounds['post_deferred'][1]:.1f}); stream e2e phase...")
+    def ph_device_scan():
+        scan_fps, scan_inliers = _bench_device_scan(params, setup, sources, frames, seq_len)
+        result["value"] = round(scan_fps, 2)
+        result["vs_baseline"] = round(scan_fps / 60.0, 3)
+        result["num_inliers_scan_last"] = scan_inliers
+        log(f"device scan {scan_fps:.1f} fps (chip rate, {frames} ticks/dispatch)")
 
-    e2e_stream, diag_s, mid_stream = _bench_e2e(calibration, host_seq, seq_len, warmup, frames, "stream")
-    bounds["mid_stream"] = mid_stream
-    bounds["post_stream"] = _h2d_probe(num_cams, width, height)
-    log(f"stream {e2e_stream:.1f} fps (bound {bounds['post_stream'][1]:.1f}); default-engine e2e phase...")
+    def ph_device_tick():
+        tick_fps, tick_inliers = _bench_device_tick(params, setup, sources, warmup, frames, seq_len)
+        result["device_tick_fps"] = round(tick_fps, 2)
+        if result["num_inliers_last"] is None:
+            result["num_inliers_last"] = tick_inliers
+        log(f"device tick (per-dispatch) {tick_fps:.1f} fps")
 
-    e2e_default = None
-    if not skip_default:
-        e2e_default, diag_d, mid_default = _bench_e2e(calibration, host_seq, seq_len, warmup, frames, "default")
+    def ph_sgm():
+        sgm_ms = _bench_sgm()
+        result["sgm_640x400_64_ms"] = round(sgm_ms, 2)
+        log(f"sgm 640x400/64 {sgm_ms:.1f} ms")
+
+    def ph_mapping():
+        tsdf_ms, scan_ms, mesh_ms, esdf_ms, _v = _bench_mapping()
+        result["tsdf_integrate_640x400_ms"] = round(tsdf_ms, 2)
+        result["tsdf_scan_ms_per_frame"] = round(scan_ms, 3)
+        result["mesh_extract_ms"] = round(mesh_ms, 2)
+        result["esdf_slice_ms"] = round(esdf_ms, 2)
+        log(
+            f"tsdf integrate {tsdf_ms:.1f} ms/frame per-dispatch, "
+            f"{scan_ms:.3f} ms/frame scanned, mesh {mesh_ms:.1f} ms, "
+            f"esdf slice {esdf_ms:.1f} ms"
+        )
+
+    def ph_render_720():
+        log("rendering host frames (subprocess)...")
+        ctx["host_seq"] = _render_host_frames(num_cams, width, height, seq_len)
+
+    def ph_e2e_deferred():
+        bounds["pre"] = _h2d_probe(num_cams, width, height)
+        log(f"h2d pre: {bounds['pre'][0]:.1f} MB/s; deferred e2e phase...")
+        e2e_deferred, _diag = _bench_e2e_deferred(
+            calibration, ctx["host_seq"], seq_len, warmup, frames
+        )
+        result["e2e_deferred_fps"] = round(e2e_deferred, 2)
+        bounds["post_deferred"] = _h2d_probe(num_cams, width, height)
+        log(
+            f"deferred {e2e_deferred:.1f} fps "
+            f"(bound {bounds['post_deferred'][1]:.1f})"
+        )
+
+    def ph_e2e_stream():
+        e2e_stream, diag_s, mid_stream, payload = _bench_e2e(
+            calibration, ctx["host_seq"], seq_len, warmup, frames, "stream"
+        )
+        bounds["mid_stream"] = mid_stream
+        bounds["post_stream"] = _h2d_probe(num_cams, width, height)
+        bound_720 = max(mid_stream, bounds["post_stream"], key=lambda b: b[0])
+        result["e2e_fps"] = round(e2e_stream, 2)
+        result["e2e_vs_baseline"] = round(e2e_stream / 60.0, 3)
+        result["transfer_bound_fps"] = round(bound_720[1], 1)
+        result["num_inliers_last"] = diag_s.get(
+            "num_inliers", result["num_inliers_last"]
+        )
+        result["payload_per_row"]["stream_720"] = payload
+        log(f"stream {e2e_stream:.1f} fps (bound {bound_720[1]:.1f})")
+
+    def ph_e2e_default():
+        e2e_default, _d, mid_default, payload = _bench_e2e(
+            calibration, ctx["host_seq"], seq_len, warmup, frames, "default"
+        )
         bounds["mid_default"] = mid_default
         bounds["post_default"] = _h2d_probe(num_cams, width, height)
-        log(f"default {e2e_default:.1f} fps (bound {bounds['post_default'][1]:.1f}); device-tick phase...")
+        result["e2e_default_fps"] = round(e2e_default, 2)
+        result["payload_per_row"]["default_720"] = payload
+        log(f"default {e2e_default:.1f} fps (bound {bounds['post_default'][1]:.1f})")
 
-    sgm_ms = _bench_sgm()
-    log(f"sgm 640x400/64 {sgm_ms:.1f} ms; mapping phase...")
-
-    tsdf_ms, mesh_ms, esdf_ms, _mesh_v = _bench_mapping()
-    log(
-        f"tsdf integrate {tsdf_ms:.1f} ms/frame, mesh {mesh_ms:.1f} ms, "
-        "esdf slice {:.1f} ms; device-tick phase...".format(esdf_ms)
-    )
-
-    tick_fps, tick_inliers = _bench_device_tick(params, setup, sources, warmup, frames, seq_len)
-    log(f"device tick (per-dispatch) {tick_fps:.1f} fps; scanned phase...")
-    scan_fps, scan_inliers = _bench_device_scan(params, setup, sources, frames, seq_len)
-    log(f"device scan {scan_fps:.1f} fps (chip rate, {frames} ticks/dispatch)")
-
-    # The reference's deployed resolution: 4x640x400 (ref config/slam_config.yaml).
-    e2e_lowres = None
-    low_bound = None
-    e2e_lowres_default = None
-    low_bound_d = None
-    cadence_fps = None
-    cadence_busy_ms = None
-    cadence_bound = None
-    cadence_half = None
-    if not skip_lowres:
-        log("640x400 phase...")
-        params4, setup4, calib4, sources4, _, _ = flagship_rig(
+    def ph_render_640():
+        _p4, _s4, calib4, _src4, _, _ = flagship_rig(
             num_cams=num_cams, width=640, height=400, max_keypoints=256
         )
-        host4 = _render_host_frames(num_cams, 640, 400, seq_len)
-        low_bound = _h2d_probe(num_cams, 640, 400)
-        e2e_lowres, _, mid_low = _bench_e2e(calib4, host4, seq_len, warmup, frames, "stream")
-        low_bound = max(low_bound, mid_low, _h2d_probe(num_cams, 640, 400), key=lambda b: b[0])
-        log(f"640x400 stream {e2e_lowres:.1f} fps (bound {low_bound[1]:.1f})")
-        if not skip_default:
-            # The SHIPPED config at the reference's DEPLOYED resolution —
-            # the single most product-representative row in this file.
-            e2e_lowres_default, _, mid_low_d = _bench_e2e(
-                calib4, host4, seq_len, warmup, frames, "default"
-            )
-            low_bound_d = max(
-                mid_low_d, _h2d_probe(num_cams, 640, 400), key=lambda b: b[0]
-            )
-            log(
-                f"640x400 default {e2e_lowres_default:.1f} fps "
-                f"(bound {low_bound_d[1]:.1f})"
-            )
-            # The deployed regime: frames on the 30 fps camera clock.
-            cadence_fps, cadence_busy_ms, cadence_bound, cadence_half = (
-                _bench_e2e_cadence(calib4, host4, seq_len, ticks=60)
-            )
-            log(
-                f"640x400 default @30fps cadence: {cadence_fps:.1f} fps wall, "
-                f"engine {cadence_busy_ms:.1f} ms/tick "
-                f"(light-tick link bound {cadence_bound:.1f} fps"
-                + (", adaptive half-res engaged)" if cadence_half else ")")
-            )
+        ctx["calib4"] = calib4
+        ctx["host4"] = _render_host_frames(num_cams, 640, 400, seq_len)
 
-    # The bound each e2e figure answers to is the ADJACENT probe — the
-    # tunnel's health drifts an order of magnitude within a run (measured
-    # 1433 MB/s fresh -> ~30 MB/s after the large-transfer phases), so a
-    # fresh-link or best-case bound would misrepresent the steady state
-    # the e2e phases actually ran against.
-    # The stream phase answers to the link state measured INSIDE it.
-    bound_720 = max(bounds["mid_stream"], bounds["post_stream"], key=lambda b: b[0])
-    result = {
-        "metric": (
-            f"{num_cams}x{width}x{height}-stereo tracked FPS/chip "
-            f"(lax.scan, {frames} ticks/dispatch)"
-        ),
-        "value": round(scan_fps, 2),
-        "unit": "fps",
-        "vs_baseline": round(scan_fps / 60.0, 3),
-        "device_tick_fps": round(tick_fps, 2),
-        "num_inliers_scan_last": scan_inliers,
-        "e2e_fps": round(e2e_stream, 2),
-        "e2e_vs_baseline": round(e2e_stream / 60.0, 3),
-        "e2e_deferred_fps": round(e2e_deferred, 2),
-        "e2e_default_fps": None if e2e_default is None else round(e2e_default, 2),
-        "e2e_640x400_fps": None if e2e_lowres is None else round(e2e_lowres, 2),
-        "e2e_640x400_default_fps": (
-            None if e2e_lowres_default is None else round(e2e_lowres_default, 2)
-        ),
-        "e2e_640x400_default_30fps_cadence_fps": (
-            None if cadence_fps is None else round(cadence_fps, 2)
-        ),
-        "e2e_640x400_default_cadence_engine_ms": (
-            None if cadence_busy_ms is None else round(cadence_busy_ms, 2)
-        ),
-        "transfer_bound_640x400_cadence_fps": (
-            None if cadence_bound is None else round(cadence_bound, 1)
-        ),
-        "cadence_adaptive_half_res_engaged": cadence_half,
-        "transfer_bound_fps": round(bound_720[1], 1),
-        "transfer_bound_640x400_fps": None if low_bound is None else round(low_bound[1], 1),
-        "transfer_bound_640x400_default_fps": (
-            None if low_bound_d is None else round(low_bound_d[1], 1)
-        ),
-        "h2d_MBps": {k: round(v[0], 1) for k, v in bounds.items()},
-        "num_inliers_last": diag_s.get("num_inliers", tick_inliers),
-        "sgm_640x400_64_ms": round(sgm_ms, 2),
-        "tsdf_integrate_640x400_ms": round(tsdf_ms, 2),
-        "mesh_extract_ms": round(mesh_ms, 2),
-        "esdf_slice_ms": round(esdf_ms, 2),
-        "device": str(jax.devices()[0]),
+    def ph_e2e_640_stream():
+        low_bound = _h2d_probe(num_cams, 640, 400)
+        e2e_lowres, _, mid_low, payload = _bench_e2e(
+            ctx["calib4"], ctx["host4"], seq_len, warmup, frames, "stream"
+        )
+        low_bound = max(low_bound, mid_low, _h2d_probe(num_cams, 640, 400), key=lambda b: b[0])
+        result["e2e_640x400_fps"] = round(e2e_lowres, 2)
+        result["transfer_bound_640x400_fps"] = round(low_bound[1], 1)
+        result["payload_per_row"]["stream_640"] = payload
+        log(f"640x400 stream {e2e_lowres:.1f} fps (bound {low_bound[1]:.1f})")
+
+    def ph_e2e_640_default():
+        # The SHIPPED config at the reference's DEPLOYED resolution.
+        e2e_lowres_default, _, mid_low_d, payload = _bench_e2e(
+            ctx["calib4"], ctx["host4"], seq_len, warmup, frames, "default"
+        )
+        low_bound_d = max(mid_low_d, _h2d_probe(num_cams, 640, 400), key=lambda b: b[0])
+        result["e2e_640x400_default_fps"] = round(e2e_lowres_default, 2)
+        result["transfer_bound_640x400_default_fps"] = round(low_bound_d[1], 1)
+        result["payload_per_row"]["default_640"] = payload
+        log(
+            f"640x400 default {e2e_lowres_default:.1f} fps "
+            f"(bound {low_bound_d[1]:.1f})"
+        )
+
+    def ph_cadence():
+        # The deployed regime: frames on the 30 fps camera clock,
+        # adaptive controller armed (the product configuration).
+        cadence_fps, cadence_busy_ms, cadence_bound, payload = _bench_e2e_cadence(
+            ctx["calib4"], ctx["host4"], seq_len, ticks=60
+        )
+        result["e2e_640x400_default_30fps_cadence_fps"] = round(cadence_fps, 2)
+        result["e2e_640x400_default_cadence_engine_ms"] = round(cadence_busy_ms, 2)
+        result["transfer_bound_640x400_cadence_fps"] = round(cadence_bound, 1)
+        result["cadence_payload"] = payload
+        log(
+            f"640x400 default @30fps cadence: {cadence_fps:.1f} fps wall, "
+            f"engine {cadence_busy_ms:.1f} ms/tick (payload-weighted link "
+            f"bound {cadence_bound:.1f} fps; "
+            f"{payload['light_half']}/{payload['ticks']} half-res ticks)"
+        )
+
+    # (name, conservative wall estimate s, enabled, body). Ordered so the
+    # cheap link-immune numbers land first; an estimate only gates entry
+    # (a phase that would blow the remaining budget is skipped, not run).
+    phases = [
+        ("device_scan", 60, True, ph_device_scan),
+        ("device_tick", 45, True, ph_device_tick),
+        ("sgm", 30, True, ph_sgm),
+        ("mapping", 75, True, ph_mapping),
+        ("render_720", 60, True, ph_render_720),
+        ("e2e_deferred", 90, True, ph_e2e_deferred),
+        ("e2e_stream", 90, True, ph_e2e_stream),
+        ("e2e_default", 120, not skip_default, ph_e2e_default),
+        ("render_640", 45, not skip_lowres, ph_render_640),
+        ("e2e_640_stream", 90, not skip_lowres, ph_e2e_640_stream),
+        ("e2e_640_default", 120, not skip_lowres and not skip_default, ph_e2e_640_default),
+        ("cadence", 60, not skip_lowres and not skip_default, ph_cadence),
+    ]
+
+    #: Phases whose bodies need an earlier phase's context.
+    requires = {
+        "e2e_deferred": ("host_seq",),
+        "e2e_stream": ("host_seq",),
+        "e2e_default": ("host_seq",),
+        "e2e_640_stream": ("calib4", "host4"),
+        "e2e_640_default": ("calib4", "host4"),
+        "cadence": ("calib4", "host4"),
     }
-    print(json.dumps(result))
+
+    try:
+        for name, est, enabled, body in phases:
+            if not enabled:
+                continue
+            if any(ctx.get(k) is None for k in requires.get(name, ())):
+                result["phases_skipped"].append(name + " (missing prereq)")
+                continue
+            remaining = deadline - time.monotonic()
+            if remaining < est:
+                result["phases_skipped"].append(name)
+                log(f"skipping {name}: {remaining:.0f}s left < {est}s estimate")
+                continue
+            t0 = time.monotonic()
+            try:
+                body()
+            except BenchInterrupted:
+                result["phases_skipped"].append(name + " (interrupted)")
+                log(f"phase {name} interrupted (signal/budget); emitting partial JSON")
+                break
+            except Exception:
+                result["phases_skipped"].append(name + " (error)")
+                log(f"phase {name} FAILED:\n{traceback.format_exc()}")
+            finally:
+                result["phase_s"][name] = round(time.monotonic() - t0, 1)
+    except BenchInterrupted:
+        log("interrupted between phases; emitting partial JSON")
+    finally:
+        signal.alarm(0)
+        result["h2d_MBps"] = {k: round(v[0], 1) for k, v in bounds.items()}
+        emit()
 
 
 if __name__ == "__main__":

@@ -157,12 +157,20 @@ class TestEngineContract:
         with pytest.raises(RuntimeError):
             engine.process_frames(None)
 
-    def test_rejects_mono_sources(self):
+    def test_rejects_all_mono_rig(self):
+        """An ALL-mono rig is rejected loudly at initialize().
+
+        Mono cameras are supported in MIXED rigs (they seed landmarks
+        from stereo mints — tests/test_engine_mono.py); a rig with no
+        stereo source at all has no bootstrap path and would otherwise
+        initialize cleanly and sit untracked forever. The contract is an
+        explicit error, not silent acceptance.
+        """
         spec = SyntheticRigSpec(num_sources=1, stereo=False, width=64, height=48)
         sources, rig_ext, _, _ = make_synthetic_rig(spec, render=False)
         rig = CameraRig(sources, rig_extrinsics=rig_ext)
         engine = TpuSlamEngine()
-        with pytest.raises(RuntimeError, match="stereo"):
+        with pytest.raises(RuntimeError, match="all-mono rig has no bootstrap"):
             engine.initialize(rig.calibration)
 
     def test_reset_and_shutdown(self):

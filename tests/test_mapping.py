@@ -19,6 +19,7 @@ from thor_slam_tpu.mapping import (
     make_grid,
     make_integrator,
     make_recenter,
+    make_scan_integrator,
 )
 
 import jax.numpy as jnp
@@ -98,6 +99,36 @@ class TestTsdfIntegration:
         # Voxels behind the camera / out of frustum untouched.
         assert weight[0, 0, 0] == 0.0
         assert tsdf[0, 0, 0] == np.float32(SMALL.truncation_m)
+
+    def test_scan_integrator_matches_sequential(self):
+        """N frames in ONE dispatch == N per-frame integrations, bit-level.
+
+        The scan form is the offline/batch integrator (and the bench's
+        RTT-immune TSDF measurement); it must be semantically identical
+        to the streaming per-frame path.
+        """
+        rng = np.random.default_rng(3)
+        n, h, w = 5, 24, 32
+        depths = jnp.asarray((rng.uniform(0.4, 4.0, (n, h, w)) * 1000).astype(np.uint16))
+        colors = jnp.asarray(rng.integers(0, 255, (n, h, w, 3), dtype=np.uint8))
+        poses = []
+        for i in range(n):
+            m = _look_at_world_t_cam((0.1 * i, 0.05 * i, -0.2 * i), (0.0, 0.0, 1.0))
+            poses.append(np.linalg.inv(m))
+        poses = jnp.asarray(np.stack(poses).astype(np.float32))
+        intr = _intr4(30.0, 30.0, 16.0, 12.0)
+
+        g_seq = make_grid(SMALL, origin_m=(-0.8, -0.8, 0.0))
+        integ = make_integrator(SMALL)
+        for i in range(n):
+            g_seq = integ(g_seq, depths[i], colors[i], poses[i], intr)
+
+        g_scan = make_scan_integrator(SMALL)(
+            make_grid(SMALL, origin_m=(-0.8, -0.8, 0.0)), depths, colors, poses, intr
+        )
+        np.testing.assert_allclose(np.asarray(g_seq.tsdf), np.asarray(g_scan.tsdf), atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(g_seq.weight), np.asarray(g_scan.weight))
+        np.testing.assert_allclose(np.asarray(g_seq.color), np.asarray(g_scan.color), atol=1e-4)
 
     def test_running_average_and_weight_cap(self):
         spec = GridSpec(dims=(16, 16, 16), voxel_size_m=0.05, max_weight=3.0)

@@ -365,6 +365,14 @@ class TpuSlamEngine(SlamEngine):
         self._ba_corr_total = np.eye(4)
         #: Per-frame tracking diagnostics (updated by process_frames).
         self.last_diagnostics: dict = {}
+        #: Staged-upload accounting since initialize()/reset(): tick counts
+        #: by payload class and total staged image bytes. Benchmarks use
+        #: this to compute EXACT payload-weighted link bounds per row
+        #: (a row that mixed full/light/half ticks is otherwise
+        #: uninterpretable against a single full-tick probe).
+        self.upload_stats: dict = {
+            "full": 0, "light": 0, "light_half": 0, "bytes": 0
+        }
         #: Per-tick poses of the last defer_sync flush (same order as the
         #: processed frames; None entries where tracking was LOST).
         self.last_flush_poses: list[SlamPose | None] = []
@@ -579,6 +587,7 @@ class TpuSlamEngine(SlamEngine):
         self._ba_corr_total = np.eye(4)
         self._ticks_since_full = 0
         self._last_kf_odom = None
+        self.upload_stats = {"full": 0, "light": 0, "light_half": 0, "bytes": 0}
         self._state_enum = TrackingState.INITIALIZING
 
         # jit warm-up so the first real tick doesn't pay compilation.
@@ -1189,6 +1198,9 @@ class TpuSlamEngine(SlamEngine):
                 flat.extend(imgs)
         if any(im.dtype != flat[0].dtype for im in flat):
             flat = [np.asarray(im, np.float32) for im in flat]
+        s = self.upload_stats
+        s["light_half" if down else ("light" if light else "full")] += 1
+        s["bytes"] += sum(im.nbytes for im in flat)
         return flat
 
     # ------------------------------------------------- backend adapters
@@ -1491,6 +1503,7 @@ class TpuSlamEngine(SlamEngine):
         self._held_cov = None
         self._last_timestamp = None
         self._frame_count = 0
+        self.upload_stats = {"full": 0, "light": 0, "light_half": 0, "bytes": 0}
         if self._state_enum != TrackingState.NOT_INITIALIZED:
             self._state_enum = TrackingState.INITIALIZING
 

@@ -28,6 +28,7 @@ from thor_slam_tpu.mapping.tsdf import (
     make_grid,
     make_integrator,
     make_recenter,
+    make_scan_integrator,
     save_grid,
 )
 
@@ -45,5 +46,6 @@ __all__ = [
     "make_grid",
     "make_integrator",
     "make_recenter",
+    "make_scan_integrator",
     "save_grid",
 ]

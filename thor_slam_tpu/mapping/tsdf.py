@@ -176,53 +176,85 @@ def make_integrator(spec: GridSpec, donate: bool = False):
             avoids — measured as ~200 ms/frame vs sub-ms). The caller must
             never reuse a grid after passing it.
     """
-    trunc = spec.truncation_m  # sdf stored metric, like nvblox
-
-    def integrate(grid: TsdfGrid, depth_mm_u16, color_u8, cam_t_world, intr4) -> TsdfGrid:
-        h, w = depth_mm_u16.shape
-        depth_flat = depth_mm_u16.reshape(-1).astype(jnp.float32) * 1e-3
-        xc, yc, zc = _voxel_centers_cam(spec, grid.origin, cam_t_world)
-        fx, fy, cx, cy = intr4[0], intr4[1], intr4[2], intr4[3]
-        zs = jnp.maximum(zc, 1e-6)
-        u = fx * xc / zs + cx
-        v = fy * yc / zs + cy
-        ui = jnp.round(u).astype(jnp.int32)
-        vi = jnp.round(v).astype(jnp.int32)
-        in_view = (
-            (zc > spec.min_integration_distance_m)
-            & (zc < spec.max_integration_distance_m)
-            & (ui >= 0)
-            & (ui < w)
-            & (vi >= 0)
-            & (vi < h)
-        )
-        flat = jnp.clip(vi * w + ui, 0, h * w - 1)
-        d = depth_flat[flat]  # the one gather
-        valid = in_view & (d > spec.min_integration_distance_m)
-        sdf = d - zc  # projective distance along the optical axis
-        update = valid & (sdf > -trunc)
-        w_obs = jnp.where(update, 1.0, 0.0).astype(jnp.float32)
-        new_w = jnp.minimum(grid.weight + w_obs, spec.max_weight)
-        sdf_c = jnp.clip(sdf, -trunc, trunc)
-        num = grid.weight * grid.tsdf + w_obs * sdf_c
-        tsdf = jnp.where(new_w > 0.0, num / jnp.maximum(new_w, 1e-9), grid.tsdf)
-
-        if spec.integrate_color:
-            color_flat = color_u8.reshape(h * w, 3).astype(jnp.float32)
-            c = color_flat[flat]  # (nx, ny, nz, 3)
-            # Color only carries meaning in the surface band.
-            w_c = jnp.where(update & (jnp.abs(sdf) < trunc), 1.0, 0.0)[..., None]
-            cw_old = jnp.minimum(grid.weight, spec.max_weight)[..., None]
-            color = jnp.where(
-                cw_old + w_c > 0.0,
-                (cw_old * grid.color + w_c * c) / jnp.maximum(cw_old + w_c, 1e-9),
-                grid.color,
-            )
-        else:
-            color = grid.color
-        return TsdfGrid(tsdf=tsdf, weight=new_w, color=color, origin=grid.origin)
+    def integrate(grid, depth_mm_u16, color_u8, cam_t_world, intr4):
+        return _integrate_one(spec, grid, depth_mm_u16, color_u8, cam_t_world, intr4)
 
     return jax.jit(integrate, donate_argnums=(0,) if donate else ())
+
+
+def make_scan_integrator(spec: GridSpec, donate: bool = False):
+    """Build a jitted BULK integrator: N frames fused into ONE dispatch.
+
+    ``integrate_scan(grid, depths, colors, poses, intr4) -> TsdfGrid``
+    where ``depths`` is (N, H, W) uint16 mm, ``colors`` (N, H, W, 3)
+    uint8 (or (N, 0) when color is disabled), ``poses`` (N, 4, 4) f32
+    world->camera. Semantically identical to N sequential
+    :func:`make_integrator` calls (same body, ``lax.scan`` over frames).
+
+    This is the offline/batch form: dataset replay and map rebuilds
+    integrate a whole recorded stack per dispatch, so per-dispatch
+    host->device latency (a full network RTT on hosted/tunneled TPUs)
+    amortizes over N frames instead of serializing the loop. The online
+    ``DenseMapper`` keeps the per-frame form — a live sensor has no
+    future frames to batch.
+    """
+
+    def integrate_scan(grid: TsdfGrid, depths, colors, poses, intr4) -> TsdfGrid:
+        def body(g, xs):
+            depth, color, pose = xs
+            return _integrate_one(spec, g, depth, color, pose, intr4), None
+
+        grid, _ = jax.lax.scan(body, grid, (depths, colors, poses))
+        return grid
+
+    return jax.jit(integrate_scan, donate_argnums=(0,) if donate else ())
+
+
+def _integrate_one(spec: GridSpec, grid: TsdfGrid, depth_mm_u16, color_u8, cam_t_world, intr4) -> TsdfGrid:
+    """One frame's voxel-parallel TSDF update (shared by both integrators)."""
+    trunc = spec.truncation_m  # sdf stored metric, like nvblox
+    h, w = depth_mm_u16.shape
+    depth_flat = depth_mm_u16.reshape(-1).astype(jnp.float32) * 1e-3
+    xc, yc, zc = _voxel_centers_cam(spec, grid.origin, cam_t_world)
+    fx, fy, cx, cy = intr4[0], intr4[1], intr4[2], intr4[3]
+    zs = jnp.maximum(zc, 1e-6)
+    u = fx * xc / zs + cx
+    v = fy * yc / zs + cy
+    ui = jnp.round(u).astype(jnp.int32)
+    vi = jnp.round(v).astype(jnp.int32)
+    in_view = (
+        (zc > spec.min_integration_distance_m)
+        & (zc < spec.max_integration_distance_m)
+        & (ui >= 0)
+        & (ui < w)
+        & (vi >= 0)
+        & (vi < h)
+    )
+    flat = jnp.clip(vi * w + ui, 0, h * w - 1)
+    d = depth_flat[flat]  # the one gather
+    valid = in_view & (d > spec.min_integration_distance_m)
+    sdf = d - zc  # projective distance along the optical axis
+    update = valid & (sdf > -trunc)
+    w_obs = jnp.where(update, 1.0, 0.0).astype(jnp.float32)
+    new_w = jnp.minimum(grid.weight + w_obs, spec.max_weight)
+    sdf_c = jnp.clip(sdf, -trunc, trunc)
+    num = grid.weight * grid.tsdf + w_obs * sdf_c
+    tsdf = jnp.where(new_w > 0.0, num / jnp.maximum(new_w, 1e-9), grid.tsdf)
+
+    if spec.integrate_color:
+        color_flat = color_u8.reshape(h * w, 3).astype(jnp.float32)
+        c = color_flat[flat]  # (nx, ny, nz, 3)
+        # Color only carries meaning in the surface band.
+        w_c = jnp.where(update & (jnp.abs(sdf) < trunc), 1.0, 0.0)[..., None]
+        cw_old = jnp.minimum(grid.weight, spec.max_weight)[..., None]
+        color = jnp.where(
+            cw_old + w_c > 0.0,
+            (cw_old * grid.color + w_c * c) / jnp.maximum(cw_old + w_c, 1e-9),
+            grid.color,
+        )
+    else:
+        color = grid.color
+    return TsdfGrid(tsdf=tsdf, weight=new_w, color=color, origin=grid.origin)
 
 
 def make_decay(spec: GridSpec, min_weight: float = 1e-2, donate: bool = False):
