@@ -131,9 +131,12 @@ class TestRevisitRecall:
         assert n_or > 2 * max(n_up, 1), f"oriented {n_or} vs upright {n_up}"
 
     def test_reverse_heading_unrecognizable_documented(self, world):
-        """180 deg yaw revisit: no shared 3D content for a forward camera —
-        neither descriptor mode can (or should) pass verification.
-        Documents the limitation with the measured recall (BASELINE.md)."""
+        """180 deg yaw revisit: no shared 3D content for a SINGLE forward
+        camera — neither descriptor mode can (or should) pass verification.
+        This is camera physics, not a descriptor defect; the shipped fix
+        is RIG-level: the place DB indexes every camera's signature, so a
+        rear-facing mount recognizes the reverse pass
+        (tests/test_loop_heading.py proves 0/90/180 deg recall e2e)."""
         q = dict(pos=(0.5, 0.0, 0.0), yaw=np.pi)
         for oriented in (False, True):
             n = _verified_matches(world, q, A, oriented=oriented)

@@ -41,6 +41,18 @@ class LoopBackend:
 
     Args mirror the engine's ``loop_*`` parameters (see
     :class:`~thor_slam_tpu.engine.tpu_engine.TpuSlamEngine`).
+
+    The DB is **multi-camera**: each keyframe entry stores EVERY camera's
+    signature (descriptors + map-frame landmarks), and detection looks the
+    query camera up against all of them — one camera axis folded into the
+    MXU lookup's keyframe axis. On a rig whose mounts cover the yaw space
+    (the reference's 4 cameras at spread yaws, examples/assets/
+    brackets.urdf) this is what makes revisits recognizable from ANY
+    heading: a reverse-heading repass is matched by the forward camera
+    against what a rear-facing camera recorded on the first pass.
+    Verification needs no special casing — stored landmarks are world
+    (map)-frame, so PnP of the query camera's observations against them
+    yields the body pose regardless of which camera minted them.
     """
 
     def __init__(
@@ -74,10 +86,12 @@ class LoopBackend:
         self._insert = None
         self._setup = None
         self._max_keypoints = 0
+        self._num_cams = 1
 
     def bind(self, setup, max_keypoints: int) -> None:
         self._setup = setup
         self._max_keypoints = max_keypoints
+        self._num_cams = int(np.asarray(setup.k_left).shape[0])
 
     def reset(self) -> None:
         self.db = []
@@ -95,20 +109,37 @@ class LoopBackend:
     # ------------------------------------------------------ device ring
 
     def _ensure_dev_db(self) -> None:
-        """Allocate the device-resident descriptor ring + insert kernel."""
+        """Allocate the device-resident entry ring + insert kernel.
+
+        The ring is FLAT over (keyframe slot, camera): shape
+        (capacity * C, N, 8) — keyframe ``slot`` owns rows
+        ``[slot*C, (slot+1)*C)``. ``find_candidate`` consumes it as-is
+        (entries are just rows to it); the host decodes a winning row
+        back to (slot, camera).
+        """
         if self._dev_desc is not None:
             return
-        cap, n = self.capacity, self._max_keypoints
-        self._dev_desc = jnp.zeros((cap, n, 8), jnp.uint32)
-        self._dev_valid = jnp.zeros((cap, n), bool)
+        cap, n, c = self.capacity, self._max_keypoints, self._num_cams
+        self._dev_desc = jnp.zeros((cap * c, n, 8), jnp.uint32)
+        self._dev_valid = jnp.zeros((cap * c, n), bool)
 
-        def insert(db_d, db_v, slot, d, v):
+        def insert(db_d, db_v, row0, d, v):
             return (
-                jax.lax.dynamic_update_index_in_dim(db_d, d, slot, 0),
-                jax.lax.dynamic_update_index_in_dim(db_v, v, slot, 0),
+                jax.lax.dynamic_update_slice_in_dim(db_d, d, row0, 0),
+                jax.lax.dynamic_update_slice_in_dim(db_v, v, row0, 0),
             )
 
         self._insert = jax.jit(insert, donate_argnums=(0, 1))
+
+    def _fit_cams(self, arr: np.ndarray) -> np.ndarray:
+        """Crop/zero-pad an entry array's camera axis to this session's C
+        (a loaded map may have been recorded on a different rig)."""
+        c = self._num_cams
+        if arr.shape[0] == c:
+            return arr
+        out = np.zeros((c,) + arr.shape[1:], arr.dtype)
+        out[: min(c, arr.shape[0])] = arr[:c]
+        return out
 
     def rebuild_dev_db(self) -> None:
         """Re-seed the device ring from the host DB (map load / reset)."""
@@ -118,16 +149,18 @@ class LoopBackend:
         self._ensure_dev_db()
         cap = self.capacity
         n = self._max_keypoints
-        desc = np.zeros((cap, n, 8), np.uint32)
-        valid = np.zeros((cap, n), bool)
+        c = self._num_cams
+        desc = np.zeros((cap, c, n, 8), np.uint32)
+        valid = np.zeros((cap, c, n), bool)
         for e in self.db:
             # A loaded map may have been recorded at a different keypoint
             # budget — crop/zero-pad its rows into this session's shape.
-            k = min(n, e["desc"].shape[0])
-            desc[e["slot"], :k] = e["desc"][:k]
-            valid[e["slot"], :k] = e["valid"][:k]
-        self._dev_desc = jnp.asarray(desc)
-        self._dev_valid = jnp.asarray(valid)
+            ed, ev = self._fit_cams(e["desc"]), self._fit_cams(e["valid"])
+            k = min(n, ed.shape[1])
+            desc[e["slot"], :, :k] = ed[:, :k]
+            valid[e["slot"], :, :k] = ev[:, :k]
+        self._dev_desc = jnp.asarray(desc.reshape(cap * c, n, 8))
+        self._dev_valid = jnp.asarray(valid.reshape(cap * c, n))
 
     # -------------------------------------------------------- keyframes
 
@@ -142,18 +175,21 @@ class LoopBackend:
         """Record a keyframe signature; maybe start an async detection.
 
         ``world_t_body`` is the MAP-frame keyframe pose; ``sig`` the
-        unpacked finalized keyframe signature (camera-0 bank). Landmark
-        positions are stored in the MAP frame so verification against
-        them yields map-frame constraints directly.
+        unpacked finalized ALL-camera keyframe signature (arrays carry a
+        leading camera axis). Landmark positions are stored in the MAP
+        frame so verification against them yields map-frame constraints
+        directly. The detection query is the camera-0 bank; the DB it
+        searches holds every camera's signature of every keyframe.
         """
         m = map_t_odom
+        c = self._num_cams
         slot = self.kf_total % self.capacity
         self.kf_total += 1
         entry = {
-            "desc": sig["desc"],
-            "valid": sig["valid"],
-            "lm_w": sig["pos"] @ m[:3, :3].T + m[:3, 3],
-            "obs_px": sig["obs_px"],
+            "desc": self._fit_cams(sig["desc"]),
+            "valid": self._fit_cams(sig["valid"]),
+            "lm_w": self._fit_cams(sig["pos"] @ m[:3, :3].T + m[:3, 3]),
+            "obs_px": self._fit_cams(sig["obs_px"]),
             "world_t_body": world_t_body.copy(),
             "ts": ts,
             "slot": slot,
@@ -163,14 +199,14 @@ class LoopBackend:
             # Insertion order == slot order, so truncating the host list
             # drops exactly the entry whose ring slot is being reused.
             self.db = self.db[-self.capacity :]
-        # Device-resident descriptor ring: ONE incremental ~10 KB insert
-        # per keyframe instead of re-uploading the whole multi-MB database
-        # at every detection (donated in-place update, fixed CAP shape —
-        # compiles once).
+        # Device-resident descriptor ring: ONE incremental ~C x 10 KB
+        # insert per keyframe instead of re-uploading the whole multi-MB
+        # database at every detection (donated in-place update, fixed
+        # CAP*C shape — compiles once).
         self._ensure_dev_db()
         self._dev_desc, self._dev_valid = self._insert(
             self._dev_desc, self._dev_valid,
-            jnp.asarray(slot, jnp.int32),
+            jnp.asarray(slot * c, jnp.int32),
             jnp.asarray(entry["desc"]), jnp.asarray(entry["valid"]),
         )
 
@@ -182,11 +218,12 @@ class LoopBackend:
         if self._pending is not None:
             return  # a detection/verification is still in flight
 
-        # Eligibility mask over ring slots: present entries minus the
-        # recent temporal neighbors (and the query itself).
-        mask = np.zeros(self.capacity, np.float32)
+        # Eligibility mask over ring rows: present entries minus the
+        # recent temporal neighbors (and the query itself) — every
+        # camera lane of an eligible keyframe slot.
+        mask = np.zeros((self.capacity, c), np.float32)
         for e in self.db[: -self.exclude_recent - 1]:
-            mask[e["slot"]] = 1.0
+            mask[e["slot"], :] = 1.0
 
         # ASYNC detection: dispatch the MXU lookup against the resident
         # ring and poll `votes.is_ready()` on later finalizes — the host
@@ -194,8 +231,8 @@ class LoopBackend:
         # (a closure lands a tick or two after its keyframe; loop
         # corrections are latency-tolerant by construction).
         cand = loop.find_candidate(
-            jnp.asarray(entry["desc"]), jnp.asarray(entry["valid"]),
-            self._dev_desc, self._dev_valid, jnp.asarray(mask),
+            jnp.asarray(entry["desc"][0]), jnp.asarray(entry["valid"][0]),
+            self._dev_desc, self._dev_valid, jnp.asarray(mask.reshape(-1)),
         )
         self._pending = {
             "stage": "find",
@@ -204,6 +241,31 @@ class LoopBackend:
             "query_map_pose": world_t_body.copy(),
             "frame_count": frame_count,
         }
+
+    def _match_pose(self, cand_e: dict, cam: int) -> np.ndarray:
+        """Heading-aware initial body pose for verifying a DB hit.
+
+        The candidate entry was recorded by camera ``cam``; the query sees
+        the same content through camera 0. If both cameras faced the scene
+        from (approximately) the same spot, the query body pose satisfies
+        ``W_T_qb @ B_T_c0 ~= W_T_cb @ B_T_ccam``, i.e.::
+
+            W_T_qb ~= cand_pose @ body_t_cam[cam] @ inv(body_t_cam[0])
+
+        For a same-camera hit (cam == 0) this degenerates to the
+        candidate's own pose — already the right init (the query is near
+        the revisited keyframe; its own live pose carries exactly the
+        drift the constraint is supposed to measure, so initializing from
+        it biases the solve by that drift). For a CROSS-camera hit the
+        mount composition rotates the init by the inter-camera yaw — a
+        reverse-heading revisit initializes ~pi away from the query's
+        live heading, far outside what a fixed-iteration Gauss-Newton
+        refinement could recover on its own (measured: initializing from
+        the drifted query pose found 0 inliers on every reverse-heading
+        candidate; this init verifies them).
+        """
+        b_t_cam = np.asarray(self._setup.body_t_cam, np.float64)
+        return cand_e["world_t_body"] @ b_t_cam[cam] @ np.linalg.inv(b_t_cam[0])
 
     # ------------------------------------------------------------- poll
 
@@ -229,42 +291,45 @@ class LoopBackend:
         if p["stage"] == "find":
             if not (block or p["cand"].votes.is_ready()):
                 return None
-            votes_a, slot_a = jax.device_get(
+            votes_a, row_a = jax.device_get(
                 (p["cand"].votes, p["cand"].keyframe)
             )  # one round trip
             votes = int(votes_a)
             if votes < self.min_votes:
                 self._pending = None
                 return None
-            slot = int(slot_a)
+            slot, cam = divmod(int(row_a), self._num_cams)
             cand_e = next((e for e in self.db if e["slot"] == slot), None)
             if cand_e is None:  # evicted while the lookup was in flight
                 self._pending = None
                 return None
             entry = p["query"]
-            # Geometric verification: candidate's landmarks vs the query's
+            # Geometric verification: the winning CAMERA's stored landmarks
+            # (map frame — camera-agnostic) vs the query camera-0
             # observations — dispatched async, polled like the lookup.
             k0 = np.asarray(self._setup.k_left[0])
             d0 = np.asarray(self._setup.dist_left[0])
             xn = np.stack(
                 [
-                    (entry["obs_px"][:, 0] - k0[2]) / k0[0],
-                    (entry["obs_px"][:, 1] - k0[3]) / k0[1],
+                    (entry["obs_px"][0][:, 0] - k0[2]) / k0[0],
+                    (entry["obs_px"][0][:, 1] - k0[3]) / k0[1],
                 ],
                 -1,
             )
             obs_norm = rectify.undistort_normalized(xn, d0).astype(np.float32)
             p["ver"] = loop.verify_candidate(
                 jax.random.PRNGKey(p["frame_count"]),
-                jnp.asarray(cand_e["lm_w"], jnp.float32),
-                jnp.asarray(cand_e["valid"]),
-                jnp.asarray(cand_e["desc"]),
+                jnp.asarray(cand_e["lm_w"][cam], jnp.float32),
+                jnp.asarray(cand_e["valid"][cam]),
+                jnp.asarray(cand_e["desc"][cam]),
                 jnp.asarray(obs_norm),
-                jnp.asarray(entry["desc"]),
-                jnp.asarray(entry["valid"]),
+                jnp.asarray(entry["desc"][0]),
+                jnp.asarray(entry["valid"][0]),
                 jnp.asarray(self._setup.cam_r_body[0]),
                 jnp.asarray(self._setup.cam_t_body[0]),
-                jnp.asarray(np.linalg.inv(p["query_map_pose"]), jnp.float32),
+                jnp.asarray(
+                    np.linalg.inv(self._match_pose(cand_e, cam)), jnp.float32
+                ),
                 min_inliers=self.min_inliers,
             )
             p["votes"] = votes
@@ -395,16 +460,17 @@ class LoopBackend:
 
         if self._dev_desc is None:
             self.rebuild_dev_db()
-        mask = np.zeros(self.capacity, np.float32)
+        c = self._num_cams
+        mask = np.zeros((self.capacity, c), np.float32)
         for e in self.db:
-            mask[e["slot"]] = 1.0
+            mask[e["slot"], :] = 1.0
         cand = loop.find_candidate(
             desc.bits, desc.valid, self._dev_desc, self._dev_valid,
-            jnp.asarray(mask),
+            jnp.asarray(mask.reshape(-1)),
         )
         if int(cand.votes) < self.min_votes:
             return None
-        slot = int(cand.keyframe)
+        slot, cam = divmod(int(cand.keyframe), c)
         cand_e = next((e for e in self.db if e["slot"] == slot), None)
         if cand_e is None:
             return None
@@ -416,23 +482,25 @@ class LoopBackend:
         obs_norm = rectify.undistort_normalized(xn, d0).astype(np.float32)
         ver = loop.verify_candidate(
             jax.random.PRNGKey(frame_count),
-            jnp.asarray(cand_e["lm_w"], jnp.float32),
-            jnp.asarray(cand_e["valid"]),
-            jnp.asarray(cand_e["desc"]),
+            jnp.asarray(cand_e["lm_w"][cam], jnp.float32),
+            jnp.asarray(cand_e["valid"][cam]),
+            jnp.asarray(cand_e["desc"][cam]),
             jnp.asarray(obs_norm),
             desc.bits,
             desc.valid,
             jnp.asarray(self._setup.cam_r_body[0]),
             jnp.asarray(self._setup.cam_t_body[0]),
-            jnp.asarray(np.linalg.inv(cand_e["world_t_body"]), jnp.float32),
+            jnp.asarray(
+                np.linalg.inv(self._match_pose(cand_e, cam)), jnp.float32
+            ),
             min_inliers=self.min_inliers,
         )
         if not bool(ver.accepted):
             return None
         pose = np.linalg.inv(np.asarray(ver.body_t_candidate, np.float64))
         logger.info(
-            "Relocalized against keyframe slot %d (votes=%d inliers=%d)",
-            slot, int(cand.votes), int(ver.num_inliers),
+            "Relocalized against keyframe slot %d cam %d (votes=%d inliers=%d)",
+            slot, cam, int(cand.votes), int(ver.num_inliers),
         )
         return pose
 
@@ -442,10 +510,12 @@ class LoopBackend:
         """The place DB as savez-ready arrays (travels with save_map)."""
         if not self.db:
             return {}
+        # _fit_cams: entries restored from a legacy (single-camera) map may
+        # carry fewer camera lanes than fresh ones — pad to a dense stack.
         return {
-            "db_desc": np.stack([e["desc"] for e in self.db]),
-            "db_valid": np.stack([e["valid"] for e in self.db]),
-            "db_lm_w": np.stack([e["lm_w"] for e in self.db]),
+            "db_desc": np.stack([self._fit_cams(e["desc"]) for e in self.db]),
+            "db_valid": np.stack([self._fit_cams(e["valid"]) for e in self.db]),
+            "db_lm_w": np.stack([self._fit_cams(e["lm_w"]) for e in self.db]),
             "db_poses": np.stack([e["world_t_body"] for e in self.db]),
             "db_ts": np.asarray([e["ts"] for e in self.db]),
         }
@@ -458,20 +528,29 @@ class LoopBackend:
         wrapping slots modulo capacity would alias two keyframes onto
         one slot and slot-based candidate resolution would verify one
         keyframe's descriptors against another's landmarks.
+
+        Maps saved before the multi-camera DB (per-keyframe arrays with
+        no camera axis) load as single-camera entries; ``_fit_cams``
+        pads them to the session's camera count at use.
         """
         n = int(data["db_desc"].shape[0])
+        legacy = data["db_desc"].ndim == 3  # (K, N, 8): no camera axis
         start = max(0, n - self.capacity)
         if start:
             logger.warning(
                 "Loaded place DB has %d keyframes > capacity %d; keeping the newest %d",
                 n, self.capacity, self.capacity,
             )
+
+        def cams(arr):
+            return arr[None] if legacy else arr
+
         self.db = [
             {
-                "desc": data["db_desc"][i],
-                "valid": data["db_valid"][i],
-                "lm_w": data["db_lm_w"][i],
-                "obs_px": np.zeros_like(data["db_lm_w"][i][:, :2]),
+                "desc": cams(data["db_desc"][i]),
+                "valid": cams(data["db_valid"][i]),
+                "lm_w": cams(data["db_lm_w"][i]),
+                "obs_px": np.zeros(cams(data["db_lm_w"][i]).shape[:-1] + (2,)),
                 "world_t_body": data["db_poses"][i],
                 "ts": float(data["db_ts"][i]),
                 "slot": i - start,

@@ -55,32 +55,57 @@ def find_candidate(
     db_mask: jnp.ndarray,
     match_threshold: int = 48,
 ) -> LoopCandidate:
-    """Vote for the database keyframe that shares the most descriptors.
+    """Vote for the database entry that shares the most descriptors.
 
     Args:
         query_desc: (N, 8) uint32 query keyframe descriptors.
         query_valid: (N,) bool.
-        db_desc: (K, N, 8) uint32 database descriptors.
+        db_desc: (K, N, 8) uint32 database descriptors. An entry is one
+            (keyframe, camera) signature — the multi-camera place DB
+            folds its camera axis into K (see ``LoopBackend``).
         db_valid: (K, N) bool.
-        db_mask: (K,) float 1/0 — keyframes eligible (temporal gating:
+        db_mask: (K,) float 1/0 — entries eligible (temporal gating:
             exclude recent neighbors on the host).
         match_threshold: Hamming distance under which a descriptor pair
             votes.
 
     Returns:
         A :class:`LoopCandidate`.
+
+    The DB is processed in blocks of entries (``lax.map``): the raw
+    query-vs-DB Hamming matrix is (N, K*N) — at an all-camera DB
+    (K = capacity * num_cams, e.g. 1024 entries x 512 kp) materializing
+    it whole is a ~1 GB transient. Blocking bounds the peak to the block
+    while each block is still one MXU contraction.
     """
     k, n, _ = db_desc.shape
     q = unpack_to_signs(query_desc)  # (N, 256) bf16 +/-1
-    d = unpack_to_signs(db_desc.reshape(k * n, 8))  # (K*N, 256)
-    corr = jax.lax.dot_general(
-        q, d, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (N, K*N)
-    ham = 0.5 * (NUM_BITS - corr)
-    ham = jnp.where(query_valid[:, None] & db_valid.reshape(1, k * n), ham, 1e9)
-    # Per query descriptor: its best match within each keyframe.
-    best_per_kf = jnp.min(ham.reshape(n, k, n), axis=-1)  # (N, K)
-    votes = jnp.sum(best_per_kf <= match_threshold, axis=0)  # (K,)
+    qv = query_valid
+
+    block = 32
+    while k % block:  # K is a power-of-two capacity times C in practice
+        block //= 2
+
+    def block_votes(args):
+        d_blk, v_blk = args  # (B, N, 8), (B, N)
+        b = d_blk.shape[0]
+        d = unpack_to_signs(d_blk.reshape(b * n, 8))  # (B*N, 256)
+        corr = jax.lax.dot_general(
+            q, d, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (N, B*N)
+        ham = 0.5 * (NUM_BITS - corr)
+        ham = jnp.where(qv[:, None] & v_blk.reshape(1, b * n), ham, 1e9)
+        # Per query descriptor: its best match within each entry.
+        best_per_kf = jnp.min(ham.reshape(n, b, n), axis=-1)  # (N, B)
+        return jnp.sum(best_per_kf <= match_threshold, axis=0)  # (B,)
+
+    votes = jax.lax.map(
+        block_votes,
+        (
+            db_desc.reshape(k // block, block, n, 8),
+            db_valid.reshape(k // block, block, n),
+        ),
+    ).reshape(k)
     votes = jnp.where(db_mask > 0, votes, -1)
     best = jnp.argmax(votes)
     return LoopCandidate(keyframe=best, votes=votes[best], all_votes=votes)

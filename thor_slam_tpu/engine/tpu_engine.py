@@ -1256,7 +1256,7 @@ class TpuSlamEngine(SlamEngine):
         """Keyframe hook: update the place DB, maybe start a detection.
 
         ``world_t_body`` is the MAP-frame keyframe pose; ``kf_sig`` the
-        tick's fetched camera-0 signature (``pack_kf_sig``) — the
+        tick's fetched all-camera signature (``pack_kf_sig``) — the
         FINALIZED tick's own bank, so this hook never reads the live
         device state (which would sync on in-flight ticks and, under deep
         pipelining, belong to a later frame than the keyframe being

@@ -1029,7 +1029,7 @@ def unpack_ba_obs(arr) -> dict:
 
 
 def pack_kf_sig(new_state: TrackerState) -> jnp.ndarray:
-    """Camera-0 keyframe signature as ONE fresh (N, 14) array.
+    """ALL-camera keyframe signature as ONE fresh (C, N, 14) array.
 
     Channels: desc bits (8, uint32 BITCAST) | obs_px (2) | lm_valid (1) |
     lm_pos_w (3) — everything the host's loop-closure/place-recognition
@@ -1039,23 +1039,38 @@ def pack_kf_sig(new_state: TrackerState) -> jnp.ndarray:
     live device state — required under deep pipelining (the live bank is
     ticks ahead of the keyframe being recorded) and one less device sync
     per keyframe everywhere else.
+
+    Every camera's bank is packed (not just camera 0): the place DB
+    indexes all cameras, which is what makes revisits recognizable from
+    ANY heading on a rig whose mounts cover the yaw space — a reverse-
+    heading repass is matched by the query's forward camera against the
+    entry a rear-facing camera recorded on the first pass (the viewpoint
+    tolerance cuVSLAM's loop closure provides; reference
+    launch/thor_visual_slam.launch.py:30-64).
     """
     return jnp.concatenate(
         [
-            jax.lax.bitcast_convert_type(new_state.lm_desc[0], jnp.float32),
-            new_state.lm_obs_px[0].astype(jnp.float32),
-            new_state.lm_valid[0].astype(jnp.float32)[..., None],
-            new_state.lm_pos_w[0].astype(jnp.float32),
+            jax.lax.bitcast_convert_type(new_state.lm_desc, jnp.float32),
+            new_state.lm_obs_px.astype(jnp.float32),
+            new_state.lm_valid.astype(jnp.float32)[..., None],
+            new_state.lm_pos_w.astype(jnp.float32),
         ],
         axis=-1,
     )
 
 
 def unpack_kf_sig(arr) -> dict:
-    """Host-side parse of a fetched ``pack_kf_sig`` array."""
+    """Host-side parse of a fetched ``pack_kf_sig`` array.
+
+    Accepts the (C, N, 14) all-camera layout (arrays keep their leading
+    camera axis) or a legacy single-camera (N, 14) signature (parsed with
+    an inserted C=1 axis).
+    """
     import numpy as np
 
     a = np.asarray(arr)
+    if a.ndim == 2:
+        a = a[None]
     return {
         "desc": np.ascontiguousarray(a[..., 0:8], np.float32).view(np.uint32),
         "obs_px": a[..., 8:10].astype(np.float32),

@@ -260,7 +260,7 @@ def make_sharded_track_step(
         pack: ``True`` appends ``pack_output``; ``"ba"`` additionally
             appends ``pack_ba_obs`` (slot/camera-sharded — one gathered
             fetch on the host side); ``"kf"`` appends ``pack_kf_sig``
-            (the camera-0 loop-closure signature — XLA inserts the
+            (the all-camera loop-closure signature — XLA inserts the
             cross-shard gather); ``"ba+kf"`` appends both.
     """
     n_dev = mesh.devices.size
