@@ -339,7 +339,7 @@ def test_auto_relocalize_on_lost_with_loaded_map(tmp_path):
 class TestPipelinedMode:
     """pipelined=True: identical poses, shifted by exactly one tick."""
 
-    def _run(self, pipelined: bool):
+    def _run(self, pipelined: bool, light_ticks):
         spec = SyntheticRigSpec(
             num_sources=2, stereo=True, width=128, height=96, fps=30.0, baseline_m=0.12
         )
@@ -352,6 +352,7 @@ class TestPipelinedMode:
         engine = TpuSlamEngine(
             params=dict(max_keypoints=128, keyframe_min_inliers=40),
             pipelined=pipelined,
+            light_ticks=light_ticks,
         )
         poses = []
         with CameraRig(
@@ -369,13 +370,35 @@ class TestPipelinedMode:
         return [p for p in poses if p is not None]
 
     def test_matches_synchronous_shifted(self):
-        sync_poses = self._run(pipelined=False)
-        pipe_poses = self._run(pipelined=True)
+        """Pipeline equivalence proper: with the SAME tick schedule, the
+        pipelined stream is the synchronous stream shifted by one tick.
+
+        Light scheduling is pinned OFF: it is HOST policy over
+        finalize-lagged diagnostics, so the light/full schedule is
+        allowed to differ with pipeline depth (each mode sees different-
+        age diagnostics) — which shifts keyframe timing by design. The
+        device semantics under an identical schedule are what this test
+        pins, bit-for-bit."""
+        sync_poses = self._run(pipelined=False, light_ticks=False)
+        pipe_poses = self._run(pipelined=True, light_ticks=False)
         # First pipelined call returns None; flush() yields the final tick —
         # the surviving pose sequences are identical.
         assert len(sync_poses) == len(pipe_poses)
         for a, b in zip(sync_poses, pipe_poses):
             np.testing.assert_allclose(a.position, b.position, atol=1e-6)
+            assert a.timestamp == b.timestamp
+
+    def test_default_config_stays_close(self):
+        """With the SHIPPED defaults (light scheduling on), sync and
+        pipelined may schedule light ticks differently (lagged
+        diagnostics) — trajectories must still agree to well under a
+        centimeter on this short orbit (measured: ~8 mm max with the
+        schedules maximally divergent)."""
+        sync_poses = self._run(pipelined=False, light_ticks=None)
+        pipe_poses = self._run(pipelined=True, light_ticks=None)
+        assert len(sync_poses) == len(pipe_poses)
+        for a, b in zip(sync_poses, pipe_poses):
+            assert np.linalg.norm(a.position - b.position) < 0.02
             assert a.timestamp == b.timestamp
 
     def test_flush_idempotent(self):

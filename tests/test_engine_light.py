@@ -189,8 +189,8 @@ class TestEngineLightScheduling:
         eng = TpuSlamEngine(devices=2, light_ticks=True)
         # Resolution happens at initialize; just check the request is
         # stored and the resolver path exists (full init needs 2 devices).
-        assert eng._light_requested is True
-        assert eng._light is False  # not yet resolved
+        assert eng._light_ctl.light_requested is True
+        assert eng._light_ctl.light is False  # not yet resolved
 
 
 class TestAdaptiveHalfRes:
@@ -203,7 +203,7 @@ class TestAdaptiveHalfRes:
         # conftest sets THOR_SLAM_TPU_ADAPTIVE_HALF=0 so the suite's
         # hundreds of engines don't each compile a second light executable.
         eng = TpuSlamEngine(light_ticks=True)
-        assert eng._adaptive_requested is False
+        assert eng._light_ctl.adaptive_requested is False
 
     def test_forced_half_res_disables_adaptivity(self):
         sources, rig_ext, world, traj = _rig()
@@ -215,7 +215,7 @@ class TestAdaptiveHalfRes:
                 light_half_res=True, adaptive_half_res=True,
             )
             eng.initialize(rig.calibration, tst.SlamConfig(num_cameras=4))
-            assert eng._adaptive_half is False  # already pinned at half
+            assert eng._light_ctl.adaptive is False  # already pinned at half
             assert eng.light_half_active is True
             assert set(eng._step_light) == {True}  # one executable only
             eng.shutdown()
@@ -239,11 +239,14 @@ class TestAdaptiveHalfRes:
                 rig.calibration,
                 tst.SlamConfig(num_cameras=4, expected_fps=1e6),
             )
-            assert eng._adaptive_half is True
+            assert eng._light_ctl.adaptive is True
             assert set(eng._step_light) == {False, True}  # both compiled
             assert not eng.light_half_active
-            eng._adapt_up_ticks = 3
-            eng._adapt_down_ticks = 4
+            eng._light_ctl.adapt_up_ticks = 3
+            # Max-rate replay: pin the pace classification (the real-time
+            # heuristic would rightly refuse to degrade a replay).
+            eng._light_ctl.pace_override = True
+            eng._light_ctl.adapt_down_ticks = 4
             half_light_ticks = 0
             pose = None
             for i in range(24):
@@ -255,7 +258,7 @@ class TestAdaptiveHalfRes:
             assert half_light_ticks > 0, "no light tick shipped half-res"
             assert pose is not None and np.all(np.isfinite(pose.position))
             # Recovery: a huge budget puts every tick far under 45%.
-            eng._cadence_budget_s = 1e6
+            eng._light_ctl.budget_s = 1e6
             for i in range(12):
                 p = eng.process_frames(rig.get_synchronized_frames())
                 pose = p or pose
