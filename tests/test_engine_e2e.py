@@ -157,21 +157,24 @@ class TestEngineContract:
         with pytest.raises(RuntimeError):
             engine.process_frames(None)
 
-    def test_rejects_all_mono_rig(self):
-        """An ALL-mono rig is rejected loudly at initialize().
-
-        Mono cameras are supported in MIXED rigs (they seed landmarks
-        from stereo mints — tests/test_engine_mono.py); a rig with no
-        stereo source at all has no bootstrap path and would otherwise
-        initialize cleanly and sit untracked forever. The contract is an
-        explicit error, not silent acceptance.
+    def test_all_mono_rig_bootstraps(self):
+        """An ALL-mono rig initializes with the MOTION-bootstrap tracker
+        (two-view essential-matrix init + per-keyframe motion
+        triangulation — the cuVSLAM mono-only capability, reference
+        luxonis.py:551-568). Metric subsystems are auto-disabled: the
+        odometry is up-to-scale. End-to-end tracking is proven by
+        tests/test_engine_mono_only.py; this pins the contract surface.
         """
         spec = SyntheticRigSpec(num_sources=1, stereo=False, width=64, height=48)
         sources, rig_ext, _, _ = make_synthetic_rig(spec, render=False)
         rig = CameraRig(sources, rig_extrinsics=rig_ext)
-        engine = TpuSlamEngine()
-        with pytest.raises(RuntimeError, match="all-mono rig has no bootstrap"):
-            engine.initialize(rig.calibration)
+        engine = TpuSlamEngine(params=dict(max_keypoints=64))
+        engine.initialize(rig.calibration)
+        assert engine._all_mono
+        assert engine._params.mono_bootstrap
+        assert engine._mono_init is not None
+        assert engine._enable_ba is False  # monocular gauge: BA off
+        engine.shutdown()
 
     def test_reset_and_shutdown(self):
         spec = SyntheticRigSpec(num_sources=1, stereo=True, width=64, height=48)

@@ -28,29 +28,17 @@ def build_camera_setup(calibration: RigCalibration) -> tuple[trk.CameraSetup, li
         ``stereo: false`` path, reference luxonis.py:551-568) are
         accepted: their right-imager fields duplicate the left geometry
         with a placeholder baseline and ``stereo_mask`` is False, so the
-        tracker masks every stereo product for them and seeds their
-        landmarks from overlapping stereo cameras instead (see
-        ``tracker.mint_bank``).
+        tracker masks every stereo product for them. In MIXED rigs their
+        landmarks seed from overlapping stereo cameras
+        (``tracker.mint_bank``); an ALL-mono rig instead bootstraps from
+        motion — two-view essential-matrix init + per-keyframe motion
+        triangulation, up-to-scale (``tracker.make_mono_init``,
+        ``TrackerParams.mono_bootstrap`` — the cuVSLAM mono capability).
 
     Raises:
-        RuntimeError: On mixed resolutions, or when the rig has no stereo
-            source at all: mono banks seed exclusively from landmarks the
-            stereo cameras mint (``tracker.mint_bank``), so an all-mono
-            rig would initialize cleanly and then sit untracked forever —
-            there is no mono bootstrap path (essential-matrix two-view
-            init). The reference's cuVSLAM can track a single mono camera
-            (reference luxonis.py:551-568); until a bootstrap lands here,
-            rejecting loudly beats accepting an untrackable configuration.
+        RuntimeError: On mixed resolutions.
     """
     source_order = sorted(calibration.source_names)
-    if not any(
-        len(calibration.intrinsics[name]) >= 2 for name in source_order
-    ):
-        raise RuntimeError(
-            "all-mono rig has no bootstrap path: mono cameras seed landmarks "
-            "from stereo mints, so at least one stereo source is required "
-            "(the reference's cuVSLAM tracks mono-only; this engine does not)"
-        )
     cols: dict[str, list] = {f: [] for f in trk.CameraSetup._fields}
     height = width = None
 

@@ -306,6 +306,12 @@ class TpuSlamEngine(SlamEngine):
         self._reloc_interval = max(1, int(reloc_attempt_interval))
         self._reloc_countdown = 0
         self._map_loaded = False
+        # All-mono bootstrap state (resolved at initialize()).
+        self._all_mono = False
+        self._mono_init = None
+        self._mono_boot_done = False
+        self._mono_boot_countdown = 2
+        self._mono_rearm_after = 0
         if adaptive_half_res is None:
             # Default ON. The env escape hatch exists for test harnesses:
             # adaptivity compiles a second light executable at initialize,
@@ -417,11 +423,34 @@ class TpuSlamEngine(SlamEngine):
                 "mono sources are not supported under SPMD (devices > 1): "
                 "cross-camera landmark seeding needs the full keyframe bank"
             )
+        # ALL-mono rig: bootstrap from motion (the cuVSLAM mono-only
+        # capability, reference luxonis.py:551-568). The odometry is
+        # UP-TO-SCALE (monocular gauge): metric subsystems that assume
+        # scale are disabled — window BA (its stereo residuals and
+        # correction bounds are metric) and the accelerometer translation
+        # prediction (gyro rotation prediction stays).
+        all_mono = has_mono and not bool(np.asarray(setup.stereo_mask).any())
+        self._all_mono = all_mono
+        self._mono_boot_done = False
+        if all_mono:
+            if self._enable_ba:
+                logger.warning(
+                    "all-mono rig: window BA disabled (monocular scale gauge)"
+                )
+                self._enable_ba = False
+            if self._use_accel:
+                logger.warning(
+                    "all-mono rig: accel translation prediction disabled "
+                    "(up-to-scale odometry); gyro rotation prediction stays"
+                )
+                self._use_accel = False
+                self._imu.use_accel = False
         self._params = trk.TrackerParams(
             num_cams=len(self._source_order),
             height=height,
             width=width,
             has_mono=has_mono,
+            mono_bootstrap=all_mono,
             **self._param_overrides,
         )
         # donate: stream ticks reuse state buffers in place (per-tick churn
@@ -463,6 +492,9 @@ class TpuSlamEngine(SlamEngine):
         else:
             self._step = trk.make_track_step(self._params, setup, donate=True, pack=pack_mode)
             self._make_state = lambda: trk.init_state(self._params)
+        self._mono_init = (
+            trk.make_mono_init(self._params, setup) if all_mono else None
+        )
         # Light (left-only) tick scheduling + adaptive half-res policy —
         # resolved by the controller (engine/backends/light.py); the
         # engine compiles one executable per returned variant.
@@ -534,6 +566,8 @@ class TpuSlamEngine(SlamEngine):
         self._frame_count = 0
         self._ba_corr_total = np.eye(4)
         self._last_kf_odom = None
+        self._mono_boot_countdown = 2  # KLT needs a couple of frames first
+        self._mono_rearm_after = 0
         self.upload_stats = {"full": 0, "light": 0, "light_half": 0, "bytes": 0}
         self._state_enum = TrackingState.INITIALIZING
 
@@ -586,6 +620,10 @@ class TpuSlamEngine(SlamEngine):
             # Warm the async BA write-back too (donates its state — uses a
             # fresh throwaway, same rule as the step warm-ups above).
             self._ba.warm(self._make_state)
+        if self._mono_init is not None:
+            # Warm the bootstrap attempt (donates its state — throwaway).
+            _, flag = self._mono_init(self._make_state())
+            jax.block_until_ready(flag)
         logger.info(
             "TpuSlamEngine initialized: %d cams @ %dx%d (warm-up %.1fs)",
             self._params.num_cams, width, height, time.monotonic() - t0,
@@ -746,6 +784,29 @@ class TpuSlamEngine(SlamEngine):
             v = rec.get(k)
             if v is not None:
                 v.copy_to_host_async()
+
+        # All-mono bootstrap: while unbootstrapped, attempt the two-view
+        # essential-matrix init against the live state (the just-advanced
+        # KLT tracks vs their keyframe anchors). Each attempt syncs on a
+        # 4-float flag — paid only during the (short) init phase.
+        if self._mono_init is not None and not self._mono_boot_done:
+            if self._mono_boot_countdown > 0:
+                self._mono_boot_countdown -= 1
+            else:
+                self._tracker_state, flag = self._mono_init(self._tracker_state)
+                vals = np.asarray(jax.device_get(flag))
+                if vals[0] > 0.5:
+                    self._mono_boot_done = True
+                    self._mono_rearm_after = (
+                        self._frame_count + self._pipeline_depth + 2
+                    )
+                    logger.info(
+                        "mono bootstrap accepted: %d epipolar inliers, %d "
+                        "landmarks, mean parallax %.4f (up-to-scale gauge)",
+                        int(vals[1]), int(vals[3]), float(vals[2]),
+                    )
+                else:
+                    self._mono_boot_countdown = 1  # retry every other tick
         return rec
 
     #: Device-array record keys fetched at finalize, in order.
@@ -891,6 +952,20 @@ class TpuSlamEngine(SlamEngine):
         )
         self._last_timestamp = ts
         self._frame_count += 1
+
+        # All-mono: a VO restart (blackout, long occlusion) empties the
+        # real-landmark set — re-arm the bootstrap attempt loop. The
+        # pipeline-lag guard keeps the ticks dispatched before a fresh
+        # bootstrap from re-arming it spuriously.
+        if (
+            self._all_mono
+            and self._mono_boot_done
+            and int(n_lm) == 0
+            and self._frame_count > self._mono_rearm_after
+        ):
+            self._mono_boot_done = False
+            self._mono_boot_countdown = 1
+            logger.info("mono bootstrap re-armed (landmark set emptied)")
 
         # -- TrackingState machine ------------------------------------
         min_inl = self._params.min_track_inliers
@@ -1280,7 +1355,13 @@ class TpuSlamEngine(SlamEngine):
         except OSError:
             logger.exception("Failed to load engine state from %s", path)
             return False
-        fields = {f: jnp.asarray(data[f]) for f in trk.TrackerState._fields}
+        # Checkpoints from before a state field existed restore with that
+        # field at its init default (fresh-state value).
+        defaults = trk.init_state(self._params)._asdict()
+        fields = {
+            f: jnp.asarray(data[f]) if f in data else defaults[f]
+            for f in trk.TrackerState._fields
+        }
         self._tracker_state = trk.TrackerState(**fields)
         if "map_t_odom" in data:
             self._map_t_odom = np.asarray(data["map_t_odom"], np.float64)
@@ -1363,6 +1444,9 @@ class TpuSlamEngine(SlamEngine):
         self._last_timestamp = None
         self._frame_count = 0
         self._last_kf_odom = None
+        self._mono_boot_done = False
+        self._mono_boot_countdown = 2
+        self._mono_rearm_after = 0
         self._light_ctl.reset()
         self.upload_stats = {"full": 0, "light": 0, "light_half": 0, "bytes": 0}
         if self._state_enum != TrackingState.NOT_INITIALIZED:

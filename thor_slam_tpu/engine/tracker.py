@@ -59,6 +59,16 @@ class TrackerParams:
     keyframe_min_inliers: int = 50
     keyframe_max_translation: float = 0.12
     keyframe_max_rotation: float = 0.12
+    # Minimum ticks between LOW-INLIER-triggered keyframes (motion
+    # triggers are exempt). A refresh fired on decayed support re-mints
+    # the bank through the persist_radius inheritance gate; when the
+    # scene cannot supply fresh landmark sources (sensor blackout, dark
+    # or textureless stretch) each re-mint only LOSES slots — measured:
+    # an un-rate-limited low-inlier trigger fired every tick of a stereo
+    # blackout and decayed the surviving mono bank 73 -> 13 slots in 12
+    # ticks, tripling the drift the surviving camera should have
+    # prevented.
+    keyframe_low_inlier_interval: int = 8
     min_track_inliers: int = 12
     restart_after_untracked: int = 5  # lost streak before VO restarts
     oriented_descriptors: bool = False  # upright BRIEF: precise, VO-friendly
@@ -76,14 +86,31 @@ class TrackerParams:
     has_mono: bool = False  # static: traces the seeding block only if set
     mono_seed_radius_px: float = 3.0
     mono_seed_max_hamming: float = 64.0
-    # PnP weight of mono observations. Seeded landmarks carry the source
-    # stereo camera's triangulation DEPTH error; viewed from the mono
-    # camera's different vantage that error projects laterally (it is
-    # along-ray, hence ~invisible, in the source camera) — mono residuals
-    # have several times the stereo observation variance and must not be
-    # equal-weighted (measured: equal weighting made the mono camera
-    # net-negative on the mixed-rig orbit).
+    # Window-BA weight of mono cameras' observations (TrackBA.bind).
+    # The TRACKER's PnP uses PER-LANDMARK weights instead: each seeded
+    # landmark carries the variance of its source stereo camera's
+    # triangulation DEPTH error projected into the mono camera's view
+    # (computed at seeding in mint_bank, stored in ``lm_weight``). The
+    # error is along-ray — hence ~invisible — in the source camera but
+    # projects laterally into the mono view, scaled by the sine of the
+    # inter-ray angle over the mono range; a single global scalar both
+    # over-weights badly-placed landmarks and under-weights well-placed
+    # ones (measured: the global 0.25 left the mono camera net-neutral).
     mono_obs_weight: float = 0.25
+    mono_seed_disp_sigma_px: float = 0.4  # stereo subpixel disparity std
+    # ALL-mono rig support (no stereo source anywhere — the cuVSLAM
+    # mono-only capability, reference luxonis.py:551-568). STATIC: traces
+    # the pending-landmark machinery only when set. Landmarks then come
+    # from MOTION: the first map from a two-view essential-matrix
+    # bootstrap (engine/epipolar.py, dispatched by the engine via
+    # make_mono_init), steady-state minting from midpoint triangulation
+    # of each pending detection between its minting keyframe and the
+    # next (mint_bank). Scale is unobservable: unit-|t| bootstrap gauge.
+    mono_bootstrap: bool = False
+    mono_init_min_inliers: int = 40  # E-RANSAC support to accept the boot
+    mono_trigger_parallax: float = 0.02  # mean 2D displacement to attempt
+    mono_min_parallax: float = 0.01  # per-point triangulation ray angle
+    mono_reboot_min_tracks: int = 30  # below this, re-mint fresh anchors
 
 
 class CameraSetup(NamedTuple):
@@ -159,6 +186,23 @@ class TrackerState(NamedTuple):
         frame_idx: () int32.
         untracked_streak: () int32 consecutive failed-tracking frames.
         key: PRNG key for RANSAC sampling.
+        lm_pending: (C, N) bool — slot is KLT-tracked in 2D but has NO 3D
+            position yet (all-mono rigs only: fresh mono detections await
+            motion triangulation; ``mono_bootstrap``). Pending slots are
+            excluded from PnP and from the reported landmark count; they
+            persist/track like any slot and are promoted at the next
+            keyframe (or by the essential-matrix bootstrap).
+        lm_anchor_px: (C, N, 2) the slot's observation at its minting
+            keyframe — the FROZEN first ray of the two-view pair
+            (``kf_world_t_body`` is the matching pose). Only meaningful
+            for pending slots; refreshed at every keyframe.
+        lm_weight: (C, N) per-landmark PnP observation weight (inverse
+            relative variance; 1.0 for stereo-triangulated landmarks,
+            the projected-depth-error weight for mono-seeded ones — see
+            ``TrackerParams.mono_obs_weight`` docs and ``mint_bank``).
+        last_kf_frame: () int32 frame index of the last refresh (rate-
+            limits the low-inlier keyframe trigger —
+            ``keyframe_low_inlier_interval``).
     """
 
     world_t_body: jnp.ndarray
@@ -180,6 +224,10 @@ class TrackerState(NamedTuple):
     frame_idx: jnp.ndarray
     untracked_streak: jnp.ndarray
     key: jax.Array
+    lm_pending: jnp.ndarray
+    lm_anchor_px: jnp.ndarray
+    lm_weight: jnp.ndarray
+    last_kf_frame: jnp.ndarray
 
 
 class TrackOutput(NamedTuple):
@@ -257,6 +305,10 @@ def init_state(params: TrackerParams, world_t_body0=None, key=None) -> TrackerSt
         frame_idx=jnp.asarray(0, jnp.int32),
         untracked_streak=jnp.asarray(0, jnp.int32),
         key=jax.random.PRNGKey(0) if key is None else key,
+        lm_pending=jnp.zeros((c, n), bool),
+        lm_anchor_px=jnp.zeros((c, n, 2)),
+        lm_weight=jnp.ones((c, n)),
+        last_kf_frame=jnp.asarray(0, jnp.int32),
     )
 
 
@@ -388,15 +440,19 @@ def _track_step_f32(
     c, n = p.num_cams, p.max_keypoints
     flat_pts = state.lm_pos_w.reshape(c * n, 3)
     flat_obs = hot.obs_norm.reshape(c * n, 2)
-    flat_valid = hot.corr_valid.reshape(c * n)
+    pnp_valid = hot.corr_valid
+    if p.mono_bootstrap:
+        # Pending slots are 2D-only — no 3D position to constrain PnP.
+        pnp_valid = pnp_valid & ~state.lm_pending
+    flat_valid = pnp_valid.reshape(c * n)
     flat_rot = jnp.repeat(setup.cam_r_body, n, axis=0)  # (C*N, 3, 3)
     flat_trans = jnp.repeat(setup.cam_t_body, n, axis=0)
     obs_weight = None
     if p.has_mono:
-        # Down-weight mono observations (see mono_obs_weight).
-        obs_weight = jnp.repeat(
-            jnp.where(setup.stereo_mask, 1.0, p.mono_obs_weight), n
-        )
+        # Per-landmark weights (mono-seeded slots carry their projected
+        # triangulation-error variance; stereo slots are 1.0 — minted so
+        # in mint_bank).
+        obs_weight = state.lm_weight.reshape(c * n)
 
     # ------------------------------------------------------------------ 7
     key, subkey = jax.random.split(state.key)
@@ -508,6 +564,12 @@ def run_hot_frontend(
     uv_pred, in_front = jax.vmap(calib.cam_points_to_raw_pixels)(
         lm_cam, setup.k_left, setup.dist_left
     )
+    if p.mono_bootstrap:
+        # Pending slots have no 3D position: initialize their KLT search
+        # at the last tracked position (zero-motion init; the pyramid
+        # levels absorb inter-frame displacement).
+        uv_pred = jnp.where(state.lm_pending[..., None], state.lm_px, uv_pred)
+        in_front = in_front | state.lm_pending
 
     cur_pyr1 = jax.vmap(downsample2)(left)
     cur_pyr2 = jax.vmap(downsample2)(cur_pyr1)
@@ -638,6 +700,10 @@ def mint_bank(
     cand_id: jnp.ndarray,
     fresh_ids: jnp.ndarray,
     cam_active: jnp.ndarray | None,
+    cand_pending: jnp.ndarray | None = None,
+    cand_anchor_px: jnp.ndarray | None = None,
+    prev_kf_pose: jnp.ndarray | None = None,
+    cand_weight: jnp.ndarray | None = None,
 ) -> tuple:
     """Mint a landmark bank from keyframe products + inheritance candidates.
 
@@ -661,10 +727,19 @@ def mint_bank(
         cand_id: (C, M) candidates' persistent ids.
         fresh_ids: (C, N_kf) ids to assign to non-inheriting keypoints.
         cam_active: Optional (C,) live-camera mask.
+        cand_pending: (C, M) pending-depth mask over the candidates —
+            all-mono rigs only (``mono_bootstrap``; None otherwise).
+        cand_anchor_px: (C, M, 2) candidates' observations at the
+            PREVIOUS keyframe (the frozen first rays).
+        prev_kf_pose: (4, 4) that keyframe's body pose.
+        cand_weight: (C, M) candidates' per-landmark observation weights
+            (inherited with the position; None = ones).
 
     Returns:
-        The 8-tuple (lm_pos, lm_desc, lm_valid, lm_px, lm_obs, lm_robs,
-        lm_robs_valid, lm_id) for the minted slots.
+        The 11-tuple (lm_pos, lm_desc, lm_valid, lm_px, lm_obs, lm_robs,
+        lm_robs_valid, lm_id, lm_pending, lm_anchor_px, lm_weight) for
+        the minted slots (pending all-False / anchors = lm_obs / weights
+        one outside mono modes).
     """
     p = params
     world_t_cam = jnp.einsum("ij,cjk->cik", world_t_body, setup.body_t_cam)
@@ -672,6 +747,53 @@ def mint_bank(
         jnp.einsum("cij,cnj->cni", world_t_cam[:, :3, :3], kf.pts_cam)
         + world_t_cam[:, None, :3, 3]
     )
+
+    if p.mono_bootstrap and cand_pending is not None:
+        # MOTION TRIANGULATION (the all-mono minting path): promote every
+        # pending candidate whose two views — its frozen anchor ray at
+        # the previous keyframe pose and its tracked ray now — intersect
+        # with enough parallax. Promoted candidates then take part in
+        # inheritance like any landmark, so the fresh detection landing
+        # on them adopts a REAL position (and their id).
+        anchor_norm = jax.vmap(calib.raw_pixels_to_normalized)(
+            cand_anchor_px, setup.k_left, setup.dist_left
+        )
+        cur_norm = jax.vmap(calib.raw_pixels_to_normalized)(
+            cand_tracks_xy, setup.k_left, setup.dist_left
+        )
+        h0 = jnp.concatenate(
+            [anchor_norm, jnp.ones_like(anchor_norm[..., :1])], -1
+        )
+        h1 = jnp.concatenate([cur_norm, jnp.ones_like(cur_norm[..., :1])], -1)
+        world_t_cam_a = jnp.einsum("ij,cjk->cik", prev_kf_pose, setup.body_t_cam)
+        cam_a_t_b = jnp.einsum(
+            "cij,cjk->cik",
+            jax.vmap(_se3_inv)(world_t_cam_a),
+            world_t_cam,
+        )
+        tri_pts, tri_ok = jax.vmap(triangulate.two_view_midpoint)(
+            h0, h1, cam_a_t_b
+        )
+        # Parallax floor: ray angle between the two views.
+        r0n = h0 / jnp.linalg.norm(h0, axis=-1, keepdims=True)
+        r1w = jnp.einsum("cij,cnj->cni", cam_a_t_b[:, :3, :3], h1)
+        r1n = r1w / jnp.linalg.norm(r1w, axis=-1, keepdims=True)
+        ang = jnp.arccos(
+            jnp.clip(jnp.sum(r0n * r1n, axis=-1), -1.0, 1.0)
+        )
+        promoted = (
+            cand_pending
+            & tri_ok
+            & (ang >= p.mono_min_parallax)
+        )
+        promoted_w = (
+            jnp.einsum("cij,cnj->cni", world_t_cam_a[:, :3, :3], tri_pts)
+            + world_t_cam_a[:, None, :3, 3]
+        )
+        cand_pos_w = jnp.where(promoted[..., None], promoted_w, cand_pos_w)
+        anchor_ok = anchor_ok | promoted
+        cand_pending = cand_pending & ~promoted
+
     d2 = jnp.sum(
         (kf.kp_xy[:, :, None, :] - cand_tracks_xy[:, None, :, :]) ** 2, axis=-1
     )  # (C, N_kf, M)
@@ -686,8 +808,26 @@ def mint_bank(
     inherited_id = jnp.take_along_axis(cand_id, nearest, axis=1)
     lm_id = jnp.where(inherits, inherited_id, fresh_ids)
 
-    if p.has_mono:
-        # Cross-camera seeding: a mono camera cannot triangulate, so its
+    lm_weight = jnp.ones_like(lm_valid, dtype=jnp.float32)
+    if cand_weight is not None:
+        inherited_w = jnp.take_along_axis(cand_weight, nearest, axis=1)
+        lm_weight = jnp.where(inherits, inherited_w, lm_weight)
+
+    lm_pending = jnp.zeros_like(lm_valid)
+    if p.mono_bootstrap and cand_pending is not None:
+        # Inherited slots keep their candidate's (possibly just-cleared)
+        # pending flag; fresh non-inheriting detections enter the bank as
+        # pending 2D tracks awaiting the NEXT keyframe's triangulation.
+        inherited_pending = jnp.take_along_axis(cand_pending, nearest, axis=1)
+        fresh_pending = kf.kp_valid & ~inherits
+        lm_pending = jnp.where(inherits, inherited_pending, fresh_pending)
+        lm_valid = lm_valid | fresh_pending
+
+    if p.has_mono and not p.mono_bootstrap:
+        # Cross-camera seeding (MIXED rigs; all-mono rigs instead promote
+        # per camera by motion triangulation above, which shares the
+        # bootstrap gauge through the common pose trajectory): a mono
+        # camera cannot triangulate, so its
         # fresh detections inherit landmarks the STEREO cameras just
         # minted this keyframe — project every stereo-slot landmark into
         # the mono camera, match detections by proximity + descriptor
@@ -737,6 +877,70 @@ def mint_bank(
         lm_id = jnp.where(take, src_ids[seeds.idx], lm_id)
         lm_valid = lm_valid | take
 
+        # PER-LANDMARK observation weight for the seeded slots: the
+        # source camera's triangulation depth error sigma_z = z^2 s_d /
+        # (f b) is along its own ray; viewed from the mono camera it
+        # projects laterally as sigma_z sin(theta) / rho radians (theta =
+        # inter-ray angle, rho = mono range). Weight = relative inverse
+        # variance against the nominal detector noise. A well-placed
+        # landmark (small depth error or near-parallel rays) contributes
+        # at ~full weight; a badly-placed one is nearly ignored — the
+        # global scalar this replaces could do neither.
+        import numpy as _np
+
+        c_cams, n_per = lm_pos.shape[0], lm_pos.shape[1]
+        # Host-side (static) camera index per flattened source slot: the
+        # closed-over setup arrays are numpy, so the gather must use a
+        # concrete index (a traced one would force numpy.__array__ on a
+        # tracer).
+        src_cam_idx = _np.repeat(_np.arange(c_cams), n_per)
+        c_src = world_t_cam[:, :3, 3][src_cam_idx]  # (C*N, 3)
+        dvec = src_pts - c_src
+        z_src = jnp.maximum(jnp.linalg.norm(dvec, axis=-1), 1e-3)
+        ray_s = dvec / z_src[:, None]
+        fb = jnp.asarray(setup.k_rect)[:, 0] * jnp.asarray(setup.baseline)
+        sigma_z = (
+            z_src**2
+            * p.mono_seed_disp_sigma_px
+            / jnp.maximum(fb[src_cam_idx], 1e-6)
+        )  # (C*N,) meters
+        p_sel = src_pts[seeds.idx]  # (C, N_kf, 3)
+        sz_sel = sigma_z[seeds.idx]
+        ray_sel = ray_s[seeds.idx]
+        dm = p_sel - world_t_cam[:, None, :3, 3]
+        rho = jnp.maximum(jnp.linalg.norm(dm, axis=-1), 1e-3)
+        ray_m = dm / rho[..., None]
+        sin_t = jnp.linalg.norm(jnp.cross(ray_sel, ray_m), axis=-1)
+        sigma_proj = sz_sel * sin_t / rho  # radians ~ normalized units
+        # The DOMINANT mono error term is the seeding ASSOCIATION offset:
+        # the mono detection may be a different corner than the projected
+        # landmark, anywhere inside the mono_seed_radius_px gate — and
+        # its own projection residual at seeding time MEASURES that
+        # offset per landmark. (The depth-error projection term above is
+        # near-zero at rig scale: the cameras sit centimeters apart, so
+        # the rays to a meters-away landmark are almost parallel.)
+        fx_c = jnp.asarray(setup.k_left)[:, 0][:, None]
+        sigma0 = 1.0 / fx_c  # ~1 px detector noise
+        # Composition: the global prior (mono_obs_weight) times the
+        # per-landmark geometric term. The prior accounts for what no
+        # per-observation variance can: a seeded observation's landmark
+        # ERROR IS CORRELATED with the source camera's own observations
+        # (same triangulated point), so a same-vantage mono ray adds
+        # ~zero information while doubling that landmark's influence —
+        # measured, weights near 1 are net-negative regardless of seed
+        # quality. The geometric term downweights landmarks whose source
+        # triangulation error becomes VISIBLE from the mono vantage
+        # (sigma_proj: wide camera separation / close landmarks); at
+        # centimeter rig baselines it is ~1 and the prior dominates.
+        # (Weighting by the seeding projection RESIDUAL was measured
+        # NET-NEGATIVE: a large residual usually flags an information-
+        # bearing discrepancy of a CORRECT association, and suppressing
+        # exactly those observations removes the signal.)
+        w_seed = (
+            p.mono_obs_weight * sigma0**2 / (sigma0**2 + sigma_proj**2)
+        )
+        lm_weight = jnp.where(take, w_seed, lm_weight)
+
     # BA observation: inherited landmarks keep their subpixel tracked
     # position (consistent with their 3D point); fresh ones the detection.
     inherited_track = jnp.take_along_axis(cand_tracks_xy, nearest[..., None], axis=1)
@@ -751,9 +955,10 @@ def mint_bank(
     if cam_active is not None:  # dead cameras mint no landmarks
         lm_valid = lm_valid & cam_active[:, None]
         lm_robs_valid = lm_robs_valid & cam_active[:, None]
+        lm_pending = lm_pending & cam_active[:, None]
     return (
         lm_pos, kf.desc_bits, lm_valid, kf.kp_xy, lm_obs,
-        lm_robs, lm_robs_valid, lm_id,
+        lm_robs, lm_robs_valid, lm_id, lm_pending, lm_obs, lm_weight,
     )
 
 
@@ -809,12 +1014,28 @@ def _finish_step(
     rel = _se3_inv(state.kf_world_t_body) @ world_t_body
     trans_dist = jnp.linalg.norm(rel[:3, 3])
     rot_angle = jnp.arccos(jnp.clip(0.5 * (jnp.trace(rel[:3, :3]) - 1.0), -1.0, 1.0))
+    since_kf = state.frame_idx - state.last_kf_frame
     want_kf = (
-        (num_inliers < p.keyframe_min_inliers)
+        (
+            (num_inliers < p.keyframe_min_inliers)
+            & (since_kf >= p.keyframe_low_inlier_interval)
+        )
         | (trans_dist > p.keyframe_max_translation)
         | (rot_angle > p.keyframe_max_rotation)
     )
     restart = untracked_streak >= p.restart_after_untracked
+    if p.mono_bootstrap:
+        # Bootstrap phase (no non-pending landmark anywhere): every tick
+        # is "untracked" by construction, but a restart re-mint would
+        # reset the pending anchors and parallax could never accumulate.
+        # Re-mint only when the tracked anchor set itself decayed (the
+        # scene left the view before enough baseline built up).
+        bootstrapped = jnp.any(state.lm_valid & ~state.lm_pending)
+        too_few = (
+            jnp.sum(hot.tracks_valid & state.lm_valid)
+            < p.mono_reboot_min_tracks
+        )
+        restart = restart & (bootstrapped | too_few)
     refresh = (state.frame_idx == 0) | (tracked & want_kf) | restart
     if not allow_refresh:
         # LIGHT tick: keyframing is host-scheduled onto full ticks; the
@@ -846,6 +1067,10 @@ def _finish_step(
             cand_id=state.lm_id,
             fresh_ids=fresh_ids,
             cam_active=cam_active,
+            cand_pending=state.lm_pending if p.mono_bootstrap else None,
+            cand_anchor_px=state.lm_anchor_px if p.mono_bootstrap else None,
+            prev_kf_pose=state.kf_world_t_body,
+            cand_weight=state.lm_weight,
         )
 
     def continue_branch(_):
@@ -853,19 +1078,22 @@ def _finish_step(
         return (
             state.lm_pos_w, state.lm_desc, hot.corr_valid, hot.tracks_xy,
             hot.tracks_xy, state.lm_robs_px, state.lm_robs_valid, state.lm_id,
+            state.lm_pending, state.lm_anchor_px, state.lm_weight,
         )
 
     if allow_refresh:
         (
             lm_pos_w, lm_desc, lm_valid, lm_px, lm_obs_px,
-            lm_robs_px, lm_robs_valid, lm_id,
+            lm_robs_px, lm_robs_valid, lm_id, lm_pending, lm_anchor_px,
+            lm_weight,
         ) = jax.lax.cond(refresh, keyframe_branch, continue_branch, None)
     else:
         # Statically no keyframe: the detect/describe/stereo front-end is
         # never traced, so the right image is never consumed.
         (
             lm_pos_w, lm_desc, lm_valid, lm_px, lm_obs_px,
-            lm_robs_px, lm_robs_valid, lm_id,
+            lm_robs_px, lm_robs_valid, lm_id, lm_pending, lm_anchor_px,
+            lm_weight,
         ) = continue_branch(None)
 
     advance = c_ * n_ if id_advance is None else id_advance
@@ -893,6 +1121,10 @@ def _finish_step(
         frame_idx=state.frame_idx + 1,
         untracked_streak=untracked_streak,
         key=key,
+        lm_pending=lm_pending,
+        lm_anchor_px=lm_anchor_px,
+        lm_weight=lm_weight,
+        last_kf_frame=jnp.where(refresh, state.frame_idx, state.last_kf_frame),
     )
     # Per-tick BA observation stream: the post-branch bank's pixel
     # positions lifted to undistorted normalized coordinates ON DEVICE
@@ -912,17 +1144,25 @@ def _finish_step(
     rot6 = jnp.zeros((6, 6)).at[:3, :3].set(r_wb).at[3:, 3:].set(r_wb)
     cov_world = rot6 @ covariance @ rot6.T
     cov_world = jnp.where(tracked, cov_world, jnp.eye(6) * 1e6)
+    # Pending slots (mono bootstrap) are 2D-only: they are neither real
+    # landmarks (count) nor BA/loop measurements (valid mask) until
+    # promoted.
+    lm_valid_out = lm_valid
+    n_landmarks = jnp.sum(new_state.lm_valid)
+    if p.mono_bootstrap:
+        lm_valid_out = lm_valid & ~lm_pending
+        n_landmarks = jnp.sum(new_state.lm_valid & ~new_state.lm_pending)
     output = TrackOutput(
         world_t_body=world_t_body,
         num_inliers=num_inliers,
         num_matches=jnp.sum(hot.corr_valid),
-        num_landmarks=jnp.sum(new_state.lm_valid),
+        num_landmarks=n_landmarks,
         rms_error=rms_error,
         refreshed=refresh,
         obs_norm=obs_norm_out,
         robs_norm=robs_norm_out,
         lm_id=lm_id,
-        lm_valid=lm_valid,
+        lm_valid=lm_valid_out,
         robs_valid=lm_robs_valid,
         covariance=cov_world,
     )
@@ -1052,7 +1292,10 @@ def pack_kf_sig(new_state: TrackerState) -> jnp.ndarray:
         [
             jax.lax.bitcast_convert_type(new_state.lm_desc, jnp.float32),
             new_state.lm_obs_px.astype(jnp.float32),
-            new_state.lm_valid.astype(jnp.float32)[..., None],
+            # Pending (2D-only) slots have no position — never signatures.
+            (new_state.lm_valid & ~new_state.lm_pending).astype(jnp.float32)[
+                ..., None
+            ],
             new_state.lm_pos_w.astype(jnp.float32),
         ],
         axis=-1,
@@ -1090,6 +1333,112 @@ def _pack_returns(pack: bool | str, new_state: TrackerState, out: TrackOutput):
     if pack in ("kf", "ba+kf"):
         rets.append(pack_kf_sig(new_state))
     return tuple(rets)
+
+
+#: Length of the packed mono-init result vector (see ``make_mono_init``).
+MONO_INIT_PACKED_LEN = 4
+
+
+def make_mono_init(params: TrackerParams, setup: CameraSetup):
+    """Jitted all-mono bootstrap attempt: ``state -> (state, (4,) f32)``.
+
+    The engine dispatches this against the live state while an all-mono
+    rig is unbootstrapped (``mono_bootstrap``; reference mono capture
+    path luxonis.py:551-568). Camera 0's pending anchors (observations at
+    the last keyframe, pose ``kf_world_t_body``) and their current KLT
+    tracks form the two views; :func:`epipolar.ransac_essential` recovers
+    the relative pose (unit-|t| gauge — monocular scale is unobservable)
+    and the inlier triangulation becomes the first landmark bank.
+
+    The attempt self-gates: below ``mono_trigger_parallax`` mean 2D
+    displacement, or under ``mono_init_min_inliers`` epipolar support,
+    the state passes through unchanged and the flag vector reports why.
+
+    Packed result layout: [success, num_inliers, mean_parallax,
+    num_triangulated].
+    """
+    import numpy as np
+
+    from thor_slam_tpu.engine import epipolar
+    from thor_slam_tpu.ops import calib as calib_ops
+
+    p = params
+    setup_host = jax.tree.map(np.asarray, setup)
+
+    def _init(state: TrackerState):
+        s = setup_host
+        anchor_norm = calib_ops.raw_pixels_to_normalized(
+            state.lm_anchor_px[0], s.k_left[0], s.dist_left[0]
+        )
+        cur_norm = calib_ops.raw_pixels_to_normalized(
+            state.lm_obs_px[0], s.k_left[0], s.dist_left[0]
+        )
+        valid = state.lm_valid[0] & state.lm_pending[0]
+        n_valid = jnp.maximum(jnp.sum(valid), 1)
+        disp = (
+            jnp.sum(
+                jnp.where(
+                    valid,
+                    jnp.linalg.norm(cur_norm - anchor_norm, axis=-1),
+                    0.0,
+                )
+            )
+            / n_valid
+        )
+
+        key, subkey = jax.random.split(state.key)
+        res = epipolar.ransac_essential(
+            subkey, anchor_norm, cur_norm, valid,
+            min_parallax=p.mono_min_parallax,
+        )
+        success = (
+            (disp >= p.mono_trigger_parallax)
+            & (res.num_inliers >= p.mono_init_min_inliers)
+            & (jnp.sum(res.tri_valid) >= p.mono_init_min_inliers // 2)
+        )
+
+        # Frames: A = camera 0 at the anchor keyframe, B = camera 0 now.
+        world_t_cam_a = state.kf_world_t_body @ jnp.asarray(s.body_t_cam[0])
+        a_t_b = epipolar._a_t_b(res.r_ba, res.t_ba)
+        world_t_cam_b = world_t_cam_a @ a_t_b
+        new_pose = world_t_cam_b @ _se3_inv(jnp.asarray(s.body_t_cam[0]))
+        pts_w = (
+            res.points_a @ world_t_cam_a[:3, :3].T + world_t_cam_a[:3, 3]
+        )
+
+        promote = res.tri_valid & valid
+        lm_pos_w = state.lm_pos_w.at[0].set(
+            jnp.where(
+                (success & promote)[:, None], pts_w, state.lm_pos_w[0]
+            )
+        )
+        lm_pending = state.lm_pending.at[0].set(
+            jnp.where(success, state.lm_pending[0] & ~promote, state.lm_pending[0])
+        )
+        world_t_body = jnp.where(success, new_pose, state.world_t_body)
+        new_state = state._replace(
+            world_t_body=world_t_body,
+            prev_world_t_body=jnp.where(
+                success, state.world_t_body, state.prev_world_t_body
+            ),
+            lm_pos_w=lm_pos_w,
+            lm_pending=lm_pending,
+            untracked_streak=jnp.where(
+                success, jnp.asarray(0, jnp.int32), state.untracked_streak
+            ),
+            key=key,
+        )
+        packed = jnp.stack(
+            [
+                success.astype(jnp.float32),
+                res.num_inliers.astype(jnp.float32),
+                disp.astype(jnp.float32),
+                jnp.sum(res.tri_valid).astype(jnp.float32),
+            ]
+        )
+        return new_state, packed
+
+    return jax.jit(_init, donate_argnums=(0,))
 
 
 def make_track_step(

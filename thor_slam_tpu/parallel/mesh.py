@@ -63,7 +63,8 @@ def make_camera_mesh(n_devices: int | None = None, devices=None) -> Mesh:
 _CAM_SHARDED_FIELDS = frozenset(
     {
         "lm_pos_w", "lm_desc", "lm_valid", "lm_px", "lm_obs_px", "lm_robs_px",
-        "lm_robs_valid", "lm_id", "prev_left0", "prev_left1", "prev_left2",
+        "lm_robs_valid", "lm_id", "lm_pending", "lm_anchor_px", "lm_weight",
+        "prev_left0", "prev_left1", "prev_left2",
     }
 )
 _SLOT_SHARDED_FIELDS = _CAM_SHARDED_FIELDS - {"prev_left0", "prev_left1", "prev_left2"}
