@@ -6,7 +6,7 @@ JSON line.
 
 Structure (round-5 rework): the cheap, link-immune device phases run
 FIRST and every phase writes its numbers into the result dict the moment
-it finishes. A wall-clock budget (``BENCH_BUDGET_S``, default 900 s)
+it finishes. A wall-clock budget (``BENCH_BUDGET_S``, default 1260 s)
 skips remaining phases when exceeded, and SIGTERM/SIGALRM print the JSON
 with whatever completed (nulls elsewhere) — so one sick-tunnel e2e phase
 can never starve the run of a number of record (round 4's failure mode:
@@ -391,9 +391,10 @@ def _bench_e2e_cadence(calibration, host_seq, seq_len, ticks, cadence_s=1.0 / 30
 def _bench_e2e_deferred(calibration, host_seq, seq_len, warmup, frames):
     """Offline/dataset-replay e2e FPS (defer_sync: one readback at flush).
 
-    Runs before the online e2e modes: on hosted TPUs per-tick device_gets
-    in the online modes degrade the process's h2d throughput, which would
-    contaminate this measurement (but not vice versa).
+    Runs before the 720p online modes (their per-tick device_gets degrade
+    the process's h2d throughput). The 640x400 online rows DO run before
+    it — the deployed-cadence row outranks this row's purity when the
+    budget is tight; compare against its own adjacent bound.
     """
     from thor_slam_tpu.engine.tpu_engine import TpuSlamEngine
     from thor_slam_tpu.slam.interface import SlamConfig
@@ -614,7 +615,7 @@ def main() -> None:
     warmup = int(os.environ.get("BENCH_WARMUP", "5"))
     frames = int(os.environ.get("BENCH_FRAMES", "60"))
     seq_len = int(os.environ.get("BENCH_SEQ", "12"))
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", "900"))
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "1260"))
     skip_lowres = os.environ.get("BENCH_SKIP_640", "") == "1"
     skip_default = os.environ.get("BENCH_SKIP_DEFAULT", "") == "1"
 
@@ -719,15 +720,35 @@ def main() -> None:
         log(f"sgm 640x400/64 {sgm_ms:.1f} ms")
 
     def ph_mapping():
-        tsdf_ms, scan_ms, mesh_ms, esdf_ms, _v = _bench_mapping()
-        result["tsdf_integrate_640x400_ms"] = round(tsdf_ms, 2)
+        # ISOLATED in a subprocess: the mapping numbers are wrecked by
+        # the benchmarking process's own device-state history (measured:
+        # 0.3 ms/frame TSDF integration in a fresh process vs ~198
+        # ms/frame after the device phases have churned multi-GB buffer
+        # sets — and the SCANNED form read the same ~200 ms, proving the
+        # degradation is in-process device state, not per-dispatch relay
+        # latency). A child process measures the kernels as a robot
+        # host's dedicated mapping process would see them.
+        import subprocess
+
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--mapping-only"],
+            capture_output=True, text=True, timeout=300,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else "{}"
+        vals = json.loads(line)
+        tsdf_ms = vals["integrate_ms"]
+        scan_ms = vals["scan_ms"]
+        mesh_ms = vals["mesh_ms"]
+        esdf_ms = vals["esdf_ms"]
+        result["tsdf_integrate_640x400_ms"] = round(tsdf_ms, 3)
         result["tsdf_scan_ms_per_frame"] = round(scan_ms, 3)
         result["mesh_extract_ms"] = round(mesh_ms, 2)
         result["esdf_slice_ms"] = round(esdf_ms, 2)
         log(
-            f"tsdf integrate {tsdf_ms:.1f} ms/frame per-dispatch, "
+            f"tsdf integrate {tsdf_ms:.2f} ms/frame per-dispatch, "
             f"{scan_ms:.3f} ms/frame scanned, mesh {mesh_ms:.1f} ms, "
-            f"esdf slice {esdf_ms:.1f} ms"
+            f"esdf slice {esdf_ms:.1f} ms (isolated subprocess)"
         )
 
     def ph_render_720():
@@ -825,19 +846,29 @@ def main() -> None:
     # (name, conservative wall estimate s, enabled, body). Ordered so the
     # cheap link-immune numbers land first; an estimate only gates entry
     # (a phase that would blow the remaining budget is skipped, not run).
+    # Among the e2e phases the DEPLOYED-RESOLUTION rows run first —
+    # above all the 30 fps cadence row, the single most product-
+    # representative number in this file — so a sick tunnel starves the
+    # max-drive 720p rows, not the product row. (This sacrifices the
+    # "deferred before online" purity ordering; the deferred row's
+    # adjacent bound still contextualizes it.)
     phases = [
         ("device_scan", 60, True, ph_device_scan),
         ("device_tick", 45, True, ph_device_tick),
         ("sgm", 30, True, ph_sgm),
         ("mapping", 75, True, ph_mapping),
+        ("render_640", 45, not skip_lowres, ph_render_640),
+        ("e2e_640_stream", 90, not skip_lowres, ph_e2e_640_stream),
+        ("e2e_640_default", 120, not skip_lowres and not skip_default, ph_e2e_640_default),
+        # Cadence AFTER the max-drive 640 rows: the first e2e phase of a
+        # process measures a cold link state (measured 1.15 s/tick for an
+        # engine the adjacent max-drive row ran at 110 ms/tick); with the
+        # link warmed by its neighbors the row reads the deployed regime.
+        ("cadence", 60, not skip_lowres and not skip_default, ph_cadence),
         ("render_720", 60, True, ph_render_720),
         ("e2e_deferred", 90, True, ph_e2e_deferred),
         ("e2e_stream", 90, True, ph_e2e_stream),
         ("e2e_default", 120, not skip_default, ph_e2e_default),
-        ("render_640", 45, not skip_lowres, ph_render_640),
-        ("e2e_640_stream", 90, not skip_lowres, ph_e2e_640_stream),
-        ("e2e_640_default", 120, not skip_lowres and not skip_default, ph_e2e_640_default),
-        ("cadence", 60, not skip_lowres and not skip_default, ph_cadence),
     ]
 
     #: Phases whose bodies need an earlier phase's context.
@@ -882,5 +913,23 @@ def main() -> None:
         emit()
 
 
+def _mapping_only() -> None:
+    """Child-process entry: measure the mapping kernels in a clean
+    process and print ONE JSON line (see ``ph_mapping``)."""
+    from thor_slam_tpu.utils.platform import enable_compilation_cache
+
+    enable_compilation_cache()
+    integrate_ms, scan_ms, mesh_ms, esdf_ms, _ = _bench_mapping()
+    print(json.dumps({
+        "integrate_ms": integrate_ms,
+        "scan_ms": scan_ms,
+        "mesh_ms": mesh_ms,
+        "esdf_ms": esdf_ms,
+    }))
+
+
 if __name__ == "__main__":
+    if "--mapping-only" in sys.argv:
+        _mapping_only()
+        sys.exit(0)
     sys.exit(main())

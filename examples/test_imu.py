@@ -10,6 +10,7 @@ offer.
 
 Usage: python -m examples.test_imu [--seconds 2.0]
        python -m examples.test_imu --plot /tmp/imu.png
+       python -m examples.test_imu --live       # live scrolling window
        python -m examples.test_imu --rig        # IMU through CameraRig sync
 """
 
@@ -66,6 +67,46 @@ def _plot(path: str, ts, gyro, accel) -> None:
     print(f"plot written to {path}")
 
 
+def _live_plot(src, seconds: float, fps: float, window_s: float = 3.0) -> None:
+    """Live scrolling accel/gyro traces — the reference's IMUPlotter role
+    (reference test_imu.py:129-239). Needs a display; headless
+    environments should use --plot (PNG) instead."""
+    import matplotlib
+
+    try:
+        import matplotlib.pyplot as plt
+
+        fig, (ax1, ax2) = plt.subplots(2, 1, figsize=(10, 6), sharex=True)
+        plt.show(block=False)
+    except Exception as e:  # pragma: no cover - no display
+        print(f"live plotting unavailable ({e}); use --plot <path> instead")
+        return
+    ts, gyro, accel = [], [], []
+    lines1 = [ax1.plot([], [], label=f"accel {a}", linewidth=0.8)[0] for a in "xyz"]
+    lines2 = [ax2.plot([], [], label=f"gyro {a}", linewidth=0.8)[0] for a in "xyz"]
+    ax1.set_ylabel("m/s^2"); ax1.legend(loc="upper right", fontsize=8)
+    ax2.set_ylabel("rad/s"); ax2.set_xlabel("time [s]")
+    ax2.legend(loc="upper right", fontsize=8)
+    for _ in range(int(seconds * fps)):
+        src.get_latest_frames()
+        data, _ = src.get_timestamped_sensor_data()
+        if data is None:
+            continue
+        ts.extend(data["timestamps"]); gyro.extend(data["gyroscope"])
+        accel.extend(data["accelerometer"])
+        t = np.asarray(ts) - ts[0]
+        keep = t >= t[-1] - window_s
+        ga, aa = np.asarray(gyro)[keep], np.asarray(accel)[keep]
+        for i in range(3):
+            lines1[i].set_data(t[keep], aa[:, i])
+            lines2[i].set_data(t[keep], ga[:, i])
+        for ax in (ax1, ax2):
+            ax.relim(); ax.autoscale_view()
+        fig.canvas.draw_idle(); fig.canvas.flush_events()
+        plt.pause(1.0 / fps)
+    plt.close(fig)
+
+
 def _rig_mode(seconds: float) -> None:
     """IMU through CameraRig synchronization (the reference's
     run_synchronized mode, reference test_imu.py:444-498): reports batch
@@ -101,6 +142,11 @@ def main() -> int:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--seconds", type=float, default=2.0)
     parser.add_argument("--plot", default=None, help="Write accel/gyro traces to a PNG")
+    parser.add_argument(
+        "--live", action="store_true",
+        help="Live scrolling plot window (needs a display; the reference's "
+             "IMUPlotter role)",
+    )
     parser.add_argument("--rig", action="store_true", help="Run IMU through CameraRig sync")
     args = parser.parse_args()
 
@@ -143,6 +189,8 @@ def main() -> int:
 
     if args.plot:
         _plot(args.plot, all_ts, all_gyro, all_accel)
+    if args.live:
+        _live_plot(src, args.seconds, spec.fps)
     if args.rig:
         _rig_mode(args.seconds)
     return 0
