@@ -338,9 +338,14 @@ def _bench_e2e_cadence(calibration, host_seq, seq_len, ticks, cadence_s=1.0 / 30
     Returns (delivered_fps, busy_ms_per_processed_tick, bound_fps,
     payload). ``delivered_fps`` counts processed frames over the wall
     time — 30 means every camera frame was tracked, lower means drops.
+    ``busy_ms`` is the steady per-tick time inside process_frames (the
+    first 2 processed ticks are excluded: after the warm-up idle gap a
+    tunneled link pays one-time stalls that would dominate a short row).
     ``bound_fps`` is the adjacent link probe divided by the window's
     MEASURED mean bytes/tick (not a nominal 2x/8x guess).
     """
+    import numpy as np
+
     from thor_slam_tpu.engine.tpu_engine import TpuSlamEngine
     from thor_slam_tpu.slam.interface import SlamConfig
 
@@ -357,6 +362,7 @@ def _bench_e2e_cadence(calibration, host_seq, seq_len, ticks, cadence_s=1.0 / 30
     slept = 0.0
     processed = 0
     next_k = 0
+    busy = []  # per-processed-tick wall time inside process_frames
     s0 = dict(engine.upload_stats)
     t0 = time.perf_counter()
     while next_k < ticks:
@@ -368,13 +374,19 @@ def _bench_e2e_cadence(calibration, host_seq, seq_len, ticks, cadence_s=1.0 / 30
             slept += d
             newest = next_k
         k = min(newest, ticks - 1)
+        tb = time.perf_counter()
         engine.process_frames(make_sync(8 + k))
+        busy.append(time.perf_counter() - tb)
         processed += 1
         next_k = k + 1
     engine.flush()
     wall = time.perf_counter() - t0
     payload = _payload_stats(engine.upload_stats, s0)
     engine.shutdown()
+    # First ticks after the idle warm-up gap pay one-time link stalls on
+    # tunneled TPUs; report the STEADY busy (drop the first 2 processed
+    # ticks) alongside the wall-truth delivered rate.
+    steady = busy[2:] if len(busy) > 4 else busy
     # Adjacent link bound from the MEASURED payload: probe the full-tick
     # rate now, scale by full-tick bytes over the window's actual mean
     # bytes/tick. Latched over the whole row (a degrade on the last few
@@ -385,7 +397,8 @@ def _bench_e2e_cadence(calibration, host_seq, seq_len, ticks, cadence_s=1.0 / 30
         bound = mbps * 1e6 / payload["mean_bytes_per_tick"]
     else:
         bound = float("nan")
-    return processed / wall, (wall - slept) / max(1, processed) * 1000.0, bound, payload
+    busy_ms = float(np.mean(steady)) * 1000.0 if steady else 0.0
+    return processed / wall, busy_ms, bound, payload
 
 
 def _bench_e2e_deferred(calibration, host_seq, seq_len, warmup, frames):
@@ -830,7 +843,7 @@ def main() -> None:
         # The deployed regime: frames on the 30 fps camera clock,
         # adaptive controller armed (the product configuration).
         cadence_fps, cadence_busy_ms, cadence_bound, payload = _bench_e2e_cadence(
-            ctx["calib4"], ctx["host4"], seq_len, ticks=60
+            ctx["calib4"], ctx["host4"], seq_len, ticks=240
         )
         result["e2e_640x400_default_30fps_cadence_fps"] = round(cadence_fps, 2)
         result["e2e_640x400_default_cadence_engine_ms"] = round(cadence_busy_ms, 2)
