@@ -55,7 +55,19 @@ def _run_default_featured(depth: int, frames: int = 60):
         for _ in range(frames):
             sync = rig.get_synchronized_frames()
             pose = engine.process_frames(sync)
-            if "ba_rms" in engine.last_diagnostics:
+            d = engine.last_diagnostics
+            # A SOLVE proves the finalized-data window machinery (what
+            # this test gates). "ba_rms" = solved AND applied; a gate-
+            # stage skip ("rms ..."/"corr ...") = solved, correction
+            # correctly withheld under the noise floor — on this low-
+            # drift orbit that is the DESIGNED outcome (BASELINE.md
+            # ablations), so counting only applications made the test
+            # flake on keyframe-timing jitter. Only "window="/"joined_"
+            # skips mean no solve happened.
+            if "ba_rms" in d or (
+                "ba_skip" in d
+                and not d["ba_skip"].startswith(("window", "joined"))
+            ):
                 ba_runs += 1
             g = traj.pose(sync.timestamp)
             if gt0 is None:
